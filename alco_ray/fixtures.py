@@ -1,0 +1,208 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1).
+
+Generates the authoritative input table
+``transcripts(conv_id, turn_idx, role, text, tool, ts)`` at any scale,
+fully determined by ``seed`` — no wall clock, no external data.  The
+``text`` column embeds the parse targets the engine must extract
+(``level=<L>`` tokens, ISO-8601 timestamps incl. malformed ones,
+``key=value`` pairs, ``tool_call:<name>(...)`` markers), with rows that
+lack a level token (UNKNOWN bucket) and rows with malformed timestamps
+(parse_failures metric) guaranteed to exist.
+
+Conversation lengths are Zipf(a=1.5)-skewed, clipped to [2, 512], plus
+two "hot" conversations holding ~5% of all turns each, to exercise the
+salted repartitioning required by BASELINE.json:14.
+
+Output is multi-file Parquet (>=8 files) so partition-level
+checkpoint/resume and routing operate on real partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = np.array(["system", "user", "assistant", "tool"])
+ROLE_P = np.array([0.05, 0.35, 0.40, 0.20])
+TOOLS = np.array(
+    ["search", "code", "browser", "calc", "sql", "shell", "files", "mail",
+     "wiki", "maps", "vision", "audio", "translate", "weather", "news", "stock"]
+)
+LEVELS = np.array(["DEBUG", "INFO", "WARN", "ERROR"])
+LEVEL_P = np.array([0.3, 0.45, 0.15, 0.10])
+KV_KEYS = np.array(["host", "req_id", "status", "shard"])
+BASE_TS_US = np.int64(1704067200000000)  # 2024-01-01T00:00:00Z in microseconds
+
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu stream batch shuffle parse route enrich aggregate"
+).split()
+
+
+def _lorem_phrases(rng: np.random.RandomState, n_phrases: int = 256) -> np.ndarray:
+    """Pre-built pool of lorem phrases; rows sample from the pool so text
+    assembly stays vectorized at any corpus size."""
+    idx = rng.randint(0, len(_VOCAB), size=(n_phrases, 8))
+    return np.array([" ".join(_VOCAB[j] for j in row) for row in idx])
+
+
+def conversation_lengths(rng: np.random.RandomState, n_convs: int,
+                         target_turns: int) -> np.ndarray:
+    """Zipf(1.5) lengths clipped to [2, 512], rescaled to ~target_turns,
+    then two hot conversations each inflated to ~5% of all turns."""
+    lens = np.clip(rng.zipf(1.5, size=n_convs), 2, 512).astype(np.int64)
+    scale = target_turns / max(1, lens.sum())
+    lens = np.maximum(2, (lens * scale).astype(np.int64))
+    if n_convs >= 4:
+        hot = max(2, int(0.05 * lens.sum()))
+        lens[0] = hot
+        lens[1] = hot
+    return lens
+
+
+def generate_transcripts(n_convs: int, target_turns: int,
+                         seed: int = 42) -> pa.Table:
+    """Build the full transcript table in memory (vectorized numpy)."""
+    rng = np.random.RandomState(seed)
+    lens = conversation_lengths(rng, n_convs, target_turns)
+    n = int(lens.sum())
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+    conv_ids = np.array([f"c{i:06d}" for i in range(n_convs)])
+    conv_of_row = np.repeat(np.arange(n_convs), lens)
+    conv_id = conv_ids[conv_of_row]
+    turn_idx = (np.arange(n) - np.repeat(starts, lens)).astype(np.int32)
+
+    # ts: per-conv deterministic start (spread over ~30 days), then
+    # strictly increasing 1..60 s gaps within the conversation.
+    conv_start = BASE_TS_US + (rng.randint(0, 30 * 86400, size=n_convs).astype(np.int64) * 1_000_000)
+    gaps = rng.randint(1, 61, size=n).astype(np.int64) * 1_000_000
+    cum = np.cumsum(gaps)
+    cum_within = cum - np.repeat(cum[starts] - gaps[starts], lens)
+    ts = np.repeat(conv_start, lens) + cum_within
+
+    role = rng.choice(ROLES, size=n, p=ROLE_P)
+    role[turn_idx == 0] = "system"
+    is_tool = role == "tool"
+    tool_str = rng.choice(TOOLS, size=n)
+
+    # --- text assembly (Arrow compute kernels; C++-vectorized) -------
+    import pyarrow.compute as pc
+
+    def _join(*parts, sep=""):
+        return pc.binary_join_element_wise(*parts, sep)
+
+    def _masked(mask, arr):
+        return pc.if_else(pa.array(mask), arr, pa.scalar(None, pa.string()))
+
+    phrases = _lorem_phrases(rng)
+    body = pa.array(phrases[rng.randint(0, len(phrases), size=n)], pa.string())
+
+    has_level = rng.random_sample(n) < 0.8
+    level_tok = _masked(has_level, _join(
+        pa.scalar("level="), pa.array(rng.choice(LEVELS, size=n, p=LEVEL_P))))
+
+    has_ts = rng.random_sample(n) < 0.5
+    bad_ts = rng.random_sample(n) < 0.05  # malformed subset
+    # Deterministic ISO token derived from the row ts plus jitter.
+    iso_us = ts + rng.randint(0, 1_000_000, size=n)
+    iso = _format_iso(iso_us)
+    ts_tok = _masked(
+        has_ts,
+        pc.if_else(pa.array(bad_ts), pa.scalar("at=2024-13-99T99:99:99Z"),
+                   _join(pa.scalar("at="), iso)))
+
+    has_kv = rng.random_sample(n) < 0.6
+    kv = _masked(has_kv, _join(
+        pa.array(rng.choice(KV_KEYS, size=n)), pa.scalar("="),
+        pa.array(rng.randint(0, 1000, size=n).astype(str))))
+
+    tool_tok = _masked(is_tool, _join(
+        pa.scalar("tool_call:"), pa.array(tool_str), pa.scalar("(arg="),
+        pa.array(rng.randint(0, 100, size=n).astype(str)), pa.scalar(")")))
+
+    text = pc.binary_join_element_wise(
+        body, level_tok, ts_tok, kv, tool_tok, " ", null_handling="skip")
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": text,
+            "tool": pc.if_else(pa.array(is_tool), pa.array(tool_str),
+                               pa.scalar(None, pa.string())),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def _format_iso(us: np.ndarray) -> pa.Array:
+    """Vectorized ISO-8601 'YYYY-MM-DDTHH:MM:SS.ffffffZ' from int64 micros."""
+    import pyarrow.compute as pc
+
+    secs = (us // 1_000_000).astype("datetime64[s]")
+    frac = (us % 1_000_000).astype(np.int64)
+    base = pa.array(np.datetime_as_string(secs))  # YYYY-MM-DDTHH:MM:SS
+    fracs = pc.utf8_lpad(pc.cast(pa.array(frac), pa.string()), 6, "0")
+    return pc.binary_join_element_wise(base, ".", fracs, "Z", "")
+
+
+# Named scales (FIXTURES.md §1); t-bench size comes from the caller.
+SCALES = {
+    "t-small": (100, 1_000),
+    "t-mid": (2_000, 50_000),
+}
+
+# Map a driver sf dir to a transcript corpus size mirroring lineitem rows.
+SF_TURNS = {"sf0.001": (300, 6_000), "sf0.01": (2_000, 60_000),
+            "sf0.1": (20_000, 600_000), "sf1": (200_000, 6_000_000)}
+
+
+def corpus_dir(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
+    return Path(root) / tag
+
+
+def ensure_corpus(tag: str, n_convs: int | None = None,
+                  target_turns: int | None = None, seed: int = 42,
+                  n_files: int = 8, root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """Idempotently materialize the corpus for ``tag`` as >=n_files
+    Parquet files; atomic via write-to-temp + rename, so concurrent or
+    interrupted generation can never yield a partial corpus."""
+    if n_convs is None or target_turns is None:
+        n_convs, target_turns = SCALES.get(tag) or SF_TURNS[tag]
+    out = corpus_dir(tag, root)
+    marker = out / "_COMPLETE"
+    if marker.exists():
+        return out
+    table = generate_transcripts(n_convs, target_turns, seed=seed)
+    tmp = out.with_name(out.name + f".tmp.{os.getpid()}")
+    tmp.mkdir(parents=True, exist_ok=True)
+    n = table.num_rows
+    per = max(1, -(-n // n_files))
+    for i in range(n_files):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, tmp / f"part-{i:05d}.parquet")
+    (tmp / "_COMPLETE").touch()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # Another process won the race; ours is redundant.
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def corpus_for_sf(sf_dir: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """Transcript corpus sized to match a driver testdata dir."""
+    tag = Path(sf_dir).name
+    if tag not in SF_TURNS:
+        tag = "sf0.01"
+    return ensure_corpus(tag, root=root)

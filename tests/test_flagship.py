@@ -1,0 +1,128 @@
+"""End-to-end flagship: oracle equality, resume idempotence, grok."""
+
+import glob
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from alco_ray.functions.grok import compile_grok
+from alco_ray.pipelines.flagship import run_flagship
+from alco_ray.state.checkpoint import CheckpointManifest, make_waves
+
+
+def _read_out(out_root):
+    files = sorted(glob.glob(f"{out_root}/sink=*/date=*/*.parquet"))
+    return pq.read_table(files)
+
+
+@pytest.fixture(scope="module")
+def flagship_out(t_small_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("flagship")
+    summary = run_flagship(t_small_dir, out, wave_size=4)
+    return out, summary
+
+
+def test_summary_matches_oracle(flagship_out, t_small_oracle):
+    _, summary = flagship_out
+    assert summary["rows"] == len(t_small_oracle["parsed"])
+    assert summary["parse_failures"] == t_small_oracle["parse_failures"]
+    assert summary["routed_counts"] == t_small_oracle["routed_counts"]
+
+
+def test_routed_row_sets_bit_for_bit(flagship_out, t_small_oracle):
+    """Per-turn text equality under stable order (BASELINE.json:14,15)."""
+    out, _ = flagship_out
+    got = (_read_out(out).select(["conv_id", "turn_idx", "text", "level"])
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    want = (t_small_oracle["ordered"][["conv_id", "turn_idx", "text", "level"]]
+            .reset_index(drop=True))
+    assert got.equals(want)
+
+
+def test_aggregate_artifact_matches_oracle(flagship_out, t_small_oracle):
+    out, _ = flagship_out
+    agg = pq.read_table(
+        glob.glob(f"{out}/aggregates/interval_counts/*.parquet")).to_pandas()
+    got = agg.sort_values(["sink", "level", "bucket"]).reset_index(drop=True)
+    want = (t_small_oracle["interval_counts"]
+            .sort_values(["sink", "level", "bucket"]).reset_index(drop=True))
+    assert got["cnt"].astype(int).tolist() == want["cnt"].astype(int).tolist()
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+
+
+def test_manifest_lineage(flagship_out, t_small_dir):
+    out, _ = flagship_out
+    manifest = json.loads((Path(out) / "_checkpoint" / "manifest.json").read_text())
+    n_files = len(list(Path(t_small_dir).glob("*.parquet")))
+    assert len(manifest) == -(-n_files // 4)
+    for wave in manifest.values():
+        assert wave["status"] == "done"
+        assert wave["input_files"]
+        assert set(wave["metrics"]) >= {"rows", "parse_failures", "routed_counts"}
+
+
+def test_resume_idempotent(t_small_dir, flagship_out, tmp_path):
+    """Kill after k waves -> resume -> identical output (SURVEY.md §5.3)."""
+    ref_out, ref_summary = flagship_out
+    out = tmp_path / "resume"
+
+    calls = {"n": 0}
+    import alco_ray.pipelines.flagship as fl
+    orig = fl.promote_staging
+
+    def exploding(*a, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated kill")
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    fl.promote_staging = exploding
+    try:
+        with pytest.raises(RuntimeError):
+            run_flagship(t_small_dir, out, wave_size=4)
+    finally:
+        fl.promote_staging = orig
+
+    m = CheckpointManifest(out)
+    assert 0 < len(m.waves) < len(make_waves([str(p) for p in Path(t_small_dir).glob('*.parquet')], 4))
+
+    summary = run_flagship(t_small_dir, out, wave_size=4)  # resume
+    assert summary["rows"] == ref_summary["rows"]
+    assert summary["routed_counts"] == ref_summary["routed_counts"]
+    got = _read_out(out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = _read_out(ref_out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["text"].equals(want["text"])
+    assert len(got) == len(want)
+
+
+def test_grok_compiler():
+    pat = compile_grok(r"status=%{INT:status} ip=%{IP:ip}")
+    import re
+
+    m = re.search(pat, "x status=42 ip=10.0.0.1 y")
+    assert m.group("status") == "42" and m.group("ip") == "10.0.0.1"
+    with pytest.raises(KeyError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_grok_in_pipeline_config(t_small_table):
+    from alco_ray.specs import ColumnSpec, PipelineConfig, LoggerSpec
+    from alco_ray.stages.parse import make_parse_batch
+
+    cfg = PipelineConfig(
+        columns=[ColumnSpec("req_id", source="regex",
+                            pattern=r"req_id=%{INT:req_id}")],
+        loggers=[LoggerSpec("all", ("system", "user", "assistant", "tool"))],
+    )
+    out = make_parse_batch(cfg)(t_small_table)
+    vals = out["req_id"].to_pylist()
+    import re
+    for text, got in zip(t_small_table["text"].to_pylist()[:200], vals[:200]):
+        m = re.search(r"req_id=(\d+)", text)
+        assert got == (m.group(1) if m else None)
