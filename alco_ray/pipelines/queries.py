@@ -1,0 +1,491 @@
+"""Query registry — one callable per operator (driver contract).
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Dataset / pyarrow Table.  Names and output column names match
+the oracle SQL in ``__ray_entry__.py`` exactly (the driver's comparator
+sorts columns by name and hashes values).
+
+Numeric policy for oracle-checked outputs: counts are int64; money and
+fixed-decimal sums are computed in integer cents/micros (float sums are
+order-dependent under distribution and would break bit-for-bit hash
+equality); timestamps are timestamp[us] UTC-naive.
+
+Transcript queries run over the deterministic synthetic corpus
+(alco_ray.fixtures) sized to the given sf; their oracle SQL reads the
+same Parquet files, so engine and oracle see identical input.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .. import fixtures
+from ..sources import read_transcripts
+from ..specs import default_transcript_config
+from ..stages import aggregate as agg_stage
+from ..stages import dedup, multimodal, order, similarity, text, window
+from ..stages.dict_encode import DictEncoder, build_dict_table
+from ..stages.parse import make_parse_batch
+from ..stages.route import make_route_batch
+from .flagship import build_or_load_dicts
+
+EVENT_ROUTES = {"click": "web", "view": "web", "purchase": "commerce",
+                "signup": "commerce", "error": "errors"}
+
+
+def _tp(sf_dir: str, name: str) -> str:
+    return str(Path(sf_dir) / f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None, **kw) -> "ray.data.Dataset":
+    return ray.data.read_parquet(_tp(sf_dir, name), columns=columns, **kw)
+
+
+# ------------------------------------------------------------ transcripts
+
+def _corpus(sf_dir: str) -> Path:
+    return fixtures.corpus_for_sf(sf_dir)
+
+
+def _parsed_routed(sf_dir: str) -> "ray.data.Dataset":
+    cfg = default_transcript_config()
+    ds = read_transcripts(_corpus(sf_dir))
+    return (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow")
+              .map_batches(make_route_batch(cfg), batch_format="pyarrow"))
+
+
+def t_interval_counts(sf_dir: str):
+    """A1: count per (sink, level, 5-min bucket)."""
+    return agg_stage.interval_counts(_parsed_routed(sf_dir))
+
+
+def t_routed_counts(sf_dir: str):
+    """A2: rows per routed sink."""
+    return agg_stage.routed_counts(_parsed_routed(sf_dir))
+
+
+def t_parse_metrics(sf_dir: str):
+    """A2: per-sink rows + parse failures."""
+    from ray.data.aggregate import Sum
+
+    ds = _parsed_routed(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fails = pc.cast(pc.invert(b["parse_ok"]), pa.int64())
+        t = pa.table({"sink": b["sink"], "fail": fails})
+        g = t.group_by(["sink"]).aggregate([([], "count_all"), ("fail", "sum")])
+        return g.rename_columns(["sink", "rows", "failures"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("sink")
+              .aggregate(Sum("rows", alias_name="rows"),
+                         Sum("failures", alias_name="failures")))
+
+
+def _dict_query(sf_dir: str, col: str) -> pa.Table:
+    cfg = default_transcript_config()
+    corpus = _corpus(sf_dir)
+    dicts = build_or_load_dicts(
+        [str(p) for p in sorted(corpus.glob("*.parquet"))], cfg,
+        corpus / "_dicts_cache")
+    return dicts[col]
+
+
+def t_dict_role(sf_dir: str):
+    return _dict_query(sf_dir, "role")
+
+
+def t_dict_tool(sf_dir: str):
+    return _dict_query(sf_dir, "tool")
+
+
+def t_enriched(sf_dir: str):
+    """J1/T1 row-level enrichment: per-turn dictionary ids."""
+    cfg = default_transcript_config()
+    corpus = _corpus(sf_dir)
+    dicts = build_or_load_dicts(
+        [str(p) for p in sorted(corpus.glob("*.parquet"))], cfg,
+        corpus / "_dicts_cache")
+    refs = {c: ray.put(t) for c, t in dicts.items()}
+    ds = read_transcripts(corpus).map_batches(
+        make_parse_batch(cfg), batch_format="pyarrow")
+    ds = ds.map_batches(DictEncoder, fn_constructor_kwargs={"dict_refs": refs},
+                        batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["conv_id", "turn_idx", "role_id", "tool_id",
+                              "level_id"])
+
+
+def t_ordered_turns(sf_dir: str):
+    """O1: the per-turn text projection under stable order."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    return order.stable_order(ds)
+
+
+def t_per_conv_stats(sf_dir: str):
+    """Salted two-phase per-conversation aggregate (skew handling)."""
+    ds = read_transcripts(_corpus(sf_dir), columns=["conv_id", "turn_idx", "ts"])
+    return order.per_conv_turn_stats(ds, salt_buckets=16)
+
+
+def t_top_recent(sf_dir: str):
+    """A4: 50 most recent turns by parsed event time."""
+    cfg = default_transcript_config()
+    ds = read_transcripts(_corpus(sf_dir)).map_batches(
+        make_parse_batch(cfg), batch_format="pyarrow")
+    ds = ds.select_columns(["conv_id", "turn_idx", "parsed_ts"])
+    return order.top_k(ds, ["parsed_ts", "conv_id", "turn_idx"], 50,
+                       descending=[True, False, False])
+
+
+def t_context_errors(sf_dir: str):
+    """J2: turns within +-1 of an ERROR-level turn, same conversation."""
+    cfg = default_transcript_config()
+    ds = read_transcripts(_corpus(sf_dir)).map_batches(
+        make_parse_batch(cfg), batch_format="pyarrow")
+    ds = ds.select_columns(["conv_id", "turn_idx", "level"])
+    return window.context_window(ds, match_col="level", match_value="ERROR",
+                                 radius=1)
+
+
+# ---------------------------------------------------------------- events
+
+def _parsed_events(sf_dir: str) -> "ray.data.Dataset":
+    values = pa.array(list(EVENT_ROUTES.keys()), pa.string())
+    sinks = pa.array(list(EVENT_ROUTES.values()), pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["event_type"], value_set=values)
+        sink = pc.coalesce(pc.take(sinks, idx), pa.scalar("_dead_letter"))
+        bucket = pc.floor_temporal(b["ts"], multiple=5, unit="minute")
+        return b.append_column("sink", sink).append_column("bucket", bucket)
+
+    return _read(sf_dir, "events").map_batches(prep, batch_format="pyarrow")
+
+
+def e_interval_counts(sf_dir: str):
+    return agg_stage.interval_counts(_parsed_events(sf_dir),
+                                     keys=["event_type", "bucket"])
+
+
+def e_routed_counts(sf_dir: str):
+    return agg_stage.routed_counts(_parsed_events(sf_dir))
+
+
+def e_dict_encode(sf_dir: str):
+    """Sorted-distinct dictionary-encode event_type per row."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    vals = ds.unique("event_type")
+    table = build_dict_table([v for v in vals if v is not None])
+    ref = ray.put(table)
+
+    class Enc:
+        def __init__(self):
+            self.t = ray.get(ref).combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = pc.cast(pc.index_in(b["event_type"],
+                                      value_set=self.t["value"]), pa.int32())
+            return pa.table({"event_id": b["event_id"],
+                             "event_type_id": ids})
+
+    return ds.map_batches(Enc, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def e_json_k(sf_dir: str):
+    """P3 analog on events.props JSON: extract int k."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def body(b: pa.Table) -> pa.Table:
+        st = pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "k": k})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def e_user_stats(sf_dir: str):
+    """Per-user counts + exact integer-cents value sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"user_id": b["user_id"], "c": cents})
+        g = t.group_by(["user_id"]).aggregate([([], "count_all"), ("c", "sum")])
+        return g.rename_columns(["user_id", "n_events", "total_cents"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("total_cents", alias_name="total_cents")))
+
+
+def e_topk_value(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    return order.top_k(ds, ["value", "event_id"], 100,
+                       descending=[True, False])
+
+
+def e_minmax_ts(sf_dir: str):
+    ds = _parsed_events(sf_dir)
+    return agg_stage.minmax_ts(ds, key="event_type", ts_col="ts")
+
+
+# ----------------------------------------------------------------- tpch
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1-shaped aggregate in exact integer units."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"],
+                                   pa.scalar(np.datetime64("1998-09-02", "us"))))
+        qty = pc.cast(pc.round(b["l_quantity"],
+                               round_mode="half_towards_infinity"), pa.int64())
+        base = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        disc_c = pc.cast(pc.round(pc.multiply(disc, 10000),
+                                  round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "l_linestatus": b["l_linestatus"],
+                      "q": qty, "base": base, "disc": disc_c})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("base", "sum"), ("disc", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_cents", "sum_disc_10k",
+                                 "count_order"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                         Sum("sum_base_cents", alias_name="sum_base_cents"),
+                         Sum("sum_disc_10k", alias_name="sum_disc_10k"),
+                         Sum("count_order", alias_name="count_order")))
+
+
+def q_mktsegment(sf_dir: str):
+    """Broadcast join orders->customer; per-segment order count + cents."""
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(_tp(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(cust)
+
+    class Lookup:
+        def __init__(self):
+            t = ray.get(ref)
+            self.keys = t["c_custkey"].combine_chunks()
+            self.seg = t["c_mktsegment"].combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["o_custkey"], value_set=self.keys)
+            seg = pc.take(self.seg, idx)
+            cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100),
+                                     round_mode="half_towards_infinity"),
+                            pa.int64())
+            t = pa.table({"c_mktsegment": seg, "c": cents})
+            t = t.filter(pc.is_valid(t["c_mktsegment"]))  # inner-join parity
+            g = t.group_by(["c_mktsegment"]).aggregate(
+                [([], "count_all"), ("c", "sum")])
+            return g.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 4))
+              .groupby("c_mktsegment")
+              .aggregate(Sum("n_orders", alias_name="n_orders"),
+                         Sum("total_cents", alias_name="total_cents")))
+
+
+def q_nation_region(sf_dir: str):
+    """Two-hop broadcast dimension join: customers per region name."""
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(_tp(sf_dir, "nation"))
+    region = pq.read_table(_tp(sf_dir, "region"))
+    n2r = {n: r for n, r in zip(nation["n_nationkey"].to_pylist(),
+                                nation["n_regionkey"].to_pylist())}
+    r2name = {r: nm for r, nm in zip(region["r_regionkey"].to_pylist(),
+                                     region["r_name"].to_pylist())}
+    nk = pa.array(sorted(n2r), pa.int32())
+    rname = pa.array([r2name[n2r[k]] for k in sorted(n2r)], pa.string())
+    ref = ray.put((nk, rname))
+
+    class Lookup:
+        def __init__(self):
+            self.nk, self.rname = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["c_nationkey"], value_set=self.nk)
+            rn = pc.take(self.rname, idx)
+            g = (pa.table({"r_name": rn})
+                 .group_by(["r_name"]).aggregate([([], "count_all")]))
+            return g.rename_columns(["r_name", "n_customers"])
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey"])
+    return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 2))
+              .groupby("r_name")
+              .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return order.top_k(ds, ["o_totalprice", "o_orderkey"], 10,
+                       descending=[True, False])
+
+
+def q_part_filter(sf_dir: str):
+    """P6: pruned read + vectorized predicate."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["p_size"], 25)),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- documents
+
+def d_token_explode(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text.token_explode, batch_format="pyarrow")
+
+
+def d_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text.token_stats, batch_format="pyarrow")
+
+
+def d_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text.quality_score, batch_format="pyarrow")
+
+
+def d_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.dedup_exact(ds, ["text"], "doc_id")
+
+
+def d_jaccard_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.jaccard_pairs(ds, threshold=0.5, max_shingle_freq=None)
+
+
+def d_minhash_lsh(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.lsh_candidate_pairs(ds)
+
+
+def d_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+
+def d_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text.fingerprint, batch_format="pyarrow")
+
+
+def d_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text.LangId, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
+def mm_image_meta(sf_dir: str):
+    """Multimodal plumbing: binary payloads -> actor-pool decode stub."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = ds.map_batches(multimodal.encode_documents_as_media,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media)
+
+
+# ------------------------------------------------------------ embeddings
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(_tp(sf_dir, "embeddings"))
+    i = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+
+
+def v_knn(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    res = similarity.knn_brute(ds, _query_vec(sf_dir), k=10)
+    return res.select_columns(["vec_id", "rank"])
+
+
+def v_knn_lsh(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    res = similarity.knn_lsh(ds, _query_vec(sf_dir), k=10)
+    return res.select_columns(["vec_id", "rank"])
+
+
+def v_dims(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def body(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "dim": pc.cast(pc.list_value_length(b["embedding"]), pa.int64()),
+            "label": b["label"],
+        })
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+REGISTRY = {
+    # transcript pipeline (ALCO semantics; oracle reads the same corpus)
+    "t_interval_counts": t_interval_counts,
+    "t_routed_counts": t_routed_counts,
+    "t_parse_metrics": t_parse_metrics,
+    "t_dict_role": t_dict_role,
+    "t_dict_tool": t_dict_tool,
+    "t_enriched": t_enriched,
+    "t_ordered_turns": t_ordered_turns,
+    "t_per_conv_stats": t_per_conv_stats,
+    "t_top_recent": t_top_recent,
+    "t_context_errors": t_context_errors,
+    # events analog
+    "e_interval_counts": e_interval_counts,
+    "e_routed_counts": e_routed_counts,
+    "e_dict_encode": e_dict_encode,
+    "e_json_k": e_json_k,
+    "e_user_stats": e_user_stats,
+    "e_topk_value": e_topk_value,
+    "e_minmax_ts": e_minmax_ts,
+    # relational coverage
+    "q1_pricing": q1_pricing,
+    "q_mktsegment": q_mktsegment,
+    "q_nation_region": q_nation_region,
+    "q_top_orders": q_top_orders,
+    "q_part_filter": q_part_filter,
+    # documents / training-data ops
+    "d_token_explode": d_token_explode,
+    "d_token_stats": d_token_stats,
+    "d_quality": d_quality,
+    "d_dedup_exact": d_dedup_exact,
+    "d_jaccard_pairs": d_jaccard_pairs,
+    "d_minhash_lsh": d_minhash_lsh,
+    "d_simhash": d_simhash,
+    "d_fingerprint": d_fingerprint,
+    "d_lang_id": d_lang_id,
+    "mm_image_meta": mm_image_meta,
+    # embeddings
+    "v_knn": v_knn,
+    "v_knn_lsh": v_knn_lsh,
+    "v_dims": v_dims,
+}

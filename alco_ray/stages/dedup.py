@@ -1,0 +1,305 @@
+"""Deduplication operators — exact and near-dup (training-data core).
+
+Scalable shapes (each documented with its partitioning assumption):
+
+- **Exact dedup** (:func:`dedup_exact`): hash-shuffle on the key
+  column(s), keep the deterministic first row per group (min of
+  ``order_col``).  Shuffle key = content hash, so duplicate rows
+  co-locate regardless of input partitioning.
+- **Exact n-gram Jaccard pairs** (:func:`jaccard_pairs`): explode
+  distinct token 3-shingles, hash-shuffle on shingle, emit co-occurring
+  doc pairs per shingle group, then sum pair intersections and compare
+  with set sizes.  Shuffle keys = shingle hash, then (doc_a, doc_b).
+  Cost is bounded by dropping shingles whose group exceeds
+  ``max_shingle_freq`` (stopword-shingles create quadratic pair
+  blowup; dropping them only *underestimates* similarity for
+  pathological docs — the standard trade).
+- **MinHash + LSH** (:func:`minhash_signatures`, :func:`lsh_candidate_pairs`):
+  shingle -> 64 minhashes -> 16 bands x 4 rows; band-bucket groupby
+  emits candidates; probability a pair with Jaccard s collides in some
+  band is 1-(1-s^4)^16 (>=0.97 at s=0.8).  Shuffle key = (band_id,
+  band_hash).
+- **SimHash** (:func:`simhash`): 64-bit signature per doc; near-dups
+  are docs whose signatures differ in <= k bits — bucket by signature
+  bytes for candidate generation.
+
+All hashing via ``pandas.util.hash_array`` (deterministic SipHash),
+mixed with fixed odd constants for independent hash families.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .parse import tokenize
+from .text import hash_tokens
+
+MERSENNE_P = np.uint64((1 << 61) - 1)
+
+
+def dedup_exact(ds, key_cols: list[str], order_col: str):
+    """One row per exact key: (key_cols..., <order_col> of the kept
+    representative = group min, n_dups).  Hash-shuffle groupby with
+    map-side combine — fully vectorized (no per-group Python), the
+    D1 row-level backstop.  To recover full rows, semi-join the result
+    back on (key, order) with :func:`ray.data.Dataset.join`."""
+    from ray.data.aggregate import Count, Min
+
+    return ds.groupby(key_cols).aggregate(
+        Min(order_col, alias_name=order_col),
+        Count(alias_name="n_dups"),
+    )
+
+
+def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 3
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row arrays of DISTINCT k-token-shingle hashes.
+
+    Returns (flat uint64 hashes, int64 offsets) with len(offsets) =
+    num_rows + 1.  Shingle hash = polynomial combine of the k token
+    hashes (order-sensitive), reduced into [0, 2^61-1).
+    """
+    toks = tokenize(batch[text_col], batch.num_rows)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    offs = np.asarray(toks.offsets).astype(np.int64)
+    th = hash_tokens(flat) if len(flat) else np.zeros(0, np.uint64)
+
+    B = np.uint64(0x9E3779B97F4A7C15)
+    n_rows = batch.num_rows
+    out_h: list[np.ndarray] = []
+    counts = np.zeros(n_rows, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(n_rows):
+            seg = th[offs[i]:offs[i + 1]]
+            if len(seg) < k:
+                continue
+            acc = seg[: len(seg) - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * B + seg[j: len(seg) - k + 1 + j]
+            acc = np.unique(acc % MERSENNE_P)
+            out_h.append(acc)
+            counts[i] = len(acc)
+    flat_out = (np.concatenate(out_h) if out_h
+                else np.zeros(0, np.uint64))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return flat_out, offsets
+
+
+def shingle_explode(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> pa.Table:
+    """(id, shingle_hash, n_shingles) — one row per DISTINCT shingle."""
+    h, offsets = _shingle_hashes(batch, text_col, k)
+    counts = np.diff(offsets)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, counts)),
+        "shingle": pa.array(h.view(np.int64), pa.int64()),
+        "n_shingles": pa.array(np.repeat(counts, counts), pa.int64()),
+    })
+
+
+def jaccard_pairs(ds, threshold: float = 0.5, *, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  max_shingle_freq: int = 64):
+    """Exact n-gram Jaccard near-dup pairs with Jaccard >= threshold.
+
+    Returns Dataset(doc_a, doc_b, inter, uni) with doc_a < doc_b.
+    threshold applied as inter/uni >= threshold using exact integer
+    arithmetic (inter * 1000 >= uni * round(threshold*1000)).
+    """
+    import pandas as pd  # noqa: F811
+
+    sh = ds.map_batches(
+        lambda b: shingle_explode(b, text_col, id_col, k),
+        batch_format="pyarrow")
+
+    # Explicit partitioned self hash-join (ray_guide "Joins and lookups"):
+    # bucket by shingle hash into a bounded number of partitions, then a
+    # vectorized pandas merge WITHIN each bucket.  A shingle lives in
+    # exactly one bucket, so bucket-local pairs are globally complete,
+    # and bucket-local shingle frequencies are globally exact (the
+    # max_shingle_freq cap can be applied locally).
+    n_buckets = 32
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = pc.cast(
+            pc.bit_wise_and(b["shingle"], pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32())
+        return b.append_column("bucket", bk)
+
+    sh = sh.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if max_shingle_freq is not None:
+            df_counts = g.groupby("shingle")["shingle"].transform("size")
+            g = g[df_counts <= max_shingle_freq]
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = (m.groupby([f"{id_col}_a", f"{id_col}_b"])
+                .agg(inter=("shingle", "size"),
+                     na=("n_shingles_a", "first"),
+                     nb=("n_shingles_b", "first"))
+                .reset_index())
+        return out.rename(columns={f"{id_col}_a": "doc_a",
+                                   f"{id_col}_b": "doc_b"})
+
+    pair_partials = sh.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = pair_partials.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("inter", alias_name="inter"),
+        Max("na", alias_name="na"),
+        Max("nb", alias_name="nb"),
+    )
+    thr = round(threshold * 1000)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        uni = pc.subtract(pc.add(b["na"], b["nb"]), b["inter"])
+        keep = pc.greater_equal(pc.multiply(b["inter"], pa.scalar(1000, pa.int64())),
+                                pc.multiply(uni, pa.scalar(thr, pa.int64())))
+        out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                        "inter": pc.cast(b["inter"], pa.int64()), "uni": uni})
+        return out.filter(keep)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- MinHash
+
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _hash_family(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _hash_family()
+
+
+def minhash_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> pa.Table:
+    """(id, sig: list<int64>[64]) MinHash signatures.  Docs with fewer
+    than k tokens get an all-max signature (never near anything)."""
+    h, offsets = _shingle_hashes(batch, text_col, k)
+    n = batch.num_rows
+    sigs = np.full((n, N_HASHES), (1 << 61) - 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            seg = h[offsets[i]:offsets[i + 1]]
+            if not len(seg):
+                continue
+            # (N_HASHES, m) permutation values; min over shingles
+            vals = (_A[:, None] * seg[None, :] + _B[:, None]) % MERSENNE_P
+            sigs[i] = vals.min(axis=1)
+    return pa.table({
+        id_col: batch[id_col],
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64), pa.int64()), N_HASHES),
+    })
+
+
+def band_explode(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(id, band_id, band_hash) — one row per LSH band."""
+    sig = batch["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    flat = sig.values.to_numpy(zero_copy_only=False).view(np.uint64)
+    n = batch.num_rows
+    sigs = flat.reshape(n, N_HASHES)
+    B = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        bands = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+        acc = np.zeros((n, N_BANDS), dtype=np.uint64)
+        for j in range(ROWS_PER_BAND):
+            acc = acc * B + bands[:, :, j]
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, N_BANDS)),
+        "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+        "band_hash": pa.array(acc.reshape(-1).view(np.int64), pa.int64()),
+    })
+
+
+def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, max_bucket: int = 256):
+    """MinHash-LSH candidate pairs: Dataset(doc_a, doc_b) distinct.
+
+    Pipeline: signatures -> band explode -> groupby(band_id, band_hash)
+    -> pairs per bucket -> distinct.  ``max_bucket`` caps quadratic
+    blowup from degenerate buckets (boilerplate-heavy corpora).
+    """
+    import pandas as pd  # noqa: F811
+
+    from ray.data.aggregate import Sum
+
+    sigs = ds.map_batches(
+        lambda b: minhash_batch(b, text_col, id_col, k),
+        batch_format="pyarrow")
+    bands = sigs.map_batches(lambda b: band_explode(b, id_col),
+                             batch_format="pyarrow")
+
+    # Same explicit partitioned self-join shape as jaccard_pairs: an LSH
+    # bucket (band_id, band_hash) lives entirely in one hash partition.
+    n_parts = 32
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = pc.cast(
+            pc.bit_wise_and(
+                pc.bit_wise_xor(b["band_hash"],
+                                pc.cast(pc.multiply(
+                                    pc.cast(b["band_id"], pa.int64()),
+                                    pa.scalar(0x9E3779B9, pa.int64())), pa.int64())),
+                pa.scalar(n_parts - 1, pa.int64())),
+            pa.int32())
+        return b.append_column("part", bk)
+
+    parts = bands.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None:
+            sz = g.groupby(["band_id", "band_hash"])[id_col].transform("size")
+            g = g[sz <= max_bucket]
+        m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = (m.groupby([f"{id_col}_a", f"{id_col}_b"])
+                .size().rename("n_bands").reset_index())
+        return out.rename(columns={f"{id_col}_a": "doc_a",
+                                   f"{id_col}_b": "doc_b"})
+
+    partials = parts.groupby("part").map_groups(pairs_in_part,
+                                                batch_format="pandas")
+    # distinct pairs (a pair can collide in several bands / partitions)
+    return partials.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("n_bands", alias_name="n_bands"))
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """(id, simhash int64): 64-bit SimHash over token hashes."""
+    toks = tokenize(batch[text_col], batch.num_rows)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    offs = np.asarray(toks.offsets).astype(np.int64)
+    th = hash_tokens(flat) if len(flat) else np.zeros(0, np.uint64)
+
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64) * 2 - 1  # (n_tokens, 64) in {-1, +1}
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        seg = bits[offs[i]:offs[i + 1]]
+        if not len(seg):
+            continue
+        v = (seg.sum(axis=0) >= 0).astype(np.uint64)
+        out[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    return pa.table({id_col: batch[id_col],
+                     "simhash": pa.array(out.view(np.int64), pa.int64())})

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing — binary payloads through Ray Data.
+
+Images/audio/video ride the pipeline as opaque ``binary`` columns with
+typed metadata.  The Ray-side plumbing here is real and tested: schema,
+small-batch actor-pool stages, deterministic output layout.  The codec
+itself is STUBBED — this container has no image/audio libraries — via
+:class:`FakeImageDecoder`, a deterministic stand-in that derives
+"decoded" metadata purely from the bytes; swap in a real decoder class
+with the same ``__call__`` contract (batch of binary in, metadata/
+feature columns out) to productionize.
+
+Scale notes: binary payloads are large, so these stages use an explicit
+small ``batch_size`` (payload x batch_size x concurrency must fit the
+worker heap) and never convert the binary column to pandas (object
+dtype copies); everything stays ``batch_format="pyarrow"``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MULTIMODAL_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_type", pa.string()),   # "image" | "audio" | ...
+    ("payload", pa.binary()),      # opaque encoded bytes
+])
+
+
+def encode_documents_as_media(batch: pa.Table) -> pa.Table:
+    """Test/bench adapter: wrap the documents table's text bytes as fake
+    image payloads so the binary plumbing has real (deterministic) data."""
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "media_type": pa.array(["image"] * batch.num_rows, pa.string()),
+        "payload": pc.cast(batch["text"], pa.binary()),
+    })
+
+
+class FakeImageDecoder:
+    """Actor-pool decode stub: binary in -> typed metadata out.
+
+    A real decoder would do ``PIL.Image.open(io.BytesIO(x))`` here (or
+    raise ``NotImplementedError`` when the codec is missing).  The fake
+    derives (width, height, n_bytes) deterministically from the payload
+    so tests/oracles are exact: width = n_bytes % 640 + 1,
+    height = (n_bytes * 7) % 480 + 1.
+    """
+
+    def __init__(self):
+        # Real impl: import the codec library ONCE per actor here.
+        self.codec = "fake-v1"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes = pc.cast(pc.binary_length(batch["payload"]), pa.int64())
+        nb = n_bytes.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": n_bytes,
+            "width": pa.array(nb % 640 + 1, pa.int64()),
+            "height": pa.array(nb * 7 % 480 + 1, pa.int64()),
+        })
+
+
+class FakeFeatureExtractor:
+    """Actor-pool feature stub: payload -> fixed-size float32 embedding.
+
+    Deterministic: bytes are folded into a 16-dim histogram (byte-value
+    buckets) normalized to unit L2 — the Ray plumbing (list<float32>
+    output, small batches, actor reuse) matches a real model stage.
+    """
+
+    DIM = 16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out = np.zeros((len(payloads), self.DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            if p:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=self.DIM).astype(np.float32)
+                out[i] = hist / max(np.linalg.norm(hist), 1e-30)
+        flat = pa.array(out.reshape(-1), pa.float32())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "feature": pa.FixedSizeListArray.from_arrays(flat, self.DIM),
+        })
+
+
+def decode_media(ds, decoder_cls=FakeImageDecoder, *, batch_size: int = 256,
+                 concurrency=(1, 4)):
+    """Run an actor-pool decode over a multimodal dataset."""
+    return ds.map_batches(decoder_cls, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def extract_features(ds, extractor_cls=FakeFeatureExtractor, *,
+                     batch_size: int = 256, concurrency=(1, 4)):
+    return ds.map_batches(extractor_cls, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

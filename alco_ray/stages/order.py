@@ -80,11 +80,17 @@ def per_conv_turn_stats(ds, salt_buckets: int = 16):
     return merged.map_batches(restore, batch_format="pyarrow")
 
 
-def top_k(ds, keys: list[str], k: int, descending: bool = True):
+def top_k(ds, keys: list[str], k: int, descending=True):
     """A4 top-k without a global sort: per-block local top-k inside
     map_batches (whole-block batches), then one tiny final sort+limit
-    over at most (num_blocks * k) survivor rows."""
-    order = [(key, "descending" if descending else "ascending") for key in keys]
+    over at most (num_blocks * k) survivor rows.
+
+    ``descending`` may be a bool or a per-key list (mixed-direction
+    tie-breaks, e.g. newest-first with ascending id tie-break)."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    order = [(key, "descending" if d else "ascending")
+             for key, d in zip(keys, descending)]
 
     def local_top(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= k:

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once (``ray.put``), each batch does one float64 matmul, and
+per-batch local top-k keeps the shuffle at (num_blocks x k) rows — the
+same top-k shape as stages.order.top_k.  The LSH-bucketed variant is
+the scale path: random-hyperplane signatures bucket the corpus so a
+query probes ~corpus/2^bits rows; recall is tunable by multi-probing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-copy-ish."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    if isinstance(arr, pa.FixedSizeListArray):
+        d = arr.type.list_size
+    else:
+        offs = np.asarray(arr.offsets)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(-1, d)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine scores against a broadcast
+    query vector; emits each batch's local top-k candidates."""
+
+    def __init__(self, query_ref, k: int = 10, col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.q = q / max(np.linalg.norm(q), 1e-30)
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, self.col)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ self.q) / np.maximum(norms, 1e-30)
+        order = np.lexsort((batch[self.id_col].to_numpy(zero_copy_only=False),
+                            -sims))[: self.k]
+        return pa.table({
+            self.id_col: pc.take(batch[self.id_col].combine_chunks()
+                                 if isinstance(batch[self.id_col], pa.ChunkedArray)
+                                 else batch[self.id_col],
+                                 pa.array(order)),
+            "sim": pa.array(sims[order], pa.float64()),
+        })
+
+
+def knn_brute(ds, query_vec, k: int = 10, *, col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Exact cosine top-k: Dataset(vec_id, sim, rank) of size k.
+
+    Deterministic tie-break: (-sim, vec_id).  Final merge sorts only
+    (num_blocks x k) survivors.
+    """
+    import ray
+
+    qref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    local = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"query_ref": qref, "k": k, "col": col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 4))
+    merged = local.sort(["sim", id_col], descending=[True, False]).limit(k)
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        return b.append_column("rank", pa.array(
+            np.arange(1, b.num_rows + 1, dtype=np.int64)))
+
+    # limit(k) yields a single tiny block -> rank is globally correct.
+    return merged.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+
+
+_N_PLANES = 12
+
+
+def _planes(d: int, seed: int = 777) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((d, _N_PLANES))
+
+
+def lsh_bucket_batch(batch: pa.Table, *, col: str = "embedding",
+                     seed: int = 777) -> pa.Table:
+    """Append int32 ``bucket`` = sign-bit signature of random projections."""
+    m = _matrix(batch, col)
+    planes = _planes(m.shape[1], seed)
+    bits = (m @ planes) >= 0
+    bucket = bits @ (1 << np.arange(_N_PLANES))
+    return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+
+def knn_lsh(ds, query_vec, k: int = 10, *, col: str = "embedding",
+            id_col: str = "vec_id", seed: int = 777, n_probe_bits: int = 2):
+    """Approximate cosine top-k: probe the query's LSH bucket plus all
+    buckets within Hamming distance ``n_probe_bits`` of it.
+
+    Partitioning assumption: bucketing is a pure map (no shuffle); the
+    probe filter prunes blocks BEFORE the matmul, so cost scales with
+    the probed fraction (~sum_{i<=b} C(P,i)/2^P of the corpus).
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _planes(len(q), seed)
+    qbits = (q @ planes) >= 0
+    base = int(qbits @ (1 << np.arange(_N_PLANES)))
+
+    probe = {base}
+    if n_probe_bits >= 1:
+        for i in range(_N_PLANES):
+            probe.add(base ^ (1 << i))
+    if n_probe_bits >= 2:
+        for i in range(_N_PLANES):
+            for j in range(i + 1, _N_PLANES):
+                probe.add(base ^ (1 << i) ^ (1 << j))
+
+    bucketed = ds.map_batches(
+        lambda b: lsh_bucket_batch(b, col=col, seed=seed),
+        batch_format="pyarrow")
+    probe_arr = pa.array(sorted(probe), pa.int32())
+    pruned = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b["bucket"], value_set=probe_arr)),
+        batch_format="pyarrow")
+    return knn_brute(pruned.drop_columns(["bucket"]), q, k,
+                     col=col, id_col=id_col)
