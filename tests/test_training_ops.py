@@ -1,0 +1,234 @@
+"""Training-data operator suite: dedup, similarity, text, multimodal,
+window — each checked against a small brute-force Python oracle."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from alco_ray.stages import dedup, multimodal, similarity, text, window
+from alco_ray.stages.parse import TOKENIZE_SPLIT
+
+
+def _docs_table():
+    """Small corpus with planted exact dups, near-dups and distinct docs."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to hide from hunters")
+    near = base.replace("green", "dark")          # 1-token edit: high Jaccard
+    texts = [
+        base, base, near,                          # 0,1 exact dup; 2 near-dup
+        "completely different text about ray data pipelines and arrow "
+        "columnar batches streaming through the object store tonight",
+        "short one",
+        "la rapide renarde brune saute par dessus le chien paresseux "
+        "dans la foret verte et profonde ce soir",
+        "",                                        # empty doc
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def _py_tokens(s: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(TOKENIZE_SPLIT, (s or "").lower()) if t]
+
+
+def _py_shingles(s: str, k: int = 3) -> set[tuple[str, ...]]:
+    t = _py_tokens(s)
+    return {tuple(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_dedup_exact():
+    ds = ray.data.from_arrow(_docs_table())
+    out = dedup.dedup_exact(ds, ["text"], "doc_id").to_pandas()
+    by_text = dict(zip(out["text"], zip(out["doc_id"], out["n_dups"])))
+    assert by_text[_docs_table()["text"][0].as_py()] == (0, 2)
+    assert len(out) == 6  # 7 docs, one exact dup pair
+
+
+def test_jaccard_pairs_matches_bruteforce():
+    t = _docs_table()
+    ds = ray.data.from_arrow(t)
+    got = dedup.jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got_pairs = {(a, b): (i, u) for a, b, i, u in
+                 zip(got["doc_a"], got["doc_b"], got["inter"], got["uni"])}
+
+    texts = t["text"].to_pylist()
+    expect = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        if not sa or not sb:
+            continue
+        inter, uni = len(sa & sb), len(sa | sb)
+        if inter * 1000 >= uni * 500:
+            expect[(a, b)] = (inter, uni)
+    assert got_pairs == expect
+    assert (0, 1) in got_pairs and (0, 2) in got_pairs
+
+
+def test_minhash_lsh_finds_planted_pairs():
+    ds = ray.data.from_arrow(_docs_table())
+    got = dedup.lsh_candidate_pairs(ds).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # exact dup must collide in every band; near-dup with very high
+    # probability (1-(1-s^4)^16, s ~ 0.87)
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # distinct docs must not collide
+    assert (3, 4) not in pairs and (0, 3) not in pairs
+
+
+def test_minhash_signature_properties():
+    t = _docs_table()
+    sig = dedup.minhash_batch(t)
+    sigs = np.asarray(sig["sig"].combine_chunks().values).reshape(
+        t.num_rows, dedup.N_HASHES)
+    assert (sigs[0] == sigs[1]).all()                    # exact dup
+    frac = (sigs[0] == sigs[2]).mean()                   # near-dup
+    assert frac > 0.6
+    assert (sigs[0] == sigs[3]).mean() < 0.2             # distinct
+    # <k tokens -> all-max sentinel
+    assert (sigs[6] == (1 << 61) - 1).all()
+
+
+def test_simhash_hamming():
+    t = _docs_table()
+    out = dedup.simhash_batch(t)
+    h = np.asarray(out["simhash"]).view(np.uint64)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(h[0], h[1]) == 0
+    assert ham(h[0], h[2]) <= 8
+    assert ham(h[0], h[3]) > 16
+
+
+# ------------------------------------------------------------------- text
+
+def test_token_stats_and_quality():
+    t = _docs_table()
+    stats = text.token_stats(t)
+    qual = text.quality_score(t)
+    texts = t["text"].to_pylist()
+    for i, s in enumerate(texts):
+        toks = _py_tokens(s)
+        assert stats["n_tokens"][i].as_py() == len(toks)
+        assert stats["n_uniq_tokens"][i].as_py() == len(set(toks))
+        assert qual["n_chars"][i].as_py() == len(s)
+        assert qual["n_stopwords"][i].as_py() == sum(
+            tk in text.STOPWORDS for tk in toks)
+        n_alpha = sum(c.isascii() and c.isalpha() for c in s)
+        assert qual["n_alpha"][i].as_py() == n_alpha
+        assert qual["alpha_ratio_millis"][i].as_py() == \
+            1000 * n_alpha // max(len(s), 1)
+
+
+def test_fingerprint_order_sensitive_and_deterministic():
+    t1 = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                   "text": pa.array(["alpha beta gamma", "gamma beta alpha",
+                                     "alpha beta gamma"])})
+    fp = text.fingerprint(t1)["fingerprint"].to_pylist()
+    assert fp[0] == fp[2]          # same text -> same fingerprint
+    assert fp[0] != fp[1]          # order matters
+    fp2 = text.fingerprint(t1)["fingerprint"].to_pylist()
+    assert fp == fp2               # run-to-run deterministic
+
+
+def test_lang_id():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "this is clearly an english text about the quick brown fox",
+            "der faule hund springt nicht über den braunen fuchs",
+            "это русский текст про быструю коричневую лису",
+        ]),
+    })
+    out = text.LangId()(t)
+    assert out["pred_lang"].to_pylist() == ["en", "de", "ru"]
+
+
+# -------------------------------------------------------------- similarity
+
+def _vec_table(n=200, d=16, seed=7):
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float32()), d),
+    }), m
+
+
+def test_knn_brute_matches_numpy():
+    t, m = _vec_table()
+    q = m[0].astype(np.float64)
+    ds = ray.data.from_arrow(t)
+    got = similarity.knn_brute(ds, q, k=10).to_pandas()
+
+    mm = m.astype(np.float64)
+    sims = (mm @ (q / np.linalg.norm(q))) / np.linalg.norm(mm, axis=1)
+    order = np.lexsort((np.arange(len(mm)), -sims))[:10]
+    assert got["vec_id"].tolist() == order.tolist()
+    assert got["rank"].tolist() == list(range(1, 11))
+    np.testing.assert_allclose(got["sim"].to_numpy(), sims[order], rtol=1e-12)
+
+
+def test_knn_lsh_recall_on_self_query():
+    t, m = _vec_table()
+    q = m[5].astype(np.float64)
+    ds = ray.data.from_arrow(t)
+    got = similarity.knn_lsh(ds, q, k=5).to_pandas()
+    # the query vector itself lives in the probed bucket -> rank 1
+    assert got["vec_id"].tolist()[0] == 5
+    assert got["sim"].tolist()[0] == pytest.approx(1.0)
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing():
+    t = _docs_table()
+    media = multimodal.encode_documents_as_media(t)
+    assert media.schema.equals(multimodal.MULTIMODAL_SCHEMA)
+    ds = ray.data.from_arrow(media)
+    meta = multimodal.decode_media(ds).to_pandas().sort_values("doc_id")
+    texts = t["text"].to_pylist()
+    for i, s in enumerate(texts):
+        nb = len(s.encode())
+        row = meta[meta["doc_id"] == i].iloc[0]
+        assert row["n_bytes"] == nb
+        assert row["width"] == nb % 640 + 1
+        assert row["height"] == nb * 7 % 480 + 1
+
+    feats = multimodal.extract_features(ds).to_pandas()
+    f = np.stack(feats.sort_values("doc_id")["feature"].to_numpy())
+    assert f.shape == (t.num_rows, multimodal.FakeFeatureExtractor.DIM)
+    norms = np.linalg.norm(f, axis=1)
+    np.testing.assert_allclose(norms[:-1], 1.0, rtol=1e-5)  # unit vectors
+    assert norms[-1] == 0.0                                 # empty payload
+
+
+# ------------------------------------------------------------------ window
+
+def test_context_window():
+    t = pa.table({
+        "conv_id": pa.array(["a"] * 5 + ["b"] * 3),
+        "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1, 2], pa.int32()),
+        "role": pa.array(["user", "tool", "user", "user", "tool",
+                          "user", "user", "user"]),
+    })
+    ds = ray.data.from_arrow(t)
+    out = window.context_window(
+        ds, match_col="role", match_value="tool", radius=1).to_pandas()
+    got = set(zip(out["conv_id"], out["turn_idx"]))
+    # conv a: hits at 1 and 4 -> turns {0,1,2} + {3,4}; conv b: none
+    assert got == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 4)}
