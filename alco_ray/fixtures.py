@@ -66,14 +66,14 @@ def conversation_lengths(rng: np.random.RandomState, n_convs: int,
 
 
 def generate_transcripts(n_convs: int, target_turns: int,
-                         seed: int = 42) -> pa.Table:
+                         seed: int = 42, conv_prefix: str = "c") -> pa.Table:
     """Build the full transcript table in memory (vectorized numpy)."""
     rng = np.random.RandomState(seed)
     lens = conversation_lengths(rng, n_convs, target_turns)
     n = int(lens.sum())
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
 
-    conv_ids = np.array([f"c{i:06d}" for i in range(n_convs)])
+    conv_ids = np.array([f"{conv_prefix}{i:06d}" for i in range(n_convs)])
     conv_of_row = np.repeat(np.arange(n_convs), lens)
     conv_id = conv_ids[conv_of_row]
     turn_idx = (np.arange(n) - np.repeat(starts, lens)).astype(np.int32)
@@ -163,6 +163,11 @@ SCALES = {
 SF_TURNS = {"sf0.001": (300, 6_000), "sf0.01": (2_000, 60_000),
             "sf0.1": (20_000, 600_000), "sf1": (200_000, 6_000_000)}
 
+# Shard count per scale: enough files that a 32-CPU run has real
+# read/ingest parallelism (blocks >= CPUs) at bench scales, while the
+# tiny test scales stay cheap to generate and read.
+SF_FILES = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 64, "sf1": 256}
+
 
 def corpus_dir(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     return Path(root) / tag
@@ -176,10 +181,15 @@ def ensure_corpus(tag: str, n_convs: int | None = None,
     interrupted generation can never yield a partial corpus."""
     if n_convs is None or target_turns is None:
         n_convs, target_turns = SCALES.get(tag) or SF_TURNS[tag]
+        n_files = SF_FILES.get(tag, n_files)
     out = corpus_dir(tag, root)
     marker = out / "_COMPLETE"
     if marker.exists():
-        return out
+        # Regenerate when the shard layout changed (marker records it).
+        if marker.read_text() == str(n_files):
+            return out
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
     table = generate_transcripts(n_convs, target_turns, seed=seed)
     tmp = out.with_name(out.name + f".tmp.{os.getpid()}")
     tmp.mkdir(parents=True, exist_ok=True)
@@ -190,12 +200,51 @@ def ensure_corpus(tag: str, n_convs: int | None = None,
         if chunk.num_rows == 0:
             break
         pq.write_table(chunk, tmp / f"part-{i:05d}.parquet")
-    (tmp / "_COMPLETE").touch()
+    (tmp / "_COMPLETE").write_text(str(n_files))
     try:
         os.rename(tmp, out)
     except OSError:
         # Another process won the race; ours is redundant.
         import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def ensure_corpus_parallel(tag: str, n_convs: int, target_turns: int,
+                           n_files: int, seed: int = 42,
+                           root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """Large-corpus variant: each shard generated by an independent Ray
+    task (shard-local seed, disjoint ``s<i>c...`` conv_id namespace) and
+    written straight to its own Parquet file — generation time scales
+    with CPUs instead of a single driver thread.  Content differs from
+    the single-pass generator for the same sizes (different RNG
+    stream); use only for bench-scale corpora, not oracle fixtures."""
+    import ray
+
+    out = corpus_dir(tag, root)
+    marker = out / "_COMPLETE"
+    if marker.exists() and marker.read_text() == str(n_files):
+        return out
+
+    @ray.remote(num_cpus=1)
+    def gen_shard(i: int, path: str) -> int:
+        t = generate_transcripts(
+            max(4, n_convs // n_files), target_turns // n_files,
+            seed=seed * 100_003 + i, conv_prefix=f"s{i:03d}c")
+        pq.write_table(t, path)
+        return t.num_rows
+
+    import shutil
+    tmp = out.with_name(out.name + f".tmp.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True, exist_ok=True)
+    ray.get([gen_shard.remote(i, str(tmp / f"part-{i:05d}.parquet"))
+             for i in range(n_files)])
+    (tmp / "_COMPLETE").write_text(str(n_files))
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 

@@ -73,9 +73,7 @@ def t_routed_counts(sf_dir: str):
 
 
 def t_parse_metrics(sf_dir: str):
-    """A2: per-sink rows + parse failures."""
-    from ray.data.aggregate import Sum
-
+    """A2: per-sink rows + parse failures (bounded keys -> fold)."""
     ds = _parsed_routed(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -84,10 +82,9 @@ def t_parse_metrics(sf_dir: str):
         g = t.group_by(["sink"]).aggregate([([], "count_all"), ("fail", "sum")])
         return g.rename_columns(["sink", "rows", "failures"])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("sink")
-              .aggregate(Sum("rows", alias_name="rows"),
-                         Sum("failures", alias_name="failures")))
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return agg_stage.fold_partials(
+        p, ["sink"], [("rows", "sum"), ("failures", "sum")])
 
 
 def _dict_query(sf_dir: str, col: str) -> pa.Table:
@@ -246,8 +243,6 @@ def e_minmax_ts(sf_dir: str):
 
 def q1_pricing(sf_dir: str):
     """TPC-H Q1-shaped aggregate in exact integer units."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount", "l_shipdate"])
@@ -272,18 +267,15 @@ def q1_pricing(sf_dir: str):
                                  "sum_base_cents", "sum_disc_10k",
                                  "count_order"])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["l_returnflag", "l_linestatus"])
-              .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                         Sum("sum_base_cents", alias_name="sum_base_cents"),
-                         Sum("sum_disc_10k", alias_name="sum_disc_10k"),
-                         Sum("count_order", alias_name="count_order")))
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return agg_stage.fold_partials(
+        p, ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum"), ("sum_base_cents", "sum"),
+         ("sum_disc_10k", "sum"), ("count_order", "sum")])
 
 
 def q_mktsegment(sf_dir: str):
     """Broadcast join orders->customer; per-segment order count + cents."""
-    from ray.data.aggregate import Sum
-
     cust = pq.read_table(_tp(sf_dir, "customer"),
                          columns=["c_custkey", "c_mktsegment"])
     ref = ray.put(cust)
@@ -307,16 +299,13 @@ def q_mktsegment(sf_dir: str):
             return g.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 4))
-              .groupby("c_mktsegment")
-              .aggregate(Sum("n_orders", alias_name="n_orders"),
-                         Sum("total_cents", alias_name="total_cents")))
+    p = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 4))
+    return agg_stage.fold_partials(
+        p, ["c_mktsegment"], [("n_orders", "sum"), ("total_cents", "sum")])
 
 
 def q_nation_region(sf_dir: str):
     """Two-hop broadcast dimension join: customers per region name."""
-    from ray.data.aggregate import Sum
-
     nation = pq.read_table(_tp(sf_dir, "nation"))
     region = pq.read_table(_tp(sf_dir, "region"))
     n2r = {n: r for n, r in zip(nation["n_nationkey"].to_pylist(),
@@ -339,9 +328,8 @@ def q_nation_region(sf_dir: str):
             return g.rename_columns(["r_name", "n_customers"])
 
     ds = _read(sf_dir, "customer", columns=["c_nationkey"])
-    return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 2))
-              .groupby("r_name")
-              .aggregate(Sum("n_customers", alias_name="n_customers")))
+    p = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 2))
+    return agg_stage.fold_partials(p, ["r_name"], [("n_customers", "sum")])
 
 
 def q_top_orders(sf_dir: str):

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Max, Min, Sum
-
 
 def _partial_counts(keys: list[str]):
     def body(batch: pa.Table) -> pa.Table:
@@ -27,12 +25,36 @@ def _partial_counts(keys: list[str]):
     return body
 
 
+def fold_partials(partial_ds, keys: list[str], aggs: list[tuple[str, str]],
+                  ) -> pa.Table:
+    """Collect per-block partial-aggregate tables and merge driver-side.
+
+    Correct ONLY for bounded-key aggregates (sinks x levels x buckets,
+    not e.g. user_id): each block's partial is at most |keys| rows, so
+    the driver merges num_blocks x |keys| tiny rows — a distributed
+    sort/hash shuffle for that is pure fixed overhead (measured: Ray's
+    groupby costs seconds of latency regardless of data size, while
+    this fold is milliseconds).  Unbounded-key aggregates must keep
+    ``Dataset.groupby`` — see e_user_stats / per_conv_turn_stats."""
+    import ray
+
+    parts = ray.get(partial_ds.to_arrow_refs())
+    merged = pa.concat_tables(parts)
+    out_names = keys + [c for c, _ in aggs]
+    out = (merged.group_by(keys).aggregate(aggs)
+           .rename_columns(out_names)
+           .sort_by([(k, "ascending") for k in keys]))
+    return out
+
+
 def interval_counts(ds, keys: list[str] | None = None):
     """A1: count(*) per (sink, level, 5-min bucket) — partial per block,
-    then a small hash-shuffle sum.  Column name ``cnt`` everywhere."""
+    driver-side merge (bounded keys).  Column name ``cnt`` everywhere."""
+    import ray.data
+
     keys = keys or ["sink", "level", "bucket"]
     partial = ds.map_batches(_partial_counts(keys), batch_format="pyarrow")
-    return partial.groupby(keys).aggregate(Sum("cnt", alias_name="cnt"))
+    return ray.data.from_arrow(fold_partials(partial, keys, [("cnt", "sum")]))
 
 
 def routed_counts(ds):
@@ -44,21 +66,25 @@ def parse_failure_counts(ds):
     """A2: parse failures per sink (parse_ok == False)."""
     import pyarrow.compute as pc
 
+    import ray.data
+
     def partial(batch: pa.Table) -> pa.Table:
         failed = batch.filter(pc.invert(batch["parse_ok"]))
         gb = failed.group_by(["sink"]).aggregate([([], "count_all")])
         return gb.rename_columns(["sink", "failures"])
 
     p = ds.map_batches(partial, batch_format="pyarrow")
-    return p.groupby("sink").aggregate(Sum("failures", alias_name="failures"))
+    return ray.data.from_arrow(
+        fold_partials(p, ["sink"], [("failures", "sum")]))
 
 
 def minmax_ts(ds, key: str = "sink", ts_col: str = "parsed_ts"):
     """A5: min/max event time per sink (shard bookkeeping).
 
-    Partials carry int64 micros (Ray's Min/Max round-trips raw
-    timestamps at second precision); cast back at the end."""
+    Partials carry int64 micros; cast back to timestamp at the end."""
     import pyarrow.compute as pc
+
+    import ray.data
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({key: batch[key],
@@ -67,30 +93,31 @@ def minmax_ts(ds, key: str = "sink", ts_col: str = "parsed_ts"):
         return gb.rename_columns([key, "min_ts", "max_ts"])
 
     p = ds.map_batches(partial, batch_format="pyarrow")
-    merged = p.groupby(key).aggregate(Min("min_ts", alias_name="min_ts"),
-                                      Max("max_ts", alias_name="max_ts"))
-
-    def restore(b: pa.Table) -> pa.Table:
-        for col in ("min_ts", "max_ts"):
-            b = b.set_column(b.schema.get_field_index(col), col,
-                             pc.cast(b[col], pa.timestamp("us")))
-        return b
-
-    return merged.map_batches(restore, batch_format="pyarrow")
+    merged = fold_partials(p, [key], [("min_ts", "min"), ("max_ts", "max")])
+    for col in ("min_ts", "max_ts"):
+        merged = merged.set_column(
+            merged.schema.get_field_index(col), col,
+            pc.cast(merged[col], pa.timestamp("us")))
+    return ray.data.from_arrow(merged)
 
 
 def distinct_values(ds, col: str) -> pa.Table:
     """A3: sorted distinct values of a column (dict build / UI dropdown).
 
-    Map-side ``pc.unique`` collapses each block to its distinct set
-    before the shuffle; ``Dataset.unique`` returns a Python list (tiny
-    by construction for filtered columns), re-wrapped as a Table."""
+    Map-side ``pc.unique`` collapses each block to its distinct set;
+    the per-block sets are tiny by construction for filtered columns,
+    so the final distinct-of-distincts is a driver-side fold."""
     import pyarrow.compute as pc
+
+    import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         u = pc.unique(batch[col])
         return pa.table({col: u.drop_null()})
 
-    vals = ds.map_batches(partial, batch_format="pyarrow").unique(col)
+    parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                      .to_arrow_refs())
+    merged = pa.concat_tables(parts)
+    vals = pc.unique(merged[col].combine_chunks()).to_pylist()
     return pa.table({col: pa.array(sorted(v for v in vals if v is not None),
                                    pa.string())})

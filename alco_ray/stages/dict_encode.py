@@ -47,21 +47,43 @@ def build_dicts(ds, columns: list[str], out_dir: str | Path | None = None,
     "UI read side" analog of ALCO's Redis dicts (SURVEY.md §2.1 S4) and
     a cache so reruns skip the pass.
     """
+    import ray
+
     dicts: dict[str, pa.Table] = {}
+    missing: list[str] = []
     for col in columns:
         if out_dir is not None:
             p = Path(out_dir) / f"{col}.parquet"
             if p.exists():
                 dicts[col] = pq.read_table(p)
                 continue
-        vals = ds.select_columns([col]).unique(col)
-        dicts[col] = build_dict_table(pa.array(
-            [v for v in vals if v is not None], pa.string()))
-        if out_dir is not None:
-            Path(out_dir).mkdir(parents=True, exist_ok=True)
-            tmp = Path(out_dir) / f".{col}.parquet.tmp"
-            pq.write_table(dicts[col], tmp)
-            tmp.rename(Path(out_dir) / f"{col}.parquet")
+        missing.append(col)
+    if missing:
+        # ONE pass for all missing columns: per-block distincts stacked
+        # as (col, value) pairs, merged driver-side (tiny by
+        # construction for filtered columns).
+        def partial(batch: pa.Table) -> pa.Table:
+            cols: list[pa.Array] = []
+            vals: list[pa.Array] = []
+            for c in missing:
+                u = pc.unique(batch[c])
+                u = u.drop_null()
+                vals.append(pc.cast(u, pa.string()))
+                cols.append(pa.array([c] * len(u), pa.string()))
+            return pa.table({"col": pa.concat_arrays(cols),
+                             "value": pa.concat_arrays(vals)})
+
+        parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                          .to_arrow_refs())
+        merged = pa.concat_tables(t for t in parts if t.num_rows)
+        for col in missing:
+            vals = merged.filter(pc.equal(merged["col"], col))["value"]
+            dicts[col] = build_dict_table(vals.combine_chunks())
+            if out_dir is not None:
+                Path(out_dir).mkdir(parents=True, exist_ok=True)
+                tmp = Path(out_dir) / f".{col}.parquet.tmp"
+                pq.write_table(dicts[col], tmp)
+                tmp.rename(Path(out_dir) / f"{col}.parquet")
     return dicts
 
 
