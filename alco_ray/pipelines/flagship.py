@@ -34,7 +34,7 @@ from ..specs import LEVELS, UNKNOWN_LEVEL, PipelineConfig, default_transcript_co
 from ..sources import read_transcripts, transcript_files
 from ..sinks import promote_staging, write_routed
 from ..stages.parse import make_parse_batch
-from ..stages.dict_encode import DictEncoder, build_dict_table, build_dicts
+from ..stages.dict_encode import build_dict_table, build_dicts
 from ..stages.route import make_route_batch
 from ..state.checkpoint import CheckpointManifest, cleanup_wave_outputs, make_waves
 
@@ -54,58 +54,100 @@ def build_or_load_dicts(files: list[str], cfg: PipelineConfig,
     return dicts
 
 
+class IngestWorker:
+    """The collector, fused: parse -> dict-encode -> route (-> buffered
+    sink insert) in ONE actor-pool stage (T1 semantics: broadcast dict
+    tables fetched and pattern registry compiled once per actor in
+    ``__init__``).
+
+    This is ALCO's collector worker re-expressed: consume a batch,
+    parse/enrich it, bulk-insert it into the routed per-logger per-day
+    sink, and emit only the counters.  Fusing matters three ways: each
+    batch makes one trip through one worker instead of several operator
+    hops through the object store; the whole ingest CPU budget lives in
+    a single actor pool (no static CPU split between pools that idles
+    one of them at small cluster sizes); and when ``staging_dir`` is
+    set, the heavy routed rows never enter the object store at all —
+    the stage's dataset output is just the per-batch partial aggregate
+    (sink, level, bucket -> rows, failures).
+
+    Retried tasks are safe: sink filenames are content-hashed from the
+    batch identity (see sinks._make_block_writer), so a replayed batch
+    overwrites its own files and re-emits the same partial."""
+
+    def __init__(self, cfg: PipelineConfig, dict_refs: dict[str, Any],
+                 staging_dir: str | None = None,
+                 partition_cols: tuple[str, ...] = ("sink", "date")):
+        from ..sinks import _make_block_writer
+
+        self.parse = make_parse_batch(cfg)
+        self.route = make_route_batch(cfg)
+        self.dicts = {c: ray.get(r).combine_chunks()
+                      for c, r in dict_refs.items()}
+        self.writer = (_make_block_writer(staging_dir, list(partition_cols))
+                       if staging_dir else None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dict_encode import encode_with_dicts
+
+        routed = self.route(encode_with_dicts(self.parse(batch), self.dicts))
+        if self.writer is None:
+            return routed
+        self.writer(routed)
+        return _partial_of(routed)
+
+
 def build_ingest(ds: "ray.data.Dataset", cfg: PipelineConfig,
                  dict_refs: dict[str, Any],
-                 encoder_concurrency=(2, 8)) -> "ray.data.Dataset":
-    """parse -> dict-encode -> route as a lazy Dataset plan."""
-    # batch_size=None = whole zero-copy blocks.  The 1024-row default
-    # would shred each ~32 MB block into hundreds of per-batch calls;
-    # for the actor stage that is an RPC per 1024 rows and caps each
-    # actor near ~300k rows/s regardless of how cheap the probe is.
-    ds = ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow",
-                        batch_size=None)
-    if dict_refs:
-        ds = ds.map_batches(
-            DictEncoder,
-            fn_constructor_kwargs={"dict_refs": dict_refs},
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=encoder_concurrency,
-        )
-    ds = ds.map_batches(make_route_batch(cfg), batch_format="pyarrow",
-                        batch_size=None)
-    return ds
+                 encoder_concurrency=None) -> "ray.data.Dataset":
+    """parse -> dict-encode -> route as a lazy Dataset plan.
+
+    batch_size=None = whole zero-copy blocks.  The 1024-row default
+    would shred each ~32 MB block into hundreds of per-batch actor RPCs
+    and cap each actor near ~300k rows/s regardless of how cheap the
+    work is."""
+    if encoder_concurrency is None:
+        # FIXED-size pool (min == max == CPUs): the autoscaling pool
+        # ramps from 1 actor on queue pressure and never reaches full
+        # width within a wave-sized job — measured 666k rows/s with
+        # (1, 8) vs 999k with (8, 8) on the same input.
+        n = int(ray.cluster_resources().get("CPU", 8))
+        encoder_concurrency = (n, n)
+    return ds.map_batches(
+        IngestWorker,
+        fn_constructor_kwargs={"cfg": cfg, "dict_refs": dict_refs},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=encoder_concurrency,
+    )
 
 
 _PARTIAL_KEYS = ["sink", "level", "bucket"]
 
 
-def _wave_partials(routed: "ray.data.Dataset") -> pa.Table:
-    """One combined per-wave partial aggregate from the (materialized)
-    routed wave: (sink, level, bucket) -> (rows, failures).  Tiny by
-    construction (bounded key cardinality), so it both carries the
-    wave's lineage metrics AND serves as the mergeable partial for the
-    final interval-count aggregate — neither a re-read of the staged
-    files nor an end-of-job full re-read of the routed output exists."""
+def _partial_of(routed: pa.Table) -> pa.Table:
+    """Per-batch partial aggregate (sink, level, bucket) -> (rows,
+    failures) — T3 counters, computed where the rows are."""
     import pyarrow.compute as pc
 
-    ds = routed.select_columns(_PARTIAL_KEYS + ["parse_ok"])
+    fails = pc.cast(pc.invert(routed["parse_ok"]), pa.int64())
+    t = pa.table({"sink": pc.cast(routed["sink"], pa.string()),
+                  "level": routed["level"], "bucket": routed["bucket"],
+                  "fail": fails})
+    g = t.group_by(_PARTIAL_KEYS).aggregate(
+        [([], "count_all"), ("fail", "sum")])
+    return g.rename_columns(_PARTIAL_KEYS + ["rows", "failures"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        fails = pc.cast(pc.invert(batch["parse_ok"]), pa.int64())
-        t = pa.table({"sink": pc.cast(batch["sink"], pa.string()),
-                      "level": batch["level"], "bucket": batch["bucket"],
-                      "fail": fails})
-        g = t.group_by(_PARTIAL_KEYS).aggregate(
-            [([], "count_all"), ("fail", "sum")])
-        return g.rename_columns(_PARTIAL_KEYS + ["rows", "failures"])
 
-    # Per-block partials are bounded by key cardinality (sinks x levels
-    # x buckets-touched), so the final combine is a driver-side merge of
-    # tiny tables — a distributed shuffle here would be pure overhead.
-    parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
-                      .to_arrow_refs())
-    merged = pa.concat_tables(t for t in parts if t.num_rows)
+def _merge_partials(parts: list[pa.Table]) -> pa.Table:
+    """Combine per-batch partials into the wave's partial aggregate.
+
+    Per-batch partials are bounded by key cardinality (sinks x levels
+    x buckets-touched), so the final combine is a driver-side merge of
+    tiny tables — a distributed shuffle here would be pure overhead."""
+    from ..stages.aggregate import concat_nonempty
+
+    merged = concat_nonempty(parts)
     out = (merged.group_by(_PARTIAL_KEYS)
            .aggregate([("rows", "sum"), ("failures", "sum")])
            .rename_columns(_PARTIAL_KEYS + ["rows", "failures"]))
@@ -125,7 +167,7 @@ def _metrics_from_partials(partials: pa.Table) -> dict[str, Any]:
 def run_flagship(input_dir: str | Path, out_root: str | Path,
                  cfg: PipelineConfig | None = None, *,
                  wave_size: int = 64,
-                 encoder_concurrency=(2, 8),
+                 encoder_concurrency=None,
                  write_aggregates: bool = True) -> dict[str, Any]:
     """Run (or resume) the flagship ingest over a transcript corpus.
 
@@ -155,18 +197,35 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
         shutil.rmtree(staging, ignore_errors=True)
 
         ds = read_transcripts(wave_files)
-        routed = build_ingest(ds, cfg, dict_refs, encoder_concurrency)
-        # Materialize the wave in the object store: the ingest lineage
-        # runs ONCE, then both consumers (staged write + partial
-        # aggregate) read the same blocks zero-copy.  A wave is the
-        # bounded unit (wave_size input shards), so peak footprint is
-        # wave-sized, not corpus-sized; the store spills if needed.
-        routed = routed.materialize()
+        # ONE streaming pass: each IngestWorker batch is parsed,
+        # enriched, routed, written to its sink files AND reduced to a
+        # partial-count table inside the worker — the heavy rows never
+        # transit the object store, there is no materialize barrier,
+        # and the stage's output IS the wave's metric partials.
+        n_rows = ds.count()  # Parquet metadata only, no read
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_write = max(1, min(cpus, routed.size_bytes() // (64 << 20) + 1))
-        write_routed(routed, staging, num_tasks=n_write)
-
-        partials = _wave_partials(routed)
+        # Leave ~1/8 of CPUs (always >=1) outside the pool for the read
+        # operator: a pool holding every CPU starves reads — and can
+        # deadlock against its own next wave's actor startup while old
+        # actors wind down.  (A 1/4 reserve measured strictly worse:
+        # parquet reads are cheap relative to parse.)
+        n_act = encoder_concurrency or max(1, cpus - max(1, cpus // 8))
+        if isinstance(n_act, tuple):
+            pool = n_act
+        else:
+            pool = (n_act, n_act)
+        # ~2 batches per actor for tail balance, capped near ~64 MB of
+        # input rows so worker heap stays bounded at any corpus size.
+        rows_per_batch = max(1, min(-(-n_rows // (2 * pool[1])), 300_000))
+        out = ds.map_batches(
+            IngestWorker,
+            fn_constructor_kwargs={"cfg": cfg, "dict_refs": dict_refs,
+                                   "staging_dir": str(staging)},
+            batch_format="pyarrow",
+            batch_size=rows_per_batch,
+            concurrency=pool,
+        )
+        partials = _merge_partials(ray.get(out.to_arrow_refs()))
         pq.write_table(partials, partials_dir / f"{wave_id}.parquet")
         promote_staging(staging, out_root, wave_id)
         manifest.commit(wave_id, input_files=wave_files,

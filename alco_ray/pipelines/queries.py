@@ -143,6 +143,17 @@ def t_top_recent(sf_dir: str):
                        descending=[True, False, False])
 
 
+def t_residual_js(sf_dir: str):
+    """P5: the ``js`` residual — kept columns re-serialized as JSON."""
+    from ..stages.parse import make_residual_js
+
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "role", "tool"])
+    return (ds.map_batches(make_residual_js(["role", "tool"]),
+                           batch_format="pyarrow", batch_size=None)
+              .select_columns(["conv_id", "turn_idx", "js"]))
+
+
 def t_context_errors(sf_dir: str):
     """J2: turns within +-1 of an ERROR-level turn, same conversation."""
     cfg = default_transcript_config()
@@ -180,21 +191,23 @@ def e_routed_counts(sf_dir: str):
 def e_dict_encode(sf_dir: str):
     """Sorted-distinct dictionary-encode event_type per row."""
     ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
-    vals = ds.unique("event_type")
-    table = build_dict_table([v for v in vals if v is not None])
+    table = build_dict_table(agg_stage.distinct_values(ds, "event_type")
+                             ["event_type"])
     ref = ray.put(table)
 
-    class Enc:
-        def __init__(self):
-            self.t = ray.get(ref).combine_chunks()
+    # Task-based broadcast probe: ray.get(ref) inside the task is a
+    # zero-copy plasma read, with none of an actor pool's spin-up
+    # latency — the right shape when the stage holds no real state.
+    # (The flagship's DictEncoder stays an actor pool: T1's contract is
+    # state loaded once per worker.)
+    def enc(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        ids = pc.cast(pc.index_in(b["event_type"],
+                                  value_set=t["value"].combine_chunks()),
+                      pa.int32())
+        return pa.table({"event_id": b["event_id"], "event_type_id": ids})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = pc.cast(pc.index_in(b["event_type"],
-                                      value_set=self.t["value"]), pa.int32())
-            return pa.table({"event_id": b["event_id"],
-                             "event_type_id": ids})
-
-    return ds.map_batches(Enc, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=None)
 
 
 def e_json_k(sf_dir: str):
@@ -280,26 +293,23 @@ def q_mktsegment(sf_dir: str):
                          columns=["c_custkey", "c_mktsegment"])
     ref = ray.put(cust)
 
-    class Lookup:
-        def __init__(self):
-            t = ray.get(ref)
-            self.keys = t["c_custkey"].combine_chunks()
-            self.seg = t["c_mktsegment"].combine_chunks()
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            idx = pc.index_in(b["o_custkey"], value_set=self.keys)
-            seg = pc.take(self.seg, idx)
-            cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100),
-                                     round_mode="half_towards_infinity"),
-                            pa.int64())
-            t = pa.table({"c_mktsegment": seg, "c": cents})
-            t = t.filter(pc.is_valid(t["c_mktsegment"]))  # inner-join parity
-            g = t.group_by(["c_mktsegment"]).aggregate(
-                [([], "count_all"), ("c", "sum")])
-            return g.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
+    def lookup(b: pa.Table) -> pa.Table:
+        t0 = ray.get(ref)
+        keys = t0["c_custkey"].combine_chunks()
+        seg0 = t0["c_mktsegment"].combine_chunks()
+        idx = pc.index_in(b["o_custkey"], value_set=keys)
+        seg = pc.take(seg0, idx)
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"c_mktsegment": seg, "c": cents})
+        t = t.filter(pc.is_valid(t["c_mktsegment"]))  # inner-join parity
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all"), ("c", "sum")])
+        return g.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    p = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 4))
+    p = ds.map_batches(lookup, batch_format="pyarrow", batch_size=None)
     return agg_stage.fold_partials(
         p, ["c_mktsegment"], [("n_orders", "sum"), ("total_cents", "sum")])
 
@@ -316,19 +326,16 @@ def q_nation_region(sf_dir: str):
     rname = pa.array([r2name[n2r[k]] for k in sorted(n2r)], pa.string())
     ref = ray.put((nk, rname))
 
-    class Lookup:
-        def __init__(self):
-            self.nk, self.rname = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            idx = pc.index_in(b["c_nationkey"], value_set=self.nk)
-            rn = pc.take(self.rname, idx)
-            g = (pa.table({"r_name": rn})
-                 .group_by(["r_name"]).aggregate([([], "count_all")]))
-            return g.rename_columns(["r_name", "n_customers"])
+    def lookup(b: pa.Table) -> pa.Table:
+        nk0, rname0 = ray.get(ref)
+        idx = pc.index_in(b["c_nationkey"], value_set=nk0)
+        rn = pc.take(rname0, idx)
+        g = (pa.table({"r_name": rn})
+             .group_by(["r_name"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["r_name", "n_customers"])
 
     ds = _read(sf_dir, "customer", columns=["c_nationkey"])
-    p = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 2))
+    p = ds.map_batches(lookup, batch_format="pyarrow", batch_size=None)
     return agg_stage.fold_partials(p, ["r_name"], [("n_customers", "sum")])
 
 
@@ -446,6 +453,7 @@ REGISTRY = {
     "t_ordered_turns": t_ordered_turns,
     "t_per_conv_stats": t_per_conv_stats,
     "t_top_recent": t_top_recent,
+    "t_residual_js": t_residual_js,
     "t_context_errors": t_context_errors,
     # events analog
     "e_interval_counts": e_interval_counts,

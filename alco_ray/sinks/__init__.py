@@ -50,9 +50,20 @@ def _make_block_writer(staging_dir: str, partition_cols: list[str]):
             change[1:] |= k[1:] != k[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
+        # Batch identity = order-insensitive hash over the first two
+        # (primary-key) columns' full contents.  Strong enough that two
+        # distinct batches never share a filename (a first/last-row
+        # sample was not: same-shaped batches collided, and two actors
+        # writing one path tear the file); stable under task retry so a
+        # replayed batch still overwrites its own output.
+        import pandas as pd
+
+        h0 = pd.util.hash_array(
+            b.column(0).to_numpy(zero_copy_only=False)).sum()
+        h1 = pd.util.hash_array(
+            b.column(1).to_numpy(zero_copy_only=False)).sum()
         ident = hashlib.sha1(
-            f"{n}:{keys[0][0]}:{keys[-1][-1]}:"
-            f"{b.column(0)[0]}:{b.column(1)[0]}".encode()).hexdigest()[:16]
+            f"{n}:{h0:x}:{h1:x}".encode()).hexdigest()[:16]
         data = b.drop_columns(list(partition_cols))
         nf = 0
         for s, e in zip(starts, ends):
@@ -72,17 +83,38 @@ def write_routed(ds, staging_dir: str | Path,
                  num_tasks: int | None = None) -> None:
     """Streaming partitioned write of a routed dataset to staging.
 
-    ``num_tasks`` coalesces the write into that many tasks: output file
-    count is write_tasks x partitions-touched, so writing from every
-    parse-grained block multiplies tiny files (parse wants ~4 blocks
-    per CPU for balance; the write wants ~64 MB per task)."""
-    if num_tasks is not None and num_tasks < ds.num_blocks():
-        ds = ds.repartition(num_tasks)
+    ``num_tasks`` coalesces the write into about that many tasks:
+    output file count is write_tasks x partitions-touched, so writing
+    from every parse-grained block multiplies tiny files (parse wants
+    ~4 blocks per CPU for balance; the write wants ~64 MB per task).
+    Coalescing happens via map_batches ``batch_size`` (tasks pull and
+    concat adjacent blocks locally) — NOT ``repartition``, whose
+    all-to-all pass through the object store costs more than the write
+    itself."""
+    batch_rows = None
+    if num_tasks is not None:
+        n = ds.count()  # metadata-only on a materialized dataset
+        if n:
+            batch_rows = max(1, -(-n // num_tasks))
     writer = _make_block_writer(str(staging_dir),
                                 partition_cols or ["sink", "date"])
-    # Consume fully; results are one tiny row per block.
+    # Consume fully; results are one tiny row per write task.
     ds.map_batches(writer, batch_format="pyarrow",
-                   batch_size=None).materialize()
+                   batch_size=batch_rows).materialize()
+
+
+def drop_expired_partitions(out_root: str | Path, before_date: str) -> int:
+    """S6 TTL / shard rotation: drop ``date=<d>`` partition dirs with
+    d < before_date (ISO dates compare lexicographically).  The analog
+    of ALCO's daily cron dropping old Sphinx RT day-shards; partition
+    pruning makes retention a filesystem op, not a data job.  Returns
+    the number of partition directories removed."""
+    n = 0
+    for d in sorted(Path(out_root).glob("sink=*/date=*")):
+        if d.is_dir() and d.name.split("=", 1)[1] < before_date:
+            shutil.rmtree(d)
+            n += 1
+    return n
 
 
 def promote_staging(staging_dir: str | Path, out_root: str | Path,

@@ -124,7 +124,9 @@ def compile_schema(cfg: PipelineConfig) -> pa.Schema:
         pa.field("level", pa.string()),
         pa.field("parsed_ts", pa.timestamp("us")),
         pa.field("parse_ok", pa.bool_()),
-        pa.field("tokens", pa.list_(pa.string())),
+        # n_tokens, not tokens: the tokenizer contract is verified via
+        # counts + stages.parse.tokenize; per-row token lists are not
+        # persisted (Sphinx stores an inverted index, not token lists).
         pa.field("n_tokens", pa.int32()),
         pa.field("bucket", pa.timestamp("us")),
     ]

@@ -25,6 +25,17 @@ def _partial_counts(keys: list[str]):
     return body
 
 
+def concat_nonempty(parts: list[pa.Table]) -> pa.Table:
+    """Concat block tables, tolerating Ray's schema-less empty blocks
+    (a fully-filtered block can surface as a zero-column table that
+    would fail ``pa.concat_tables`` schema unification)."""
+    ts = [t for t in parts if t.num_rows]
+    if ts:
+        return pa.concat_tables(ts)
+    with_schema = [t for t in parts if t.num_columns]
+    return with_schema[0] if with_schema else pa.table({})
+
+
 def fold_partials(partial_ds, keys: list[str], aggs: list[tuple[str, str]],
                   ) -> pa.Table:
     """Collect per-block partial-aggregate tables and merge driver-side.
@@ -39,7 +50,7 @@ def fold_partials(partial_ds, keys: list[str], aggs: list[tuple[str, str]],
     import ray
 
     parts = ray.get(partial_ds.to_arrow_refs())
-    merged = pa.concat_tables(parts)
+    merged = concat_nonempty(parts)
     out_names = keys + [c for c, _ in aggs]
     out = (merged.group_by(keys).aggregate(aggs)
            .rename_columns(out_names)
@@ -117,7 +128,7 @@ def distinct_values(ds, col: str) -> pa.Table:
 
     parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
                       .to_arrow_refs())
-    merged = pa.concat_tables(parts)
+    merged = concat_nonempty(parts)
     vals = pc.unique(merged[col].combine_chunks()).to_pylist()
     return pa.table({col: pa.array(sorted(v for v in vals if v is not None),
                                    pa.string())})

@@ -75,7 +75,8 @@ def build_dicts(ds, columns: list[str], out_dir: str | Path | None = None,
 
         parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
                           .to_arrow_refs())
-        merged = pa.concat_tables(t for t in parts if t.num_rows)
+        from .aggregate import concat_nonempty
+        merged = concat_nonempty(parts)
         for col in missing:
             vals = merged.filter(pc.equal(merged["col"], col))["value"]
             dicts[col] = build_dict_table(vals.combine_chunks())

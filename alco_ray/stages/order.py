@@ -82,11 +82,16 @@ def per_conv_turn_stats(ds, salt_buckets: int = 16):
 
 def top_k(ds, keys: list[str], k: int, descending=True):
     """A4 top-k without a global sort: per-block local top-k inside
-    map_batches (whole-block batches), then one tiny final sort+limit
-    over at most (num_blocks * k) survivor rows.
+    map_batches (whole-block batches), then a driver-side merge of the
+    at most (num_blocks * k) survivor rows — Ray's distributed sort
+    costs seconds of fixed shuffle latency to order what is by
+    construction a tiny table.
 
     ``descending`` may be a bool or a per-key list (mixed-direction
     tie-breaks, e.g. newest-first with ascending id tie-break)."""
+    import ray
+    import ray.data
+
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
     order = [(key, "descending" if d else "ascending")
@@ -99,4 +104,8 @@ def top_k(ds, keys: list[str], k: int, descending=True):
         return batch.take(idx.slice(0, k))
 
     pruned = ds.map_batches(local_top, batch_format="pyarrow", batch_size=None)
-    return pruned.sort(keys, descending=descending).limit(k)
+    parts = ray.get(pruned.to_arrow_refs())
+    from .aggregate import concat_nonempty
+    merged = concat_nonempty(parts)
+    idx = pc.sort_indices(merged, sort_keys=order)
+    return ray.data.from_arrow(merged.take(idx.slice(0, k)))

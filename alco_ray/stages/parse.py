@@ -35,6 +35,8 @@ TS_TOKEN_PATTERN = (
 # Marker used to detect that a (possibly malformed) token was present.
 TS_MARKER_PATTERN = r"at=\S+"
 TOKENIZE_SPLIT = r"[^a-z0-9]+"
+# Complement of TOKENIZE_SPLIT: counting its matches == len(tokenize()).
+TOKEN_PATTERN = r"[a-z0-9]+"
 
 
 def extract_regex_column(text: pa.ChunkedArray | pa.Array, pattern: str,
@@ -88,6 +90,37 @@ def tokenize(text, nrows: int) -> pa.ListArray:
                                     if isinstance(flat_kept, pa.ChunkedArray) else flat_kept)
 
 
+def make_residual_js(cols: list[str]):
+    """P5: the ``js`` residual — re-serialize the kept (non-excluded)
+    string columns as a compact deterministic JSON object, nulls
+    skipped.  ALCO stores the un-indexed remainder of each message as a
+    ``js`` string attribute; key order here is the config's column
+    order, values are JSON-escaped.  Fully vectorized (one
+    binary_join_element_wise over pre-built fragments)."""
+
+    def body(batch: pa.Table) -> pa.Table:
+        frags = []
+        for c in cols:
+            v = pc.cast(batch[c], pa.string())
+            # JSON string escaping for the two characters our corpus
+            # can contain; full escaping would go through a struct cast.
+            v = pc.replace_substring(v, "\\", "\\\\")
+            v = pc.replace_substring(v, '"', '\\"')
+            # Each fragment carries its own leading comma; null columns
+            # collapse to "" so no separator artifacts can appear
+            # inside values.
+            frag = pc.binary_join_element_wise(
+                pa.scalar(f',"{c}":"'), v, pa.scalar('"'), "")
+            frags.append(pc.coalesce(frag, pa.scalar("")))
+        inner = pc.binary_join_element_wise(*frags, "")
+        inner = pc.utf8_ltrim(inner, ",")  # at most one leading comma
+        js = pc.binary_join_element_wise(
+            pa.scalar("{"), inner, pa.scalar("}"), "")
+        return batch.append_column("js", js)
+
+    return body
+
+
 def make_parse_batch(cfg: PipelineConfig):
     """Build the fused parse stage body for ``map_batches``.
 
@@ -135,11 +168,16 @@ def make_parse_batch(cfg: PipelineConfig):
         batch = batch.append_column("parsed_ts", parsed_filled)
         batch = batch.append_column("parse_ok", ok)
 
-        # P4: tokens + count.
-        toks = tokenize(text, n)
-        batch = batch.append_column("tokens", toks)
-        batch = batch.append_column(
-            "n_tokens", pc.cast(pc.list_value_length(toks), pa.int32()))
+        # P4: token count from the same tokenizer contract, computed as
+        # a direct match-count — building the full list<string> array
+        # only to take its lengths would be the single largest
+        # allocation in the hot path.  The materialized token stream
+        # (for index building / token_explode consumers) stays
+        # available via :func:`tokenize`.
+        n_tokens = pc.count_substring_regex(pc.utf8_lower(text),
+                                            TOKEN_PATTERN)
+        batch = batch.append_column("n_tokens",
+                                    pc.cast(n_tokens, pa.int32()))
 
         # Aggregate bucket (event-time groupby key, not a runtime window).
         bucket = pc.floor_temporal(parsed_filled, multiple=bucket_minutes,

@@ -62,25 +62,29 @@ def knn_brute(ds, query_vec, k: int = 10, *, col: str = "embedding",
               id_col: str = "vec_id"):
     """Exact cosine top-k: Dataset(vec_id, sim, rank) of size k.
 
-    Deterministic tie-break: (-sim, vec_id).  Final merge sorts only
-    (num_blocks x k) survivors.
+    Deterministic tie-break: (-sim, vec_id).  Per-block local top-k
+    (broadcast query via ray.put, one matmul per block), then a
+    driver-side merge of the (num_blocks x k) survivors — a
+    distributed sort over a k-row result is pure fixed latency.
     """
     import ray
+    import ray.data
 
-    qref = ray.put(np.asarray(query_vec, dtype=np.float64))
-    local = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"query_ref": qref, "k": k, "col": col,
-                               "id_col": id_col},
-        batch_format="pyarrow", concurrency=(1, 4))
-    merged = local.sort(["sim", id_col], descending=[True, False]).limit(k)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qref = ray.put(q)
 
-    def add_rank(b: pa.Table) -> pa.Table:
-        return b.append_column("rank", pa.array(
-            np.arange(1, b.num_rows + 1, dtype=np.int64)))
+    def local_top(batch: pa.Table) -> pa.Table:
+        return BruteForceTopK(qref, k=k, col=col, id_col=id_col)(batch)
 
-    # limit(k) yields a single tiny block -> rank is globally correct.
-    return merged.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+    local = ds.map_batches(local_top, batch_format="pyarrow",
+                           batch_size=None)
+    from .aggregate import concat_nonempty
+    merged = concat_nonempty(ray.get(local.to_arrow_refs()))
+    order = np.lexsort((merged[id_col].to_numpy(zero_copy_only=False),
+                        -merged["sim"].to_numpy(zero_copy_only=False)))[:k]
+    out = merged.take(pa.array(order)).append_column(
+        "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64)))
+    return ray.data.from_arrow(out)
 
 
 _N_PLANES = 12

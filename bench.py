@@ -106,9 +106,7 @@ def run_flagship_once(num_cpus: int, sf_dir: str,
     out = f"/tmp/alco_ray_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    summary = run_flagship(
-        corpus, out, wave_size=256,
-        encoder_concurrency=(1, max(1, num_cpus // 2)))
+    summary = run_flagship(corpus, out, wave_size=256)
     dt = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
     return {"sec": dt, "turns": turns, "turns_per_sec": turns / dt,
@@ -124,7 +122,13 @@ def main() -> None:
         corpus = None
         if "--corpus" in sys.argv:
             corpus = sys.argv[sys.argv.index("--corpus") + 1]
-        print(json.dumps(run_flagship_once(cpus, SF_DIR, corpus)))
+        trials = int(sys.argv[sys.argv.index("--trials") + 1]) \
+            if "--trials" in sys.argv else 1
+        # Best-of-N: this host shows +-50% run-to-run variance (noisy
+        # neighbor); min wall time is the least-contended estimate.
+        best = min((run_flagship_once(cpus, SF_DIR, corpus)
+                    for _ in range(trials)), key=lambda r: r["sec"])
+        print(json.dumps(best))
         import ray
 
         ray.shutdown()
@@ -162,7 +166,7 @@ def main() -> None:
         for cpus in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", "--cpus", str(cpus),
-                 "--corpus", corpus],
+                 "--corpus", corpus, "--trials", "2"],
                 capture_output=True, text=True, env=env, timeout=3600)
             if out.returncode != 0:
                 sys.stderr.write(out.stderr[-2000:])

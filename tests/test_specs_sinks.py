@@ -1,0 +1,67 @@
+"""S5 schema compiler, S6 TTL rotation, P5 residual-JSON projection."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from alco_ray import fixtures
+from alco_ray.sinks import drop_expired_partitions
+from alco_ray.specs import compile_schema, default_transcript_config
+from alco_ray.stages.dict_encode import build_dict_table, encode_with_dicts
+from alco_ray.stages.parse import make_parse_batch, make_residual_js
+from alco_ray.stages.route import make_route_batch
+
+
+def _routed_sample() -> pa.Table:
+    cfg = default_transcript_config()
+    batch = fixtures.generate_transcripts(10, 100, seed=7)
+    dicts = {
+        "role": build_dict_table(["assistant", "system", "tool", "user"]),
+        "tool": build_dict_table(["code", "search"]),
+        "level": build_dict_table(["DEBUG", "ERROR", "INFO", "UNKNOWN",
+                                   "WARN"]),
+    }
+    parsed = make_parse_batch(cfg)(batch)
+    return make_route_batch(cfg)(encode_with_dicts(parsed, dicts))
+
+
+def test_compile_schema_matches_actual_routed_output():
+    """The sphinx.conf-generator analog must describe reality exactly."""
+    got = _routed_sample().schema
+    want = compile_schema(default_transcript_config())
+    assert got.names == want.names
+    for name in want.names:
+        assert got.field(name).type == want.field(name).type, name
+
+
+def test_drop_expired_partitions(tmp_path):
+    for sink in ("chat", "sys"):
+        for date in ("2024-01-01", "2024-01-05", "2024-02-01"):
+            d = tmp_path / f"sink={sink}" / f"date={date}"
+            d.mkdir(parents=True)
+            (d / "part-0.parquet").touch()
+    n = drop_expired_partitions(tmp_path, "2024-01-05")
+    assert n == 2  # both sinks' 2024-01-01
+    left = sorted(p.name for p in tmp_path.glob("sink=*/date=*"))
+    assert left == ["date=2024-01-05", "date=2024-01-05",
+                    "date=2024-02-01", "date=2024-02-01"]
+
+
+def test_residual_js():
+    import json
+
+    t = pa.table({
+        "role": pa.array(["user", None, 'quo"te', "back\\slash", None]),
+        "tool": pa.array([None, "code", "sql", None, None]),
+    })
+    out = make_residual_js(["role", "tool"])(t)["js"].to_pylist()
+    assert out == [
+        '{"role":"user"}',
+        '{"tool":"code"}',
+        '{"role":"quo\\"te","tool":"sql"}',
+        '{"role":"back\\\\slash"}',
+        "{}",
+    ]
+    # every residual is valid JSON round-tripping the kept values
+    assert json.loads(out[2]) == {"role": 'quo"te', "tool": "sql"}
+    assert json.loads(out[3]) == {"role": "back\\slash"}
