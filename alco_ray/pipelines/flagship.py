@@ -209,7 +209,10 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
         # deadlock against its own next wave's actor startup while old
         # actors wind down.  (A 1/4 reserve measured strictly worse:
         # parquet reads are cheap relative to parse.)
-        n_act = encoder_concurrency or max(1, cpus - max(1, cpus // 8))
+        # ...and don't start more actors than the wave can feed (~100k
+        # rows each): pool startup is the dominant cost of a small run.
+        n_act = encoder_concurrency or max(
+            1, min(cpus - max(1, cpus // 8), max(1, n_rows // 100_000)))
         if isinstance(n_act, tuple):
             pool = n_act
         else:

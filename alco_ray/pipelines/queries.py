@@ -114,8 +114,11 @@ def t_enriched(sf_dir: str):
     refs = {c: ray.put(t) for c, t in dicts.items()}
     ds = read_transcripts(corpus).map_batches(
         make_parse_batch(cfg), batch_format="pyarrow")
+    # Fixed-size pool: the autoscaler never ramps past 1 actor within
+    # a query-sized job (see flagship.build_ingest).
     ds = ds.map_batches(DictEncoder, fn_constructor_kwargs={"dict_refs": refs},
-                        batch_format="pyarrow", concurrency=(1, 4))
+                        batch_format="pyarrow", batch_size=None,
+                        concurrency=4)
     return ds.select_columns(["conv_id", "turn_idx", "role_id", "tool_id",
                               "level_id"])
 

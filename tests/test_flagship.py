@@ -126,3 +126,34 @@ def test_grok_in_pipeline_config(t_small_table):
     for text, got in zip(t_small_table["text"].to_pylist()[:200], vals[:200]):
         m = re.search(r"req_id=(\d+)", text)
         assert got == (m.group(1) if m else None)
+
+
+def test_partition_layout_invariance(t_small_table, flagship_out, tmp_path):
+    """SURVEY §5.3 order-invariance: re-sharding the same rows into a
+    different file layout (different count, interleaved assignment)
+    must produce identical summary metrics and aggregates."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from alco_ray.pipelines.flagship import run_flagship
+
+    alt = tmp_path / "alt_corpus"
+    alt.mkdir()
+    n = t_small_table.num_rows
+    for i in range(3):  # round-robin rows into 3 files (vs 8 contiguous)
+        idx = list(range(i, n, 3))
+        pq.write_table(t_small_table.take(idx), alt / f"p-{i}.parquet")
+
+    out = tmp_path / "alt_out"
+    summary = run_flagship(alt, out, wave_size=2)
+    _, base_summary = flagship_out
+    assert {k: summary[k] for k in ("rows", "parse_failures",
+                                    "routed_counts")} == \
+           {k: base_summary[k] for k in ("rows", "parse_failures",
+                                         "routed_counts")}
+
+    base_out, _ = flagship_out
+    a = pq.read_table(out / "aggregates" / "interval_counts")
+    b = pq.read_table(base_out / "aggregates" / "interval_counts")
+    assert a.equals(b)
