@@ -146,6 +146,68 @@ def t_top_recent(sf_dir: str):
                        descending=[True, False, False])
 
 
+def _parsed_level(sf_dir: str):
+    cfg = default_transcript_config()
+    ds = read_transcripts(_corpus(sf_dir))
+    return (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow",
+                           batch_size=None)
+              .select_columns(["conv_id", "turn_idx", "level"]))
+
+
+def t_rolling_errors(sf_dir: str):
+    """Windowed aggregate: ERROR count within +-2 turns, per turn."""
+    return window.rolling_count(_parsed_level(sf_dir), flag_col="level",
+                                flag_value="ERROR", radius=2)
+
+
+def t_asof_last_error(sf_dir: str):
+    """As-of join within conversation: latest ERROR turn at-or-before."""
+    return window.asof_prior(_parsed_level(sf_dir), flag_col="level",
+                             flag_value="ERROR")
+
+
+def t_kv_fields(sf_dir: str):
+    """P3: key=value field extraction from the raw line (grok-style)."""
+    from ..stages.parse import extract_regex_column
+
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        out = {"conv_id": b["conv_id"], "turn_idx": b["turn_idx"]}
+        for key in ("host", "req_id", "status", "shard"):
+            out[key] = extract_regex_column(
+                b["text"], rf"{key}=(?P<{key}>\d+)", key)
+        return pa.table(out)
+
+    return ds.map_batches(body, batch_format="pyarrow", batch_size=None)
+
+
+def t_dedup_backstop(sf_dir: str):
+    """D1 row-level dedup backstop + D2 union: the corpus unioned with
+    itself, deduped on the (conv_id, turn_idx) identity."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "ts"])
+    doubled = ds.union(read_transcripts(
+        _corpus(sf_dir), columns=["conv_id", "turn_idx", "ts"]))
+    return dedup.dedup_exact(doubled, ["conv_id", "turn_idx"], "ts")
+
+
+def e_sessionize(sf_dir: str):
+    """Gap-based sessionization of the events stream (30-min gap)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return window.sessionize(ds, key_col="user_id", ts_col="ts",
+                             gap_minutes=30)
+
+
+def mm_features(sf_dir: str):
+    """Multimodal feature-extraction plumbing (rows-only check)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = ds.map_batches(multimodal.encode_documents_as_media,
+                           batch_format="pyarrow", batch_size=None)
+    return multimodal.extract_features(media)
+
+
 def t_residual_js(sf_dir: str):
     """P5: the ``js`` residual — kept columns re-serialized as JSON."""
     from ..stages.parse import make_residual_js
@@ -458,6 +520,10 @@ REGISTRY = {
     "t_top_recent": t_top_recent,
     "t_residual_js": t_residual_js,
     "t_context_errors": t_context_errors,
+    "t_rolling_errors": t_rolling_errors,
+    "t_asof_last_error": t_asof_last_error,
+    "t_kv_fields": t_kv_fields,
+    "t_dedup_backstop": t_dedup_backstop,
     # events analog
     "e_interval_counts": e_interval_counts,
     "e_routed_counts": e_routed_counts,
@@ -466,6 +532,7 @@ REGISTRY = {
     "e_user_stats": e_user_stats,
     "e_topk_value": e_topk_value,
     "e_minmax_ts": e_minmax_ts,
+    "e_sessionize": e_sessionize,
     # relational coverage
     "q1_pricing": q1_pricing,
     "q_mktsegment": q_mktsegment,
@@ -483,6 +550,7 @@ REGISTRY = {
     "d_fingerprint": d_fingerprint,
     "d_lang_id": d_lang_id,
     "mm_image_meta": mm_image_meta,
+    "mm_features": mm_features,
     # embeddings
     "v_knn": v_knn,
     "v_knn_lsh": v_knn_lsh,

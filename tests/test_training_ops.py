@@ -232,3 +232,48 @@ def test_context_window():
     got = set(zip(out["conv_id"], out["turn_idx"]))
     # conv a: hits at 1 and 4 -> turns {0,1,2} + {3,4}; conv b: none
     assert got == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 4)}
+
+
+def test_rolling_count_and_asof():
+    t = pa.table({
+        "conv_id": pa.array(["a"] * 6),
+        "turn_idx": pa.array([0, 1, 2, 3, 4, 5], pa.int32()),
+        "level": pa.array(["INFO", "ERROR", "INFO", "INFO", "ERROR",
+                           "INFO"]),
+    })
+    ds = ray.data.from_arrow(t)
+    roll = (window.rolling_count(ds, flag_col="level", flag_value="ERROR",
+                                 radius=1)
+            .to_pandas().sort_values("turn_idx"))
+    # window +-1: [0+1, 0+1+2, 1+2+3, 2+3+4, 3+4+5, 4+5]
+    assert roll["w_count"].tolist() == [1, 1, 1, 1, 1, 1]
+    roll2 = (window.rolling_count(ds, flag_col="level", flag_value="ERROR",
+                                  radius=2)
+             .to_pandas().sort_values("turn_idx"))
+    assert roll2["w_count"].tolist() == [1, 1, 2, 2, 1, 1]
+
+    asof = (window.asof_prior(ds, flag_col="level", flag_value="ERROR")
+            .to_pandas().sort_values("turn_idx"))
+    assert asof["last_match_idx"].tolist() == [-1, 1, 1, 1, 4, 4]
+
+
+def test_sessionize():
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", 0, base),
+        ("u1", 1, base + dt.timedelta(minutes=10)),
+        ("u1", 2, base + dt.timedelta(minutes=50)),   # 40-min gap -> new
+        ("u1", 3, base + dt.timedelta(minutes=55)),
+        ("u2", 4, base),
+        ("u2", 5, base + dt.timedelta(hours=2)),      # new session
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = (window.sessionize(ray.data.from_arrow(t), gap_minutes=30)
+           .to_pandas().sort_values("event_id"))
+    assert out["session_id"].tolist() == [0, 0, 1, 1, 0, 1]
