@@ -494,6 +494,12 @@ def v_knn_lsh(sf_dir: str):
     return res.select_columns(["vec_id", "rank"])
 
 
+def v_cosine_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact, cosine >= 0.4)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.cosine_dup_pairs(ds, threshold=0.4)
+
+
 def v_dims(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
@@ -554,5 +560,6 @@ REGISTRY = {
     # embeddings
     "v_knn": v_knn,
     "v_knn_lsh": v_knn_lsh,
+    "v_cosine_dup": v_cosine_dup,
     "v_dims": v_dims,
 }

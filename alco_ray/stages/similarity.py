@@ -87,6 +87,44 @@ def knn_brute(ds, query_vec, k: int = 10, *, col: str = "embedding",
     return ray.data.from_arrow(out)
 
 
+def cosine_dup_pairs(ds, threshold: float = 0.4, *, col: str = "embedding",
+                     id_col: str = "vec_id"):
+    """Exact embedding-cosine near-dup pairs: (id_a, id_b) with
+    cosine >= threshold, id_a < id_b.
+
+    Shape: the normalized corpus matrix is broadcast once (``ray.put``)
+    and every batch does one matmul against it — O(n^2/p) work with
+    all-pairs exactness, the correct baseline for oracle-checked dedup.
+    At corpus scales where n^2 is unpayable, bucket first
+    (:func:`lsh_bucket_batch`) and run the same pairwise kernel inside
+    each bucket: recall becomes tunable, cost ~ sum of bucket^2."""
+    import ray
+    import ray.data
+
+    from .aggregate import concat_nonempty
+
+    parts = ray.get(ds.to_arrow_refs())
+    full = concat_nonempty(parts)
+    ids = full[id_col].to_numpy(zero_copy_only=False)
+    m = _matrix(full, col)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bids, bm = (batch[id_col].to_numpy(zero_copy_only=False),
+                    _matrix(batch, col))
+        aids, am = ray.get(ref)
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True),
+                             1e-30)
+        sims = bm @ am.T
+        bi, ai = np.nonzero((sims >= threshold) &
+                            (bids[:, None] < aids[None, :]))
+        return pa.table({"vec_a": pa.array(bids[bi], pa.int64()),
+                         "vec_b": pa.array(aids[ai], pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
 _N_PLANES = 12
 
 

@@ -277,3 +277,17 @@ def test_sessionize():
     out = (window.sessionize(ray.data.from_arrow(t), gap_minutes=30)
            .to_pandas().sort_values("event_id"))
     assert out["session_id"].tolist() == [0, 0, 1, 1, 0, 1]
+
+
+def test_cosine_dup_pairs_matches_bruteforce():
+    t, m = _vec_table(n=80, d=8, seed=3)
+    got = similarity.cosine_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    expect = {(a, b) for a in range(80) for b in range(a + 1, 80)
+              if sims[a, b] >= 0.5}
+    assert got_pairs == expect and expect  # non-trivial at d=8
