@@ -494,6 +494,12 @@ def v_knn_lsh(sf_dir: str):
     return res.select_columns(["vec_id", "rank"])
 
 
+def v_knn_ivf(sf_dir: str):
+    """IVF approximate top-k (k-means coarse quantizer, 4/16 probes)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.knn_ivf(ds, _query_vec(sf_dir), k=10)
+
+
 def v_cosine_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs (exact, cosine >= 0.4)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -560,6 +566,7 @@ REGISTRY = {
     # embeddings
     "v_knn": v_knn,
     "v_knn_lsh": v_knn_lsh,
+    "v_knn_ivf": v_knn_ivf,
     "v_cosine_dup": v_cosine_dup,
     "v_dims": v_dims,
 }

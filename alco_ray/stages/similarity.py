@@ -87,6 +87,88 @@ def knn_brute(ds, query_vec, k: int = 10, *, col: str = "embedding",
     return ray.data.from_arrow(out)
 
 
+def ivf_centroids(ds, n_centroids: int = 16, iters: int = 5, *,
+                  col: str = "embedding", seed: int = 123) -> np.ndarray:
+    """Distributed k-means (IVF coarse quantizer) over unit-normalized
+    embeddings.  Deterministic: centroids init from a seeded random
+    rotation, each Lloyd iteration is one map_batches pass emitting
+    per-block (centroid, sum, count) partials folded on the driver —
+    the iterative-algorithm shape on Ray Data (no shuffle; the model is
+    tiny and broadcast per pass)."""
+    import ray
+
+    from .aggregate import concat_nonempty
+
+    first = ray.get(ds.limit(max(n_centroids * 8, 256)).to_arrow_refs())
+    sample = _matrix(concat_nonempty(first), col)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), n_centroids, replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _matrix(batch, col)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                               1e-30)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table({
+                "cid": pa.array(np.arange(len(c)), pa.int32()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.reshape(-1), pa.float64()), c.shape[1]),
+            })
+
+        parts = ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None).to_arrow_refs())
+        merged = concat_nonempty(parts)
+        d = cents.shape[1]
+        sums = np.zeros((len(cents), d))
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for i in range(merged.num_rows):
+            cid = merged["cid"][i].as_py()
+            counts[cid] += merged["n"][i].as_py()
+            sums[cid] += np.asarray(merged["s"][i].as_py())
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    return cents
+
+
+def knn_ivf(ds, query_vec, k: int = 10, *, n_centroids: int = 16,
+            n_probe: int = 4, col: str = "embedding",
+            id_col: str = "vec_id", seed: int = 123):
+    """IVF approximate top-k: train the coarse quantizer, keep only
+    rows whose nearest centroid is among the query's ``n_probe``
+    closest, then exact cosine within the probed lists.  Cost scales
+    with the probed fraction (~n_probe/n_centroids of the corpus)."""
+    import ray
+
+    cents = ivf_centroids(ds, n_centroids, col=col, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+    cref = ray.put(cents)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _matrix(batch, col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        assign = np.argmax(m @ c.T, axis=1)
+        keep = np.isin(assign, list(probe))
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    return knn_brute(pruned, q, k, col=col, id_col=id_col)
+
+
 def cosine_dup_pairs(ds, threshold: float = 0.4, *, col: str = "embedding",
                      id_col: str = "vec_id"):
     """Exact embedding-cosine near-dup pairs: (id_a, id_b) with

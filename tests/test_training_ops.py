@@ -291,3 +291,14 @@ def test_cosine_dup_pairs_matches_bruteforce():
     expect = {(a, b) for a in range(80) for b in range(a + 1, 80)
               if sims[a, b] >= 0.5}
     assert got_pairs == expect and expect  # non-trivial at d=8
+
+
+def test_knn_ivf_recall_on_self_query():
+    t, m = _vec_table(n=300, d=16, seed=11)
+    q = m[7].astype(np.float64)
+    ds = ray.data.from_arrow(t)
+    got = similarity.knn_ivf(ds, q, k=5, n_centroids=8, n_probe=3) \
+        .to_pandas()
+    assert got["vec_id"].tolist()[0] == 7      # exact self-match survives
+    assert got["sim"].tolist()[0] == pytest.approx(1.0)
+    assert len(got) == 5
