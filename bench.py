@@ -166,7 +166,8 @@ def main() -> None:
         for cpus in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", "--cpus", str(cpus),
-                 "--corpus", corpus, "--trials", "2"],
+                 "--corpus", corpus, "--trials",
+                 os.environ.get("GRAFT_SCALING_TRIALS", "3")],
                 capture_output=True, text=True, env=env, timeout=3600)
             if out.returncode != 0:
                 sys.stderr.write(out.stderr[-2000:])
