@@ -208,6 +208,53 @@ def mm_features(sf_dir: str):
     return multimodal.extract_features(media)
 
 
+def t_grep(sf_dir: str):
+    """The reference's grep/search path (SURVEY §3.3) as one composite
+    query: full-text term match + level filter + time range, newest
+    first, limit 20 — filter pushed into the scan, top-k without a
+    global sort."""
+    cfg = default_transcript_config()
+    ds = read_transcripts(_corpus(sf_dir))
+    ds = ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow",
+                        batch_size=None)
+
+    lo = np.datetime64("2024-01-05T00:00:00", "us")
+    hi = np.datetime64("2024-01-25T00:00:00", "us")
+
+    def match(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.match_substring(b["text"], "shuffle"),
+                    pc.equal(b["level"], "ERROR")),
+            pc.and_(pc.greater_equal(b["parsed_ts"], pa.scalar(lo)),
+                    pc.less(b["parsed_ts"], pa.scalar(hi))))
+        return b.filter(keep)
+
+    hits = ds.map_batches(match, batch_format="pyarrow", batch_size=None)
+    hits = hits.select_columns(["conv_id", "turn_idx", "parsed_ts", "text"])
+    return order.top_k(hits, ["parsed_ts", "conv_id", "turn_idx"], 20,
+                       descending=[True, False, False])
+
+
+def t_dead_letter(sf_dir: str):
+    """J3 end-to-end: a config whose route table omits the tool role —
+    unroutable rows land in the dead-letter sink."""
+    from ..specs import ColumnSpec, LoggerSpec, PipelineConfig
+
+    cfg = PipelineConfig(
+        route_key="role",
+        columns=[ColumnSpec("level", source="regex", filtered=False,
+                            pattern=r"level=(?P<level>[A-Z]+)")],
+        loggers=[LoggerSpec("sys", ("system",)),
+                 LoggerSpec("chat", ("user", "assistant"))],
+    )
+    ds = read_transcripts(_corpus(sf_dir))
+    routed = (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow",
+                             batch_size=None)
+                .map_batches(make_route_batch(cfg), batch_format="pyarrow",
+                             batch_size=None))
+    return agg_stage.routed_counts(routed)
+
+
 def t_residual_js(sf_dir: str):
     """P5: the ``js`` residual — kept columns re-serialized as JSON."""
     from ..stages.parse import make_residual_js
@@ -536,6 +583,8 @@ REGISTRY = {
     "t_asof_last_error": t_asof_last_error,
     "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
+    "t_grep": t_grep,
+    "t_dead_letter": t_dead_letter,
     # events analog
     "e_interval_counts": e_interval_counts,
     "e_routed_counts": e_routed_counts,

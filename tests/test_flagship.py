@@ -157,3 +157,46 @@ def test_partition_layout_invariance(t_small_table, flagship_out, tmp_path):
     a = pq.read_table(out / "aggregates" / "interval_counts")
     b = pq.read_table(base_out / "aggregates" / "interval_counts")
     assert a.equals(b)
+
+
+def test_resume_after_partial_promote(t_small_dir, flagship_out, tmp_path):
+    """Crash mid-promote (some files moved into the final tree, no
+    manifest commit) -> resume cleans the orphans and converges to the
+    reference output."""
+    import alco_ray.pipelines.flagship as fl
+
+    ref_out, ref_summary = flagship_out
+    out = tmp_path / "partial"
+
+    orig = fl.promote_staging
+
+    def half_promote(staging_dir, out_root, wave_id):
+        # Move only half the staged files, then die: worst-case torn
+        # promote.
+        files = sorted(Path(staging_dir).glob("sink=*/date=*/*.parquet"))
+        for i, f in enumerate(files[: max(1, len(files) // 2)]):
+            rel = f.relative_to(staging_dir)
+            dest = Path(out_root) / rel.parent / f"{wave_id}-{i:05d}-{rel.name}"
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            f.rename(dest)
+        raise RuntimeError("simulated crash mid-promote")
+
+    fl.promote_staging = half_promote
+    try:
+        with pytest.raises(RuntimeError):
+            run_flagship(t_small_dir, out, wave_size=4)
+    finally:
+        fl.promote_staging = orig
+
+    # Orphan files with the wave prefix exist but nothing is committed.
+    assert list(Path(out).glob("sink=*/date=*/w*.parquet"))
+    assert len(CheckpointManifest(out).waves) == 0
+
+    summary = run_flagship(t_small_dir, out, wave_size=4)  # resume
+    assert summary["rows"] == ref_summary["rows"]
+    assert summary["routed_counts"] == ref_summary["routed_counts"]
+    got = _read_out(out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = _read_out(ref_out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["text"].equals(want["text"]) and len(got) == len(want)
