@@ -97,31 +97,6 @@ class IngestWorker:
         return _partial_of(routed)
 
 
-def build_ingest(ds: "ray.data.Dataset", cfg: PipelineConfig,
-                 dict_refs: dict[str, Any],
-                 encoder_concurrency=None) -> "ray.data.Dataset":
-    """parse -> dict-encode -> route as a lazy Dataset plan.
-
-    batch_size=None = whole zero-copy blocks.  The 1024-row default
-    would shred each ~32 MB block into hundreds of per-batch actor RPCs
-    and cap each actor near ~300k rows/s regardless of how cheap the
-    work is."""
-    if encoder_concurrency is None:
-        # FIXED-size pool (min == max == CPUs): the autoscaling pool
-        # ramps from 1 actor on queue pressure and never reaches full
-        # width within a wave-sized job — measured 666k rows/s with
-        # (1, 8) vs 999k with (8, 8) on the same input.
-        n = int(ray.cluster_resources().get("CPU", 8))
-        encoder_concurrency = (n, n)
-    return ds.map_batches(
-        IngestWorker,
-        fn_constructor_kwargs={"cfg": cfg, "dict_refs": dict_refs},
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=encoder_concurrency,
-    )
-
-
 _PARTIAL_KEYS = ["sink", "level", "bucket"]
 
 

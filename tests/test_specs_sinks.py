@@ -65,3 +65,23 @@ def test_residual_js():
     # every residual is valid JSON round-tripping the kept values
     assert json.loads(out[2]) == {"role": 'quo"te', "tool": "sql"}
     assert json.loads(out[3]) == {"role": "back\\slash"}
+
+
+def test_write_routed_standalone(tmp_path):
+    """The standalone partitioned-sink API (outside the fused worker)."""
+    import ray.data
+
+    from alco_ray.sinks import write_routed
+
+    t = pa.table({
+        "sink": pa.array(["a", "a", "b", "b"]),
+        "date": pa.array(["2024-01-01", "2024-01-02"] * 2),
+        "x": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    write_routed(ray.data.from_arrow(t), tmp_path, num_tasks=1)
+    import pyarrow.parquet as pq
+
+    files = sorted(tmp_path.glob("sink=*/date=*/*.parquet"))
+    assert len(files) == 4  # one per (sink, date)
+    back = pq.read_table(sorted(tmp_path.glob("sink=a/date=2024-01-01/*"))[0])
+    assert back.column_names == ["x"]  # partition cols live in the path
