@@ -51,19 +51,24 @@ def _make_block_writer(staging_dir: str, partition_cols: list[str]):
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
         # Batch identity = order-insensitive hash over the first two
-        # (primary-key) columns' full contents.  Strong enough that two
+        # NON-partition columns' full contents (the row identity —
+        # conv_id/turn_idx in the flagship).  Strong enough that two
         # distinct batches never share a filename (a first/last-row
         # sample was not: same-shaped batches collided, and two actors
-        # writing one path tear the file); stable under task retry so a
-        # replayed batch still overwrites its own output.
+        # writing one path tear the file; hashing partition columns
+        # alone would collide batches with equal route multisets);
+        # stable under task retry so a replayed batch still overwrites
+        # its own output.
         import pandas as pd
 
-        h0 = pd.util.hash_array(
-            b.column(0).to_numpy(zero_copy_only=False)).sum()
-        h1 = pd.util.hash_array(
-            b.column(1).to_numpy(zero_copy_only=False)).sum()
+        id_cols = [c for c in batch.column_names
+                   if c not in partition_cols][:2] or list(partition_cols)
+        hs = [pd.util.hash_array(
+                  b[c].to_numpy(zero_copy_only=False)).sum()
+              for c in id_cols]
         ident = hashlib.sha1(
-            f"{n}:{h0:x}:{h1:x}".encode()).hexdigest()[:16]
+            (f"{n}:" + ":".join(f"{h:x}" for h in hs)).encode()
+        ).hexdigest()[:16]
         data = b.drop_columns(list(partition_cols))
         nf = 0
         for s, e in zip(starts, ends):

@@ -209,13 +209,23 @@ def minhash_batch(batch: pa.Table, text_col: str = "text",
 
 
 def band_explode(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """(id, band_id, band_hash) — one row per LSH band."""
+    """(id, band_id, band_hash) — one row per LSH band.
+
+    Rows carrying the all-max sentinel (fewer than k tokens, see
+    :func:`minhash_batch`) are dropped BEFORE banding: they would all
+    share identical band hashes and pair every short/empty doc with
+    every other in all 16 bands."""
     sig = batch["sig"]
     if isinstance(sig, pa.ChunkedArray):
         sig = sig.combine_chunks()
     flat = sig.values.to_numpy(zero_copy_only=False).view(np.uint64)
     n = batch.num_rows
     sigs = flat.reshape(n, N_HASHES)
+    real = ~(sigs == (1 << 61) - 1).all(axis=1)
+    if not real.all():
+        batch = batch.filter(pa.array(real))
+        sigs = sigs[real]
+        n = batch.num_rows
     B = np.uint64(0x100000001B3)
     with np.errstate(over="ignore"):
         bands = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)

@@ -107,5 +107,15 @@ def top_k(ds, keys: list[str], k: int, descending=True):
     parts = ray.get(pruned.to_arrow_refs())
     from .aggregate import concat_nonempty
     merged = concat_nonempty(parts)
+    if merged.num_columns == 0:
+        # All blocks fully filtered upstream (empty search result):
+        # recover the schema if Ray still knows it, else return the
+        # 0-row table as-is — either way 0 rows, not a
+        # missing-sort-key crash.
+        sch = ds.schema(fetch_if_missing=True)
+        base = getattr(sch, "base_schema", None) if sch else None
+        if base is None:
+            return ray.data.from_arrow(merged)
+        merged = base.empty_table()
     idx = pc.sort_indices(merged, sort_keys=order)
     return ray.data.from_arrow(merged.take(idx.slice(0, k)))

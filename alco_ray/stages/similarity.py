@@ -80,6 +80,11 @@ def knn_brute(ds, query_vec, k: int = 10, *, col: str = "embedding",
                            batch_size=None)
     from .aggregate import concat_nonempty
     merged = concat_nonempty(ray.get(local.to_arrow_refs()))
+    if merged.num_columns == 0:
+        # Every block pruned empty (e.g. an ANN probe over unpopulated
+        # buckets): an approximate-search miss is 0 rows, not a crash.
+        merged = pa.table({id_col: pa.array([], pa.int64()),
+                           "sim": pa.array([], pa.float64())})
     order = np.lexsort((merged[id_col].to_numpy(zero_copy_only=False),
                         -merged["sim"].to_numpy(zero_copy_only=False)))[:k]
     out = merged.take(pa.array(order)).append_column(

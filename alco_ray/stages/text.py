@@ -122,11 +122,15 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
             seg_end = np.repeat(offsets[1:], lens)
             exp = seg_end - 1 - pos
             contrib = h * powtab[exp]
-            # reduceat quirks: an empty segment copies a neighbor value and
-            # a trailing start index == len errors -> clamp, then zero.
-            starts = np.minimum(offsets[:-1], len(contrib) - 1)
-            out = np.add.reduceat(contrib, starts)
-            out[lens == 0] = 0
+            # reduceat over NON-empty segment starts only: empty
+            # segments contribute no flat elements, so consecutive
+            # non-empty starts are contiguous element ranges.  (Feeding
+            # empty/clamped starts to reduceat shifts the previous
+            # segment's end and silently corrupts its fingerprint.)
+            out = np.zeros(batch.num_rows, dtype=np.uint64)
+            nonempty = lens > 0
+            out[nonempty] = np.add.reduceat(contrib,
+                                            offsets[:-1][nonempty])
         else:
             out = np.zeros(batch.num_rows, dtype=np.uint64)
     return pa.table({id_col: batch[id_col],

@@ -9,10 +9,12 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
      "turns": T, "turns_per_sec": R}
 
-``--scaling``: runs the flagship ingest twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and prints both
-throughputs plus the N->4N scaling efficiency (BASELINE.json:2,14 —
-the sandbox stand-in for the two-cluster-size criterion).
+``--scaling``: runs the flagship ingest in FRESH subprocesses at N and
+4N CPUs (default ``GRAFT_SCALING_CPUS="2,8"`` — see the in-function
+comment and BASELINE.md for why this pair, best-of-3 per level) on the
+same input and prints both throughputs plus the N->4N scaling
+efficiency (BASELINE.json:2,14 — the sandbox stand-in for the
+two-cluster-size criterion).
 
 ``--child --cpus N``: internal; one fresh-process flagship run.
 """

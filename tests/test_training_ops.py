@@ -302,3 +302,40 @@ def test_knn_ivf_recall_on_self_query():
     assert got["vec_id"].tolist()[0] == 7      # exact self-match survives
     assert got["sim"].tolist()[0] == pytest.approx(1.0)
     assert len(got) == 5
+
+
+def test_fingerprint_unaffected_by_trailing_empty_docs():
+    t1 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["alpha beta gamma"])})
+    t2 = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                   "text": pa.array(["alpha beta gamma", "", "!!!"])})
+    a = text.fingerprint(t1)["fingerprint"].to_pylist()
+    b = text.fingerprint(t2)["fingerprint"].to_pylist()
+    assert a[0] == b[0]            # batch layout must not change values
+    assert b[1] == 0 and b[2] == 0
+
+
+def test_lsh_short_docs_never_pair():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["short one", "", "tiny doc"]),
+    })
+    got = dedup.lsh_candidate_pairs(ray.data.from_arrow(t)).to_pandas()
+    assert len(got) == 0           # all-max sentinel rows dropped
+
+
+def test_topk_and_knn_empty_inputs():
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array([1.0, 2.0, 3.0])})
+    from alco_ray.stages import order as order_stage
+
+    empty = ray.data.from_arrow(t).filter(lambda r: False)
+    out = order_stage.top_k(empty, ["a"], 5).to_pandas()
+    assert len(out) == 0
+
+    vt, m = _vec_table(n=50, d=8, seed=1)
+    far_q = np.full(8, 100.0)  # likely lands in sparse LSH buckets; at
+    # minimum exercises the pruned path without crashing
+    res = similarity.knn_lsh(ray.data.from_arrow(vt), far_q, k=3,
+                             n_probe_bits=0).to_pandas()
+    assert len(res) <= 3
