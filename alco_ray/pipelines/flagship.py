@@ -20,6 +20,8 @@ radius of a failure and make output resumable (state/checkpoint.py).
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 from pathlib import Path
 from typing import Any
@@ -157,6 +159,25 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
 
     manifest = CheckpointManifest(out_root)
     waves = make_waves(files, wave_size)
+
+    # Resume guard: waves are (wave_size, sorted-files) chunks, so
+    # resuming the same out_root with a different corpus or wave size
+    # would re-group inputs and double- or skip-process rows.
+    run_meta = {"wave_size": wave_size, "n_files": len(files),
+                "first": files[0], "last": files[-1]}
+    meta_path = out_root / "_checkpoint" / "meta.json"
+    if meta_path.exists():
+        old = json.loads(meta_path.read_text())
+        if old != run_meta:
+            raise ValueError(
+                f"checkpoint at {out_root} was written by a different run "
+                f"configuration ({old} != {run_meta}); use a fresh "
+                "out_root or the original wave_size/corpus")
+    else:
+        meta_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = meta_path.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps(run_meta))
+        os.replace(tmp, meta_path)
 
     dicts = build_or_load_dicts(files, cfg, out_root / "dicts")
     dict_refs = {col: ray.put(t) for col, t in dicts.items()}

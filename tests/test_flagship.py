@@ -200,3 +200,13 @@ def test_resume_after_partial_promote(t_small_dir, flagship_out, tmp_path):
     want = _read_out(ref_out).to_pandas().sort_values(
         ["conv_id", "turn_idx"]).reset_index(drop=True)
     assert got["text"].equals(want["text"]) and len(got) == len(want)
+
+
+def test_resume_rejects_changed_wave_size(t_small_dir, tmp_path):
+    out = tmp_path / "guard"
+    run_flagship(t_small_dir, out, wave_size=4)
+    with pytest.raises(ValueError, match="different run configuration"):
+        run_flagship(t_small_dir, out, wave_size=2)
+    # original config still resumes cleanly (no-op)
+    s = run_flagship(t_small_dir, out, wave_size=4)
+    assert s["rows"] == 1173
