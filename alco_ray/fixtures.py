@@ -184,14 +184,18 @@ def ensure_corpus(tag: str, n_convs: int | None = None,
         n_files = SF_FILES.get(tag, n_files)
     out = corpus_dir(tag, root)
     marker = out / "_COMPLETE"
+    # The marker records the FULL generation parameters: a cached tag
+    # must regenerate whenever any of them change, not just the layout.
+    stamp = f"{n_files}:{n_convs}:{target_turns}:{seed}"
     if marker.exists():
-        # Regenerate when the shard layout changed (marker records it).
-        if marker.read_text() == str(n_files):
+        if marker.read_text() == stamp:
             return out
         import shutil
         shutil.rmtree(out, ignore_errors=True)
     table = generate_transcripts(n_convs, target_turns, seed=seed)
     tmp = out.with_name(out.name + f".tmp.{os.getpid()}")
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)  # stale shards from a crash
     tmp.mkdir(parents=True, exist_ok=True)
     n = table.num_rows
     per = max(1, -(-n // n_files))
@@ -200,7 +204,7 @@ def ensure_corpus(tag: str, n_convs: int | None = None,
         if chunk.num_rows == 0:
             break
         pq.write_table(chunk, tmp / f"part-{i:05d}.parquet")
-    (tmp / "_COMPLETE").write_text(str(n_files))
+    (tmp / "_COMPLETE").write_text(stamp)
     try:
         os.rename(tmp, out)
     except OSError:
@@ -223,7 +227,8 @@ def ensure_corpus_parallel(tag: str, n_convs: int, target_turns: int,
 
     out = corpus_dir(tag, root)
     marker = out / "_COMPLETE"
-    if marker.exists() and marker.read_text() == str(n_files):
+    stamp = f"{n_files}:{n_convs}:{target_turns}:{seed}"
+    if marker.exists() and marker.read_text() == stamp:
         return out
 
     @ray.remote(num_cpus=1)
@@ -240,7 +245,7 @@ def ensure_corpus_parallel(tag: str, n_convs: int, target_turns: int,
     tmp.mkdir(parents=True, exist_ok=True)
     ray.get([gen_shard.remote(i, str(tmp / f"part-{i:05d}.parquet"))
              for i in range(n_files)])
-    (tmp / "_COMPLETE").write_text(str(n_files))
+    (tmp / "_COMPLETE").write_text(stamp)
     shutil.rmtree(out, ignore_errors=True)
     try:
         os.rename(tmp, out)

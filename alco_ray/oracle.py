@@ -25,8 +25,18 @@ _TS_MARK = re.compile(r"at=\S+")
 _TOK_RE = re.compile(r"[a-z0-9]+")
 
 
-def oracle_parse_row(text: str, arrival_ts: datetime):
+def oracle_normalize(v):
+    """P8: trim whitespace, empty/None -> None (mirrors
+    stages.parse.normalize_strings, independently implemented)."""
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    v = str(v).strip()
+    return v or None
+
+
+def oracle_parse_row(text: str | None, arrival_ts: datetime):
     """(level, parsed_ts, parse_ok, tokens) for one row."""
+    text = text or ""
     m = _LEVEL_RE.search(text)
     level = m.group(1).upper() if m else None
     if level not in LEVELS:
@@ -62,6 +72,11 @@ def oracle_run(df: pd.DataFrame, cfg: PipelineConfig | None = None) -> dict:
     """
     cfg = cfg or default_transcript_config()
     df = df.copy().reset_index(drop=True)
+
+    # P8 normalization of route/filtered string columns.
+    for col in ("role", "tool"):
+        if col in df.columns:
+            df[col] = df[col].map(oracle_normalize)
 
     levels, parsed_list, oks, ntoks = [], [], [], []
     for text, ts in zip(df["text"], df["ts"]):

@@ -63,10 +63,15 @@ def build_dicts(ds, columns: list[str], out_dir: str | Path | None = None,
         # as (col, value) pairs, merged driver-side (tiny by
         # construction for filtered columns).
         def partial(batch: pa.Table) -> pa.Table:
+            # Normalize exactly as the parse stage will before the
+            # probe (trim, empty->null): a dict built on raw values
+            # would miss every value that only appears dirty.
+            from .parse import normalize_strings
+
             cols: list[pa.Array] = []
             vals: list[pa.Array] = []
             for c in missing:
-                u = pc.unique(batch[c])
+                u = pc.unique(normalize_strings(batch[c]))
                 u = u.drop_null()
                 vals.append(pc.cast(u, pa.string()))
                 cols.append(pa.array([c] * len(u), pa.string()))

@@ -57,18 +57,42 @@ def parse_level(text, pattern: str = r"level=(?P<level>[A-Z]+)") -> pa.Array:
 
 
 def parse_embedded_ts(text) -> tuple[pa.Array, pa.Array]:
-    """P1: (parsed timestamp[us] or null, token_present bool)."""
+    """P1: (parsed timestamp[us] or null, token_present bool).
+
+    Calendar validity: Arrow's strptime silently *normalizes*
+    out-of-range dates (2024-02-30 -> 2024-03-01) where Python and
+    DuckDB reject them; a strftime round-trip masks those to null so
+    engine and oracles agree that such tokens are parse failures.
+    Null text is treated as no-token-present (not a failure)."""
     st = pc.extract_regex(text, TS_TOKEN_PATTERN)
     dt = pc.struct_field(st, "dt")
     us = pc.struct_field(st, "us")
     base = pc.strptime(dt, format="%Y-%m-%dT%H:%M:%S", unit="us",
                        error_is_null=True)
+    # (cast to seconds first: strftime at us precision renders %S with
+    # a .000000 fraction and the comparison would always fail)
+    roundtrip = pc.strftime(pc.cast(base, pa.timestamp("s")),
+                            format="%Y-%m-%dT%H:%M:%S")
+    base = pc.if_else(
+        pc.coalesce(pc.equal(roundtrip, dt), pa.scalar(False)),
+        base, pa.scalar(None, pa.timestamp("us")))
     frac = pc.cast(
         pc.utf8_rpad(pc.coalesce(us, pa.scalar("0")), 6, "0"), pa.int64())
     parsed = pc.add(base, pc.cast(pc.multiply(frac, 1), pa.duration("us")))
     parsed = pc.if_else(pc.is_valid(st), parsed, pa.scalar(None, pa.timestamp("us")))
-    present = pc.match_substring_regex(text, TS_MARKER_PATTERN)
+    present = pc.coalesce(
+        pc.match_substring_regex(text, TS_MARKER_PATTERN), pa.scalar(False))
     return parsed, present
+
+
+def normalize_strings(arr):
+    """P8 normalizer for filtered/route string columns: trim
+    whitespace, map empty -> null.  Shared by the parse stage and the
+    dictionary build so dictionaries hold exactly the values the
+    encoder probes with."""
+    cleaned = pc.utf8_trim_whitespace(arr)
+    return pc.if_else(pc.equal(pc.coalesce(cleaned, pa.scalar("")), ""),
+                      pa.scalar(None, pa.string()), cleaned)
 
 
 def tokenize(text, nrows: int) -> pa.ListArray:
@@ -102,10 +126,14 @@ def make_residual_js(cols: list[str]):
         frags = []
         for c in cols:
             v = pc.cast(batch[c], pa.string())
-            # JSON string escaping for the two characters our corpus
-            # can contain; full escaping would go through a struct cast.
+            # JSON string escaping: backslash, quote and the common
+            # control characters.  (Exotic controls <0x20 would need a
+            # regex pass; fields fed here are config/route values.)
             v = pc.replace_substring(v, "\\", "\\\\")
             v = pc.replace_substring(v, '"', '\\"')
+            v = pc.replace_substring(v, "\n", "\\n")
+            v = pc.replace_substring(v, "\r", "\\r")
+            v = pc.replace_substring(v, "\t", "\\t")
             # Each fragment carries its own leading comma; null columns
             # collapse to "" so no separator artifacts can appear
             # inside values.
@@ -142,14 +170,13 @@ def make_parse_batch(cfg: PipelineConfig):
         text = batch["text"]
         n = batch.num_rows
 
-        # P8 normalizers on the route key / filtered string columns.
+        # P8 normalizers on the route key / filtered string columns
+        # (same function the dictionary build applies — see
+        # normalize_strings).
         for col in ("role", "tool"):
             if col in batch.column_names:
-                cleaned = pc.utf8_trim_whitespace(batch[col])
-                cleaned = pc.if_else(pc.equal(pc.coalesce(cleaned, pa.scalar("")), ""),
-                                     pa.scalar(None, pa.string()), cleaned)
                 batch = batch.set_column(batch.schema.get_field_index(col),
-                                         col, cleaned)
+                                         col, normalize_strings(batch[col]))
 
         # P3: generic regex/grok registry (level is one of these specs).
         for name, pattern in regex_cols:
