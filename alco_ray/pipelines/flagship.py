@@ -150,6 +150,13 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
 
     Returns a summary dict with total metrics; detailed per-wave lineage
     lives in ``<out_root>/_checkpoint/manifest.json``.
+
+    ``wave_size`` trades resume granularity against fixed per-wave cost
+    (actor-pool start, execution barrier, partial fold, promote —
+    measured ~4-5 s per wave at 32 CPUs).  Size waves so each carries
+    at least ~a minute of compute: at 10^12-turn scale that is tens of
+    ~1 GB shards per wave and the overhead is percent-level; 1-file
+    waves would be dominated by it.
     """
     cfg = cfg or default_transcript_config()
     out_root = Path(out_root)
