@@ -487,6 +487,16 @@ def d_dedup_exact(sf_dir: str):
     return dedup.dedup_exact(ds, ["text"], "doc_id")
 
 
+def d_dedup_apply(sf_dir: str):
+    """End-to-end near-dedup: Jaccard pairs -> connected components ->
+    keep the min-id representative per cluster."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.jaccard_pairs(ds, threshold=0.5)
+    kept = dedup.dedup_apply(
+        _read(sf_dir, "documents", columns=["doc_id"]), pairs)
+    return kept
+
+
 def d_jaccard_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.jaccard_pairs(ds, threshold=0.5, max_shingle_freq=None)
@@ -605,6 +615,7 @@ REGISTRY = {
     "d_token_stats": d_token_stats,
     "d_quality": d_quality,
     "d_dedup_exact": d_dedup_exact,
+    "d_dedup_apply": d_dedup_apply,
     "d_jaccard_pairs": d_jaccard_pairs,
     "d_minhash_lsh": d_minhash_lsh,
     "d_simhash": d_simhash,

@@ -293,6 +293,50 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         Sum("n_bands", alias_name="n_bands"))
 
 
+def dedup_apply(ds, pairs, *, id_col: str = "doc_id"):
+    """Keep one representative per near-dup cluster.
+
+    ``pairs`` is a Dataset/Table of (doc_a, doc_b) near-dup edges (from
+    :func:`jaccard_pairs`, :func:`lsh_candidate_pairs` or
+    similarity.cosine_dup_pairs).  Connected components are computed
+    driver-side with union-find — the edge list is tiny relative to the
+    corpus (that's the point of near-dup detection) — keeping the
+    minimum id per cluster; the removal set is broadcast and applied as
+    a vectorized anti-join filter, no shuffle."""
+    import ray
+
+    from .aggregate import concat_nonempty
+
+    if hasattr(pairs, "to_arrow_refs"):
+        pairs = concat_nonempty(ray.get(pairs.to_arrow_refs()))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    if pairs.num_rows:
+        for a, b in zip(pairs["doc_a"].to_pylist(),
+                        pairs["doc_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: the smaller id becomes the root, so the
+                # kept representative is deterministic (min of cluster)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    drop = [x for x in parent if find(x) != x]
+    drop_arr = pa.array(sorted(drop))
+    ref = ray.put(drop_arr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=d)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """(id, simhash int64): 64-bit SimHash over token hashes."""

@@ -339,3 +339,18 @@ def test_topk_and_knn_empty_inputs():
     res = similarity.knn_lsh(ray.data.from_arrow(vt), far_q, k=3,
                              n_probe_bits=0).to_pandas()
     assert len(res) <= 3
+
+
+def test_dedup_apply_keeps_min_per_cluster():
+    t = _docs_table()
+    pairs = pa.table({"doc_a": pa.array([0, 0], pa.int64()),
+                      "doc_b": pa.array([1, 2], pa.int64())})
+    kept = dedup.dedup_apply(ray.data.from_arrow(t), pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 3, 4, 5, 6]  # 1,2 fold into 0
+
+    # transitive chain through a larger intermediate: 5-10 edge? use
+    # (3,5),(4,5): component {3,4,5} -> keep 3
+    pairs2 = pa.table({"doc_a": pa.array([3, 4], pa.int64()),
+                       "doc_b": pa.array([5, 5], pa.int64())})
+    kept2 = dedup.dedup_apply(ray.data.from_arrow(t), pairs2).to_pandas()
+    assert sorted(kept2["doc_id"]) == [0, 1, 2, 3, 6]
