@@ -451,6 +451,37 @@ def q_nation_region(sf_dir: str):
     return agg_stage.fold_partials(p, ["r_name"], [("n_customers", "sum")])
 
 
+def q_shuffle_join(sf_dir: str):
+    """Large-to-large hash shuffle join (Dataset.join): revenue cents
+    per order status, lineitem x orders on orderkey.  Both sides are
+    fact-sized, so a broadcast is wrong — this is the one operator
+    class where the all-to-all exchange is the honest plan.  Partition
+    count sized to the cluster; the post-join aggregate is a bounded
+    fold."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(orders, "inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"o_orderstatus": b["o_orderstatus"], "c": cents})
+        g = t.group_by(["o_orderstatus"]).aggregate(
+            [([], "count_all"), ("c", "sum")])
+        return g.rename_columns(["o_orderstatus", "n_items",
+                                 "revenue_cents"])
+
+    p = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return agg_stage.fold_partials(
+        p, ["o_orderstatus"], [("n_items", "sum"), ("revenue_cents", "sum")])
+
+
 def q_top_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return order.top_k(ds, ["o_totalprice", "o_orderkey"], 10,
@@ -608,6 +639,7 @@ REGISTRY = {
     "q1_pricing": q1_pricing,
     "q_mktsegment": q_mktsegment,
     "q_nation_region": q_nation_region,
+    "q_shuffle_join": q_shuffle_join,
     "q_top_orders": q_top_orders,
     "q_part_filter": q_part_filter,
     # documents / training-data ops
