@@ -313,6 +313,9 @@ def e_dict_encode(sf_dir: str):
     # (The flagship's DictEncoder stays an actor pool: T1's contract is
     # state loaded once per worker.)
     def enc(b: pa.Table) -> pa.Table:
+        # Inner-join parity with the oracle: rows with null event_type
+        # have no dictionary id and are dropped on both sides.
+        b = b.filter(pc.is_valid(b["event_type"]))
         t = ray.get(ref)
         ids = pc.cast(pc.index_in(b["event_type"],
                                   value_set=t["value"].combine_chunks()),
@@ -522,7 +525,10 @@ def d_dedup_apply(sf_dir: str):
     """End-to-end near-dedup: Jaccard pairs -> connected components ->
     keep the min-id representative per cluster."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.jaccard_pairs(ds, threshold=0.5)
+    # max_shingle_freq=None: the DuckDB oracle (_JACCARD_BODY) applies
+    # no shingle-frequency cap, so the engine must compute the same
+    # uncapped edge set (the cap is a scale knob, not a semantic).
+    pairs = dedup.jaccard_pairs(ds, threshold=0.5, max_shingle_freq=None)
     kept = dedup.dedup_apply(
         _read(sf_dir, "documents", columns=["doc_id"]), pairs)
     return kept

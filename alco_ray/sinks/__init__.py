@@ -50,22 +50,26 @@ def _make_block_writer(staging_dir: str, partition_cols: list[str]):
             change[1:] |= k[1:] != k[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        # Batch identity = order-insensitive hash over the first two
-        # NON-partition columns' full contents (the row identity —
-        # conv_id/turn_idx in the flagship).  Strong enough that two
-        # distinct batches never share a filename (a first/last-row
-        # sample was not: same-shaped batches collided, and two actors
-        # writing one path tear the file; hashing partition columns
-        # alone would collide batches with equal route multisets);
-        # stable under task retry so a replayed batch still overwrites
-        # its own output.
+        # Batch identity = order-insensitive hash folded over EVERY
+        # column's full contents (one per-column sum of row hashes).
+        # Strong enough that two distinct batches never share a
+        # filename (a first/last-row sample was not: same-shaped
+        # batches collided, and two actors writing one path tear the
+        # file; a first-two-column hash collided on batches differing
+        # only in later columns); stable under task retry so a replayed
+        # batch still overwrites its own output.
         import pandas as pd
 
-        id_cols = [c for c in batch.column_names
-                   if c not in partition_cols][:2] or list(partition_cols)
-        hs = [pd.util.hash_array(
-                  b[c].to_numpy(zero_copy_only=False)).sum()
-              for c in id_cols]
+        hs = []
+        for c in batch.column_names:
+            try:
+                hs.append(pd.util.hash_array(
+                    b[c].to_numpy(zero_copy_only=False)).sum())
+            except TypeError:
+                # non-hashable (nested) column: fall back to its
+                # length-prefixed string form
+                hs.append(pd.util.hash_array(
+                    np.asarray(b[c].to_pylist(), dtype=object)).sum())
         ident = hashlib.sha1(
             (f"{n}:" + ":".join(f"{h:x}" for h in hs)).encode()
         ).hexdigest()[:16]

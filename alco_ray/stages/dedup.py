@@ -48,10 +48,34 @@ def dedup_exact(ds, key_cols: list[str], order_col: str):
     back on (key, order) with :func:`ray.data.Dataset.join`."""
     from ray.data.aggregate import Count, Min
 
-    return ds.groupby(key_cols).aggregate(
+    # Timestamp order columns ride as int64 micros: Ray's groupby
+    # Min re-infers the unit from the values (second-aligned data
+    # comes back timestamp[s]), making the output schema unstable.
+    ts_type = None
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is not None and order_col in sch.names:
+        t = sch.base_schema.field(order_col).type
+        if pa.types.is_timestamp(t):
+            ts_type = t
+
+            def to_i64(b: pa.Table) -> pa.Table:
+                i = b.schema.get_field_index(order_col)
+                return b.set_column(i, order_col,
+                                    pc.cast(b[order_col], pa.int64()))
+
+            ds = ds.map_batches(to_i64, batch_format="pyarrow")
+
+    out = ds.groupby(key_cols).aggregate(
         Min(order_col, alias_name=order_col),
         Count(alias_name="n_dups"),
     )
+    if ts_type is not None:
+        def back(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index(order_col)
+            return b.set_column(i, order_col, pc.cast(b[order_col], ts_type))
+
+        out = out.map_batches(back, batch_format="pyarrow")
+    return out
 
 
 def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 3

@@ -108,6 +108,11 @@ def ivf_centroids(ds, n_centroids: int = 16, iters: int = 5, *,
     sample = _matrix(concat_nonempty(first), col)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    if not len(sample):
+        raise ValueError("ivf_centroids: empty embedding corpus")
+    # Degrade gracefully on tiny corpora: fewer centroids than asked
+    # beats a ValueError from sampling without replacement.
+    n_centroids = min(n_centroids, len(sample))
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), n_centroids, replace=False)]
 
