@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .parse import tokenize
-from .text import hash_tokens
+from .text import hash_tokens, segmented_window_hashes
 
 MERSENNE_P = np.uint64((1 << 61) - 1)
 
@@ -84,32 +84,15 @@ def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 3
 
     Returns (flat uint64 hashes, int64 offsets) with len(offsets) =
     num_rows + 1.  Shingle hash = polynomial combine of the k token
-    hashes (order-sensitive), reduced into [0, 2^61-1).
+    hashes (order-sensitive), reduced into [0, 2^61-1).  One
+    vectorized segmented pass over the whole batch.
     """
     toks = tokenize(batch[text_col], batch.num_rows)
     flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
     offs = np.asarray(toks.offsets).astype(np.int64)
     th = hash_tokens(flat) if len(flat) else np.zeros(0, np.uint64)
-
-    B = np.uint64(0x9E3779B97F4A7C15)
-    n_rows = batch.num_rows
-    out_h: list[np.ndarray] = []
-    counts = np.zeros(n_rows, dtype=np.int64)
-    with np.errstate(over="ignore"):
-        for i in range(n_rows):
-            seg = th[offs[i]:offs[i + 1]]
-            if len(seg) < k:
-                continue
-            acc = seg[: len(seg) - k + 1].copy()
-            for j in range(1, k):
-                acc = acc * B + seg[j: len(seg) - k + 1 + j]
-            acc = np.unique(acc % MERSENNE_P)
-            out_h.append(acc)
-            counts[i] = len(acc)
-    flat_out = (np.concatenate(out_h) if out_h
-                else np.zeros(0, np.uint64))
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    return flat_out, offsets
+    return segmented_window_hashes(
+        th, offs, k, np.uint64(0x9E3779B97F4A7C15), MERSENNE_P)
 
 
 def shingle_explode(batch: pa.Table, text_col: str = "text",
@@ -217,14 +200,19 @@ def minhash_batch(batch: pa.Table, text_col: str = "text",
     h, offsets = _shingle_hashes(batch, text_col, k)
     n = batch.num_rows
     sigs = np.full((n, N_HASHES), (1 << 61) - 1, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i in range(n):
-            seg = h[offsets[i]:offsets[i + 1]]
-            if not len(seg):
-                continue
-            # (N_HASHES, m) permutation values; min over shingles
-            vals = (_A[:, None] * seg[None, :] + _B[:, None]) % MERSENNE_P
-            sigs[i] = vals.min(axis=1)
+    lens = np.diff(offsets)
+    nonempty = lens > 0
+    starts = offsets[:-1][nonempty]
+    if len(h) and len(starts):
+        # One segmented min per hash function: empty rows contribute no
+        # flat elements, so consecutive non-empty starts are exactly
+        # the reduceat segment boundaries (same trick as
+        # text.fingerprint).  64 O(total) passes instead of one Python
+        # loop + (64, m) matmul per row.
+        with np.errstate(over="ignore"):
+            for i in range(N_HASHES):
+                vals = (_A[i] * h + _B[i]) % MERSENNE_P
+                sigs[nonempty, i] = np.minimum.reduceat(vals, starts)
     return pa.table({
         id_col: batch[id_col],
         "sig": pa.FixedSizeListArray.from_arrays(
@@ -369,15 +357,21 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
     offs = np.asarray(toks.offsets).astype(np.int64)
     th = hash_tokens(flat) if len(flat) else np.zeros(0, np.uint64)
 
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.int64) * 2 - 1  # (n_tokens, 64) in {-1, +1}
     n = batch.num_rows
     out = np.zeros(n, dtype=np.uint64)
-    for i in range(n):
-        seg = bits[offs[i]:offs[i + 1]]
-        if not len(seg):
-            continue
-        v = (seg.sum(axis=0) >= 0).astype(np.uint64)
-        out[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    lens = np.diff(offs)
+    nonempty = lens > 0
+    starts = offs[:-1][nonempty]
+    if len(th) and len(starts):
+        # Per-bit segmented sum (64 O(n_tokens) reduceat passes); rows
+        # with no tokens keep signature 0.
+        for j in range(64):
+            bitvals = (((th >> np.uint64(j)) & np.uint64(1))
+                       .astype(np.int64) * 2 - 1)
+            seg_sum = np.add.reduceat(bitvals, starts)
+            bits = (seg_sum >= 0).astype(np.uint64)
+            col = np.zeros(n, dtype=np.uint64)
+            col[nonempty] = bits
+            out |= col << np.uint64(j)
     return pa.table({id_col: batch[id_col],
                      "simhash": pa.array(out.view(np.int64), pa.int64())})

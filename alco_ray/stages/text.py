@@ -94,6 +94,73 @@ def hash_tokens(tokens: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(tokens.astype(object), categorize=False)
 
 
+def segmented_window_hashes(vals: np.ndarray, offs: np.ndarray, k: int,
+                            B: np.uint64, mod: np.uint64 | None = None,
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT k-window polynomial hashes per segment, fully vectorized.
+
+    ``vals`` is a flat uint64 array segmented by ``offs`` (len =
+    n_segments + 1).  For every length-k window that lies wholly inside
+    one segment, hash = order-sensitive polynomial combine of its k
+    values (wrap-mod 2^64, then optionally ``% mod``); per segment the
+    hashes are deduplicated and sorted.  Returns (flat uint64 hashes,
+    int64 offsets).  One O(total) pass — no per-segment Python loop.
+    Shared by token shingling (dedup) and char-trigram langid.
+    """
+    n_seg = len(offs) - 1
+    lens = np.diff(offs)
+    counts = np.maximum(lens - k + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.uint64), np.zeros(n_seg + 1, np.int64)
+    N = len(vals)
+    with np.errstate(over="ignore"):
+        acc_all = vals[: N - k + 1].copy()
+        for j in range(1, k):
+            acc_all = acc_all * B + vals[j: N - k + 1 + j]
+        if mod is not None:
+            acc_all %= mod
+    # Window-start index per (segment, intra-window): offs[s] + intra.
+    seg_base = np.repeat(offs[:-1], counts)
+    cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum0, counts)
+    win = acc_all[seg_base + intra]
+    row_id = np.repeat(np.arange(n_seg, dtype=np.int64), counts)
+    # Per-segment sorted-unique: lexsort by (segment, hash), drop
+    # consecutive duplicates within a segment.
+    order = np.lexsort((win, row_id))
+    rv, vv = row_id[order], win[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (vv[1:] != vv[:-1]) | (rv[1:] != rv[:-1])
+    out_vals, out_rows = vv[keep], rv[keep]
+    out_counts = np.bincount(out_rows, minlength=n_seg)
+    offsets = np.concatenate([[0], np.cumsum(out_counts)])
+    return out_vals, offsets.astype(np.int64)
+
+
+_TRIGRAM_B = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint32 code-point array + per-text int64 offsets.
+
+    One C-level pass: join, encode utf-32-le, frombuffer — no
+    per-character Python.  Offsets come from per-text ``len`` (Python
+    len counts code points, matching utf-32's 4 bytes per point)."""
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    return cp, np.concatenate([[0], np.cumsum(lens)])
+
+
+def _trigram_set(text: str) -> np.ndarray:
+    """Sorted distinct char-trigram hashes of one string."""
+    cp, offs = _codepoints([text])
+    h, _ = segmented_window_hashes(cp.astype(np.uint64), offs, 3, _TRIGRAM_B)
+    return h
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text",
                 id_col: str = "doc_id") -> pa.Table:
     """Rolling polynomial fingerprint of the token stream -> int64.
@@ -152,32 +219,38 @@ _LANG_SEEDS = {
 
 
 class LangId:
-    """Actor-pool language-ID stage: profiles built once per actor in
-    ``__init__`` (the model-load analog), scored per batch."""
+    """Actor-pool language-ID stage: char-trigram hash profiles built
+    once per actor in ``__init__`` (the model-load analog); per-batch
+    scoring is fully vectorized — one segmented trigram-hash pass over
+    the whole batch, then one ``np.isin`` + segmented sum per language
+    (no per-row Python).  Prediction = argmax distinct-trigram overlap,
+    ties broken by sorted language order."""
 
     def __init__(self, langs: dict[str, str] | None = None):
         seeds = langs or _LANG_SEEDS
-        self.profiles: dict[str, set[str]] = {}
-        for lang, seed in seeds.items():
-            s = seed.lower()
-            self.profiles[lang] = {s[i:i + 3] for i in range(len(s) - 2)}
+        self.profiles: dict[str, np.ndarray] = {
+            lang: _trigram_set(seed.lower()) for lang, seed in seeds.items()
+        }
         self.langs = sorted(self.profiles)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        preds, scores = [], []
-        for t in texts:
-            s = (t or "").lower()
-            grams = {s[i:i + 3] for i in range(len(s) - 2)}
-            best, best_score = self.langs[0], -1
-            for lang in self.langs:
-                sc = len(grams & self.profiles[lang])
-                if sc > best_score:
-                    best, best_score = lang, sc
-            preds.append(best)
-            scores.append(best_score)
+        lowered = pc.utf8_lower(
+            pc.coalesce(batch["text"], pa.scalar("", pa.string())))
+        cp, offs = _codepoints(lowered.to_pylist())
+        grams, goffs = segmented_window_hashes(
+            cp.astype(np.uint64), offs, 3, _TRIGRAM_B)
+        n = batch.num_rows
+        lens = np.diff(goffs)
+        nonempty = lens > 0
+        starts = goffs[:-1][nonempty]
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(grams) and len(starts):
+            for j, lang in enumerate(self.langs):
+                hit = np.isin(grams, self.profiles[lang]).astype(np.int64)
+                scores[nonempty, j] = np.add.reduceat(hit, starts)
+        best = np.argmax(scores, axis=1)  # first max == sorted-order tie
         return pa.table({
             "doc_id": batch["doc_id"],
-            "pred_lang": pa.array(preds, pa.string()),
-            "score": pa.array(scores, pa.int64()),
+            "pred_lang": pa.array([self.langs[i] for i in best], pa.string()),
+            "score": pa.array(scores[np.arange(n), best], pa.int64()),
         })
