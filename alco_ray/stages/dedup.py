@@ -108,9 +108,24 @@ def shingle_explode(batch: pa.Table, text_col: str = "text",
     })
 
 
+def suggest_pair_partitions(n_rows: int, rows_per_part: int = 250_000,
+                            expansion: int = 128, lo: int = 32,
+                            hi: int = 1 << 16) -> int:
+    """Power-of-two partition count for the bucketed self-joins, sized
+    from the input: each partition's exploded shingle/band table is one
+    in-worker pandas frame, so its row count must stay bounded at ANY
+    corpus size (a fixed count means partitions grow linearly with the
+    corpus — the round-1 scale bug).  ``expansion`` estimates exploded
+    rows per input row (distinct shingles per doc / bands per doc)."""
+    est = n_rows * expansion
+    want = max(lo, min(hi, -(-est // rows_per_part)))
+    return 1 << (int(want) - 1).bit_length()
+
+
 def jaccard_pairs(ds, threshold: float = 0.5, *, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
-                  max_shingle_freq: int = 64):
+                  max_shingle_freq: int = 64,
+                  n_buckets: int | None = None):
     """Exact n-gram Jaccard near-dup pairs with Jaccard >= threshold.
 
     Returns Dataset(doc_a, doc_b, inter, uni) with doc_a < doc_b.
@@ -124,12 +139,13 @@ def jaccard_pairs(ds, threshold: float = 0.5, *, text_col: str = "text",
         batch_format="pyarrow")
 
     # Explicit partitioned self hash-join (ray_guide "Joins and lookups"):
-    # bucket by shingle hash into a bounded number of partitions, then a
-    # vectorized pandas merge WITHIN each bucket.  A shingle lives in
-    # exactly one bucket, so bucket-local pairs are globally complete,
-    # and bucket-local shingle frequencies are globally exact (the
-    # max_shingle_freq cap can be applied locally).
-    n_buckets = 32
+    # bucket by shingle hash into a data-proportional number of
+    # partitions, then a vectorized pandas merge WITHIN each bucket.  A
+    # shingle lives in exactly one bucket, so bucket-local pairs are
+    # globally complete, and bucket-local shingle frequencies are
+    # globally exact (the max_shingle_freq cap can be applied locally).
+    if n_buckets is None:
+        n_buckets = suggest_pair_partitions(ds.count())
 
     def bucketize(b: pa.Table) -> pa.Table:
         bk = pc.cast(
@@ -253,7 +269,8 @@ def band_explode(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 
 def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, max_bucket: int = 256):
+                        k: int = 3, max_bucket: int = 256,
+                        n_parts: int | None = None):
     """MinHash-LSH candidate pairs: Dataset(doc_a, doc_b) distinct.
 
     Pipeline: signatures -> band explode -> groupby(band_id, band_hash)
@@ -271,8 +288,11 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                              batch_format="pyarrow")
 
     # Same explicit partitioned self-join shape as jaccard_pairs: an LSH
-    # bucket (band_id, band_hash) lives entirely in one hash partition.
-    n_parts = 32
+    # bucket (band_id, band_hash) lives entirely in one hash partition;
+    # partition count grows with the corpus (exploded rows per doc =
+    # N_BANDS) so per-worker frames stay bounded.
+    if n_parts is None:
+        n_parts = suggest_pair_partitions(ds.count(), expansion=N_BANDS)
 
     def bucketize(b: pa.Table) -> pa.Table:
         bk = pc.cast(
@@ -311,35 +331,48 @@ def dedup_apply(ds, pairs, *, id_col: str = "doc_id"):
     ``pairs`` is a Dataset/Table of (doc_a, doc_b) near-dup edges (from
     :func:`jaccard_pairs`, :func:`lsh_candidate_pairs` or
     similarity.cosine_dup_pairs).  Connected components are computed
-    driver-side with union-find — the edge list is tiny relative to the
-    corpus (that's the point of near-dup detection) — keeping the
-    minimum id per cluster; the removal set is broadcast and applied as
-    a vectorized anti-join filter, no shuffle."""
+    driver-side — the edge list is small relative to the corpus
+    (that's the point of near-dup detection), and ``max_edges`` makes
+    that assumption a checked limit instead of an implicit one —
+    keeping the minimum id per cluster; the removal set is broadcast
+    and applied as a vectorized anti-join filter, no shuffle."""
     import ray
 
     from .aggregate import concat_nonempty
 
+    max_edges = 50_000_000
     if hasattr(pairs, "to_arrow_refs"):
         pairs = concat_nonempty(ray.get(pairs.to_arrow_refs()))
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
+    if pairs.num_rows > max_edges:
+        raise ValueError(
+            f"dedup_apply: {pairs.num_rows} near-dup edges exceed the "
+            f"driver-side component limit ({max_edges}); raise the pair "
+            "threshold or pre-contract edges (e.g. keep only each doc's "
+            "minimum partner) before applying")
     if pairs.num_rows:
-        for a, b in zip(pairs["doc_a"].to_pylist(),
-                        pairs["doc_b"].to_pylist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min: the smaller id becomes the root, so the
-                # kept representative is deterministic (min of cluster)
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-    drop = [x for x in parent if find(x) != x]
-    drop_arr = pa.array(sorted(drop))
+        # Vectorized min-label propagation with pointer jumping:
+        # labels are indices into the sorted node array, so the
+        # minimum label IS the minimum doc id; converges in
+        # O(log(diameter)) vectorized rounds.
+        a = pairs["doc_a"].to_numpy(zero_copy_only=False)
+        b = pairs["doc_b"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, ia, lab[ib])
+            np.minimum.at(lab, ib, lab[ia])
+            while True:
+                jumped = lab[lab]
+                if np.array_equal(jumped, lab):
+                    break
+                lab = jumped
+            if np.array_equal(lab, prev):
+                break
+        drop_arr = pa.array(nodes[lab != np.arange(len(nodes))])
+    else:
+        drop_arr = pa.array([], pa.int64())
     ref = ray.put(drop_arr)
 
     def keep(batch: pa.Table) -> pa.Table:

@@ -354,3 +354,49 @@ def test_dedup_apply_keeps_min_per_cluster():
                        "doc_b": pa.array([5, 5], pa.int64())})
     kept2 = dedup.dedup_apply(ray.data.from_arrow(t), pairs2).to_pandas()
     assert sorted(kept2["doc_id"]) == [0, 1, 2, 3, 6]
+
+
+def test_pair_partitions_grow_with_input():
+    # Fixed partition counts are a scale bug: each partition holds
+    # corpus/NP rows.  The suggested count must grow (power of two,
+    # clamped) with the input row count.
+    small = dedup.suggest_pair_partitions(500)
+    mid = dedup.suggest_pair_partitions(5_000_000)
+    big = dedup.suggest_pair_partitions(500_000_000)
+    assert small == 32
+    assert small < mid < big
+    for v in (small, mid, big):
+        assert v & (v - 1) == 0  # pow2 (bucketize uses bit_wise_and)
+    assert dedup.suggest_pair_partitions(10**14) == 1 << 16  # clamped
+
+
+def test_dedup_apply_union_find_random_graph():
+    # Vectorized min-label propagation vs a plain Python union-find on
+    # a random edge set (chains, cliques, isolated nodes).
+    rng = np.random.RandomState(11)
+    n_nodes, n_edges = 400, 300
+    a = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    keep_mask = a != b
+    a, b = a[keep_mask], b[keep_mask]
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    expect_drop = sorted(x for x in parent if find(x) != x)
+
+    rows = pa.table({"doc_id": pa.array(range(n_nodes), pa.int64())})
+    pairs = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+    kept = dedup.dedup_apply(ray.data.from_arrow(rows), pairs).to_pandas()
+    got_drop = sorted(set(range(n_nodes)) - set(kept["doc_id"]))
+    assert got_drop == expect_drop
