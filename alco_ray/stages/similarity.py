@@ -180,16 +180,31 @@ def knn_ivf(ds, query_vec, k: int = 10, *, n_centroids: int = 16,
 
 
 def cosine_dup_pairs(ds, threshold: float = 0.4, *, col: str = "embedding",
-                     id_col: str = "vec_id"):
-    """Exact embedding-cosine near-dup pairs: (id_a, id_b) with
-    cosine >= threshold, id_a < id_b.
+                     id_col: str = "vec_id",
+                     exact_max_rows: int = 100_000, n_tables: int = 8,
+                     n_bits: int | None = None):
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b) with
+    cosine >= threshold, vec_a < vec_b.
 
-    Shape: the normalized corpus matrix is broadcast once (``ray.put``)
-    and every batch does one matmul against it — O(n^2/p) work with
-    all-pairs exactness, the correct baseline for oracle-checked dedup.
-    At corpus scales where n^2 is unpayable, bucket first
-    (:func:`lsh_bucket_batch`) and run the same pairwise kernel inside
-    each bucket: recall becomes tunable, cost ~ sum of bucket^2."""
+    Two plans, picked by corpus size:
+
+    - **exact** (rows <= ``exact_max_rows``): broadcast the normalized
+      matrix once, one matmul per batch — O(n^2/p) all-pairs exactness
+      for oracle-scale inputs; driver memory is bounded by the guard.
+    - **bucketed** (above the guard): :func:`cosine_dup_pairs_lsh` —
+      banded random-hyperplane LSH + per-bucket exact verification; no
+      driver materialization, no all-pairs work.  Emitted pairs are
+      exact-cosine verified (zero false positives); recall is tunable
+      via (n_tables, n_bits) and tested on planted near-dups.
+    """
+    if ds.count() > exact_max_rows:
+        return cosine_dup_pairs_lsh(ds, threshold, col=col, id_col=id_col,
+                                    n_tables=n_tables, n_bits=n_bits)
+    return _cosine_dup_pairs_exact(ds, threshold, col=col, id_col=id_col)
+
+
+def _cosine_dup_pairs_exact(ds, threshold: float, *, col: str,
+                            id_col: str):
     import ray
     import ray.data
 
@@ -215,6 +230,89 @@ def cosine_dup_pairs(ds, threshold: float = 0.4, *, col: str = "embedding",
                          "vec_b": pa.array(aids[ai], pa.int64())})
 
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+def cosine_dup_pairs_lsh(ds, threshold: float = 0.4, *,
+                         col: str = "embedding", id_col: str = "vec_id",
+                         n_tables: int = 8, n_bits: int | None = None,
+                         seed: int = 991, target_bucket_rows: int = 50_000):
+    """Bucketed cosine near-dup pairs — the 100 TB plan.
+
+    Banded random-hyperplane LSH: ``n_tables`` independent sign-bit
+    signatures of ``n_bits`` hyperplanes each; rows sharing a (table,
+    bucket) signature are candidates, verified with an exact in-bucket
+    matmul, deduplicated across tables by a final pair groupby.
+
+    Partitioning assumptions: a (table, bucket) group holds ~corpus /
+    2^n_bits rows — ``n_bits`` defaults to log2(rows /
+    target_bucket_rows) (clamped 6..20) so buckets stay bounded as the
+    corpus grows; shuffle volume is n_tables x corpus (linear).
+    Recall: a pair at cosine c collides in one table with
+    p = (1 - arccos(c)/pi)^n_bits, across tables 1-(1-p)^n_tables
+    (n_tables=8, n_bits=8: ~0.99 at c=0.95); emitted pairs are
+    exact-verified, so precision is 1.0 at any setting.
+    """
+    n = ds.count()
+    if n_bits is None:
+        import math
+
+        n_bits = min(20, max(6, math.ceil(
+            math.log2(max(2, n / target_bucket_rows)))))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        nb, d = m.shape
+        planes = _planes_banded(d, n_tables, n_bits, seed)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # (nb, n_tables*n_bits) signs -> (nb, n_tables) bucket ints
+        bits = (m @ planes) >= 0
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        buckets = bits.reshape(nb, n_tables, n_bits) @ weights
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_tables)),
+            "table_id": pa.array(
+                np.tile(np.arange(n_tables, dtype=np.int32), nb)),
+            "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(m, n_tables, axis=0).reshape(-1),
+                         pa.float64()), d),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        m = _matrix(g, "emb")  # already normalized
+        sims = m @ m.T
+        ai, bi = np.nonzero((sims >= threshold) &
+                            (ids[:, None] < ids[None, :]))
+        return pa.table({"vec_a": pa.array(ids[ai], pa.int64()),
+                         "vec_b": pa.array(ids[bi], pa.int64())})
+
+    partials = exploded.groupby(["table_id", "bucket"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow")
+    # distinct pairs (a pair can collide in several tables)
+    from ray.data.aggregate import Count
+
+    uniq = partials.groupby(["vec_a", "vec_b"]).aggregate(
+        Count(alias_name="_n"))
+    return uniq.drop_columns(["_n"])
+
+
+def _planes_banded(d: int, n_tables: int, n_bits: int,
+                   seed: int) -> np.ndarray:
+    """(d, n_tables*n_bits) deterministic hyperplanes (cached)."""
+    key = (d, n_tables, n_bits, seed)
+    cached = _PLANES_CACHE.get(key)
+    if cached is None:
+        rng = np.random.RandomState(seed)
+        cached = rng.standard_normal((d, n_tables * n_bits))
+        _PLANES_CACHE[key] = cached
+    return cached
+
+
+_PLANES_CACHE: dict = {}
 
 
 _N_PLANES = 12

@@ -400,3 +400,50 @@ def test_dedup_apply_union_find_random_graph():
     kept = dedup.dedup_apply(ray.data.from_arrow(rows), pairs).to_pandas()
     got_drop = sorted(set(range(n_nodes)) - set(kept["doc_id"]))
     assert got_drop == expect_drop
+
+
+def test_cosine_dup_lsh_planted_recall_and_precision():
+    # 40 planted near-dup pairs (cosine ~0.98) among 400 random vectors:
+    # the bucketed path must find nearly all of them (recall via banded
+    # LSH) and — because every emitted pair is exact-verified — nothing
+    # below the threshold.
+    rng = np.random.RandomState(3)
+    d = 32
+    base = rng.standard_normal((40, d))
+    noise = base + 0.08 * rng.standard_normal((40, d))
+    other = rng.standard_normal((320, d))
+    m = np.vstack([base, noise, other])
+    t = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float64()), d),
+    })
+    ds = ray.data.from_arrow(t)
+    got = similarity.cosine_dup_pairs_lsh(
+        ds, threshold=0.9, n_tables=8, n_bits=8).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu = np.triu_indices(len(m), k=1)
+    true_pairs = {(int(a), int(b)) for a, b in zip(*[x[sims[iu] >= 0.9]
+                  for x in iu])}
+    assert true_pairs, "fixture must plant pairs above threshold"
+    # precision 1.0: every emitted pair is a true pair
+    assert got_pairs <= true_pairs
+    # recall: banded LSH at (8 tables x 8 bits) finds ~99% at c~0.95
+    assert len(got_pairs) >= 0.9 * len(true_pairs)
+
+
+def test_cosine_dup_pairs_guard_dispatch():
+    # Above the guard the exact path (driver materialization) must not
+    # run; both plans agree on planted pairs.
+    t, m = _vec_table(n=60, d=16, seed=9)
+    ds = ray.data.from_arrow(t)
+    exact = similarity.cosine_dup_pairs(ds, threshold=0.4).to_pandas()
+    bucketed = similarity.cosine_dup_pairs(
+        ds, threshold=0.4, exact_max_rows=10,
+        n_tables=16, n_bits=4).to_pandas()
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    b = set(zip(bucketed["vec_a"], bucketed["vec_b"]))
+    assert b <= e  # verified: no false positives
