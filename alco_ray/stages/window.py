@@ -1,97 +1,175 @@
-"""Context-window lookup — ALCO's grep context view (SURVEY.md §2.4 J2).
+"""Windowed / as-of / session / context operators (SURVEY.md §2.4 J2).
 
 The reference fetches +-k neighboring lines around a search hit within
-the same context-column values.  Graft: per-conversation window over
-``turn_idx`` — one groupby(conv_id) shuffle, then a vectorized window
-inside each group (no cross-group traffic).  Group count = conversation
-count, and group size is conversation-bounded, so per-group overhead is
-amortized (conversations are small; the Zipf-hot ones are still far
-below block size).
+the same context-column values.  Graft: per-conversation windows over
+``turn_idx``.
+
+Execution shape (round 2): instead of ``groupby(conv_id).map_groups``
+— one Python call and one pandas frame PER conversation, so at
+billions of small conversations the interpreter overhead dominates the
+math — every operator here hash-partitions on the key column into a
+bounded number of partitions, then runs ONE vectorized segmented
+kernel per partition: sort the partition by (key, idx), find segment
+boundaries with one diff, and answer every window/as-of/session
+question with cumsum / maximum.accumulate arithmetic over the whole
+partition at once.  A key lives in exactly one partition, so
+partition-local answers are globally exact.
+
+Partitioning assumption: a partition's frame (rows/n_parts) fits one
+worker's heap; ``n_parts`` defaults to a multiple of cluster CPUs and
+is a caller knob for corpora where rows/n_parts would be too large.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+
+def _default_parts() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    want = max(64, 4 * cpus)
+    return 1 << (want - 1).bit_length()
+
+
+def _partitioned(ds, key_col: str, n_parts: int | None = None):
+    """Append int32 ``part`` = hash(key) % n_parts (deterministic)."""
+    n_parts = n_parts or _default_parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b[key_col].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "part", pa.array((h % n_parts).astype(np.int32)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def _segment_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (segment_start, segment_end) positions for a sorted key
+    column: one vectorized change-point pass."""
+    n = len(keys)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    seg_id = np.cumsum(change) - 1
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return starts[seg_id], ends[seg_id], seg_id
+
+
+def _windowed_flag_sum(flag: np.ndarray, seg_start: np.ndarray,
+                       seg_end: np.ndarray, radius: int) -> np.ndarray:
+    """Centered ROWS-frame windowed sum of ``flag`` within segments:
+    prefix sums + clamped window edges, no per-segment loop."""
+    n = len(flag)
+    c0 = np.concatenate([[0], np.cumsum(flag)])
+    pos = np.arange(n, dtype=np.int64)
+    lo = np.maximum(pos - radius, seg_start)
+    hi = np.minimum(pos + radius, seg_end - 1)
+    return c0[hi + 1] - c0[lo]
 
 
 def rolling_count(ds, *, flag_col: str, flag_value, radius: int = 2,
                   conv_col: str = "conv_id", idx_col: str = "turn_idx",
-                  out_col: str = "w_count"):
+                  out_col: str = "w_count", n_parts: int | None = None):
     """Centered rolling window aggregate: for every turn, the number of
     rows with ``flag_col == flag_value`` within ``radius`` turns in the
-    same conversation (ROWS frame; turn_idx is dense per fixture
-    contract).  One groupby(conv_id) shuffle; vectorized pandas rolling
-    inside each group.  Skew note: the hot Zipf-head conversation lands
-    in one group, but a group is one conversation (<=512 turns nominal,
-    ~5% of corpus worst-case) — far under block size."""
+    same conversation (ROWS frame)."""
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(idx_col, kind="mergesort")
-        flag = (g[flag_col] == flag_value).astype("int64")
-        w = flag.rolling(2 * radius + 1, center=True, min_periods=1).sum()
+        order = np.lexsort((g[idx_col].to_numpy(), g[conv_col].to_numpy()))
+        g = g.iloc[order]
+        seg_start, seg_end, _ = _segment_bounds(g[conv_col].to_numpy())
+        flag = (g[flag_col] == flag_value).to_numpy().astype(np.int64)
         out = g[[conv_col, idx_col]].copy()
-        out[out_col] = w.astype("int64").to_numpy()
+        out[out_col] = _windowed_flag_sum(flag, seg_start, seg_end, radius)
         return out
 
-    return ds.groupby(conv_col).map_groups(body, batch_format="pandas")
+    return _partitioned(ds, conv_col, n_parts).groupby("part").map_groups(
+        body, batch_format="pandas")
 
 
 def asof_prior(ds, *, flag_col: str, flag_value,
                conv_col: str = "conv_id", idx_col: str = "turn_idx",
-               out_col: str = "last_match_idx"):
+               out_col: str = "last_match_idx", n_parts: int | None = None):
     """As-of join within a conversation: for every turn, the most
     recent ``turn_idx`` at-or-before it whose ``flag_col`` equals
-    ``flag_value`` (-1 if none yet) — a running cummax over the
-    sorted group, the per-key as-of pattern."""
+    ``flag_value`` (-1 if none yet).
+
+    Kernel: segment-reset running max via the offset trick — add
+    seg_id * 2^32 to each candidate value so np.maximum.accumulate
+    never carries a value across a segment boundary."""
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(idx_col, kind="mergesort")
-        hit = g[idx_col].where(g[flag_col] == flag_value)
+        order = np.lexsort((g[idx_col].to_numpy(), g[conv_col].to_numpy()))
+        g = g.iloc[order]
+        idx = g[idx_col].to_numpy().astype(np.int64)
+        _, _, seg_id = _segment_bounds(g[conv_col].to_numpy())
+        flag = (g[flag_col] == flag_value).to_numpy()
+        OFF = np.int64(1) << 32  # > max turn_idx + 2
+        val = np.where(flag, idx, np.int64(-1)) + seg_id * OFF
+        run = np.maximum.accumulate(val)
         out = g[[conv_col, idx_col]].copy()
-        # ffill carries the latest match forward (matches arrive in
-        # increasing idx order, so last seen == running max); cummax
-        # alone would leave non-match rows NaN.
-        out[out_col] = hit.ffill().fillna(-1).astype("int64")
+        out[out_col] = run - seg_id * OFF
         return out
 
-    return ds.groupby(conv_col).map_groups(body, batch_format="pandas")
+    return _partitioned(ds, conv_col, n_parts).groupby("part").map_groups(
+        body, batch_format="pandas")
 
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30, out_col: str = "session_id"):
+               gap_minutes: int = 30, out_col: str = "session_id",
+               n_parts: int | None = None):
     """Gap-based sessionization: within each key, a new session starts
     whenever the time since the previous event exceeds ``gap_minutes``.
-    session_id = running count of gap-breaks (0-based) per key.  One
-    groupby(key) shuffle; cumulative sum inside the group."""
+    session_id = running count of gap-breaks (0-based) per key.
+
+    Kernel: one diff over the (key, ts)-sorted partition; a row is a
+    gap-break iff it is not a segment start and its ts-delta exceeds
+    the gap; session_id = cumsum re-based at each segment start."""
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        gap = g[ts_col].diff() > pd.Timedelta(minutes=gap_minutes)
+        ts = g[ts_col].to_numpy()
+        order = np.lexsort((ts, g[key_col].to_numpy()))
+        g = g.iloc[order]
+        ts = ts[order].astype("datetime64[us]").view(np.int64)
+        seg_start, _, _ = _segment_bounds(g[key_col].to_numpy())
+        n = len(g)
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            delta = ts[1:] - ts[:-1]
+            pos = np.arange(1, n, dtype=np.int64)
+            gap[1:] = ((delta > gap_us) &
+                       (pos != seg_start[1:])).astype(np.int64)
+        c = np.cumsum(gap)
         g = g.copy()
-        g[out_col] = gap.cumsum().astype("int64")
+        g[out_col] = c - c[seg_start]
         return g
 
-    return ds.groupby(key_col).map_groups(body, batch_format="pandas")
+    return _partitioned(ds, key_col, n_parts).groupby("part").map_groups(
+        body, batch_format="pandas").drop_columns(["part"])
 
 
 def context_window(ds, *, match_col: str, match_value, radius: int = 1,
                    conv_col: str = "conv_id", idx_col: str = "turn_idx",
-                   keep_cols: list[str] | None = None):
+                   keep_cols: list[str] | None = None,
+                   n_parts: int | None = None):
     """Rows within ``radius`` turns of a matching row in the same
-    conversation.  Returns the kept rows (deduplicated, stable order
-    within conversation)."""
+    conversation (the grep context view).  Returns the kept rows."""
     cols = keep_cols or [conv_col, idx_col, match_col]
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(idx_col, kind="mergesort")
-        idx = g[idx_col].to_numpy()
-        hits = idx[(g[match_col] == match_value).to_numpy()]
-        if not len(hits):
-            return g.iloc[0:0][cols]
-        keep = np.zeros(len(g), dtype=bool)
-        for h in hits:  # hits per conversation are few; window is vector
-            keep |= np.abs(idx - h) <= radius
-        return g.loc[keep, cols]
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[idx_col].to_numpy(), g[conv_col].to_numpy()))
+        g = g.iloc[order]
+        seg_start, seg_end, _ = _segment_bounds(g[conv_col].to_numpy())
+        flag = (g[match_col] == match_value).to_numpy().astype(np.int64)
+        w = _windowed_flag_sum(flag, seg_start, seg_end, radius)
+        return g.loc[w > 0, cols]
 
-    return ds.groupby(conv_col).map_groups(window, batch_format="pandas")
+    return _partitioned(ds, conv_col, n_parts).groupby("part").map_groups(
+        body, batch_format="pandas")
