@@ -38,19 +38,64 @@ from ..sinks import promote_staging, write_routed
 from ..stages.parse import make_parse_batch
 from ..stages.dict_encode import build_dict_table, build_dicts
 from ..stages.route import make_route_batch
-from ..state.checkpoint import CheckpointManifest, cleanup_wave_outputs, make_waves
+from ..state.checkpoint import (CheckpointManifest,
+                                cleanup_uncommitted_outputs, make_waves)
 
 
 def build_or_load_dicts(files: list[str], cfg: PipelineConfig,
                         cache_dir: str | Path) -> dict[str, pa.Table]:
-    """J1 build: role/tool dicts from a column-pruned distinct pass over
-    the corpus (cached as Parquet artifacts); the level dict is the
-    static canonical set (the level vocabulary is config, not data)."""
+    """J1 build: role/tool dicts from a column-pruned distinct pass,
+    cached as Parquet artifacts and grown **insert-if-absent**.
+
+    The cache tracks which corpus files it has already folded in
+    (``_scanned.json``), so a re-run scans only NEW shards; values
+    unseen by the cache are APPENDED with ids continuing after the
+    existing max — ALCO's Redis insert-if-absent semantics — so ids
+    already written into routed output never change when the corpus
+    grows.  (First build = sorted distinct, the documented
+    deterministic deviation from Redis arrival order; a vocab-stable
+    appended corpus therefore yields byte-identical dicts to a fresh
+    full build.)  The level dict is the static canonical set (the
+    level vocabulary is config, not data)."""
     dicts: dict[str, pa.Table] = {}
     dynamic = [c for c in cfg.filtered_columns() if c != "level"]
+    cache = Path(cache_dir)
     if dynamic:
-        ds = read_transcripts(files, columns=dynamic)
-        dicts.update(build_dicts(ds, dynamic, out_dir=cache_dir))
+        state_path = cache / "_scanned.json"
+        scanned = set(json.loads(state_path.read_text())) \
+            if state_path.exists() else set()
+        for c in dynamic:
+            p = cache / f"{c}.parquet"
+            if p.exists():
+                dicts[c] = pq.read_table(p)
+        pending = [f for f in sorted(files) if f not in scanned]
+        if pending:
+            ds = read_transcripts(pending, columns=dynamic)
+            fresh = build_dicts(ds, dynamic)
+            cache.mkdir(parents=True, exist_ok=True)
+            for c in dynamic:
+                if c in dicts:
+                    have = set(dicts[c]["value"].to_pylist())
+                    new_vals = [v for v in fresh[c]["value"].to_pylist()
+                                if v not in have]
+                    if new_vals:
+                        grown = pa.table({
+                            "value": pa.array(
+                                list(dicts[c]["value"].to_pylist())
+                                + sorted(new_vals), pa.string()),
+                            "id": pa.array(
+                                range(len(have) + len(new_vals)), pa.int32()),
+                        })
+                        dicts[c] = grown
+                else:
+                    dicts[c] = fresh[c]
+                tmp = cache / f".{c}.parquet.tmp"
+                pq.write_table(dicts[c], tmp)
+                os.replace(tmp, cache / f"{c}.parquet")
+            scanned.update(pending)
+            tmp = cache / "._scanned.json.tmp"
+            tmp.write_text(json.dumps(sorted(scanned)))
+            os.replace(tmp, state_path)
     if "level" in cfg.filtered_columns():
         dicts["level"] = build_dict_table(sorted([*LEVELS, UNKNOWN_LEVEL]))
     return dicts
@@ -165,37 +210,41 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
         raise FileNotFoundError(f"no parquet shards under {input_dir}")
 
     manifest = CheckpointManifest(out_root)
-    waves = make_waves(files, wave_size)
 
-    # Resume guard: waves are (wave_size, sorted-files) chunks, so
-    # resuming the same out_root with a different corpus or wave size
-    # would re-group inputs and double- or skip-process rows.
-    run_meta = {"wave_size": wave_size, "n_files": len(files),
-                "first": files[0], "last": files[-1]}
-    meta_path = out_root / "_checkpoint" / "meta.json"
-    if meta_path.exists():
-        old = json.loads(meta_path.read_text())
-        if old != run_meta:
-            raise ValueError(
-                f"checkpoint at {out_root} was written by a different run "
-                f"configuration ({old} != {run_meta}); use a fresh "
-                "out_root or the original wave_size/corpus")
-    else:
-        meta_path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = meta_path.with_suffix(f".tmp.{os.getpid()}")
-        tmp.write_text(json.dumps(run_meta))
-        os.replace(tmp, meta_path)
-
-    dicts = build_or_load_dicts(files, cfg, out_root / "dicts")
-    dict_refs = {col: ray.put(t) for col, t in dicts.items()}
+    # Incremental / append-stable ingest: the manifest is keyed by the
+    # FILES each committed wave processed, so a grown corpus resumes by
+    # processing only the new shards — the streaming collector's most
+    # common operation.  A *shrunk* corpus is ambiguous (totals would
+    # silently include vanished data) and is rejected.
+    processed = manifest.processed_files()
+    gone = sorted(processed - set(files))
+    if gone:
+        raise ValueError(
+            f"checkpoint at {out_root} records {len(gone)} processed "
+            f"file(s) missing from the corpus (first: {gone[0]}); "
+            "committed totals would silently include vanished data — "
+            "use a fresh out_root for a shrunk/replaced corpus")
+    pending = [f for f in files if f not in processed]
+    waves = make_waves(pending, wave_size)
+    # Orphans of half-committed waves (any wave-id prefix not in the
+    # manifest) are deleted up front; content-hashed wave ids mean a
+    # crashed run's regrouped pending files get fresh ids.
+    cleanup_uncommitted_outputs(out_root, set(manifest.waves))
 
     partials_dir = out_root / "_checkpoint" / "partials"
     partials_dir.mkdir(parents=True, exist_ok=True)
 
+    dict_refs = None
+    if pending:
+        # Insert-if-absent growth keyed by already-scanned shards: a
+        # resume/append run scans only new files, and ids already
+        # written into committed output never change.
+        dicts = build_or_load_dicts(files, cfg, out_root / "dicts")
+        dict_refs = {col: ray.put(t) for col, t in dicts.items()}
+
     for wave_id, wave_files in waves:
         if manifest.is_done(wave_id):
             continue
-        cleanup_wave_outputs(out_root, wave_id)
         staging = out_root / "_staging" / wave_id
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -242,13 +291,14 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
     summary = manifest.total_metrics()
     if write_aggregates:
         # A1/A2: exact interval counts = merge of the per-wave partials
-        # (each already a (sink, level, bucket)->rows partial aggregate
-        # of its wave's routed output) — no end-of-job re-read of the
-        # full corpus.  Bounded key cardinality keeps this driver-side.
+        # across ALL committed waves (including earlier runs' — an
+        # append run re-merges old partials with the new ones, no
+        # re-read of committed corpus data).  Bounded key cardinality
+        # keeps this driver-side.
         merged = pa.concat_tables(
             pq.read_table(partials_dir / f"{wid}.parquet",
                           columns=_PARTIAL_KEYS + ["rows"])
-            for wid, _ in waves)
+            for wid in manifest.waves)
         agg = (merged.group_by(_PARTIAL_KEYS).aggregate([("rows", "sum")])
                .rename_columns(_PARTIAL_KEYS + ["cnt"])
                .sort_by([(k, "ascending") for k in _PARTIAL_KEYS]))

@@ -133,7 +133,7 @@ def promote_staging(staging_dir: str | Path, out_root: str | Path,
     Each staged ``sink=S/date=D/<name>.parquet`` becomes
     ``out_root/sink=S/date=D/<wave_id>-<i>-<name>.parquet``.
     ``os.replace`` is atomic per file; a crash mid-promotion leaves a
-    prefix of the files, which ``cleanup_wave_outputs`` removes before
+    prefix of the files, which ``cleanup_uncommitted_outputs`` removes before
     the wave re-runs.  Returns the number of files promoted.
     """
     import os

@@ -3,13 +3,21 @@
 The reference acks its AMQP batch only after the bulk insert flushes,
 so a crash replays the un-acked batch (at-least-once; duplicate docids
 absorbed by the RT index).  SURVEY.md §4 maps this to **exactly-once at
-partition granularity**: input files are processed in deterministic
-waves; each wave's output is staged, its metrics computed, its files
-moved into the final tree, and only then is the wave recorded in the
-manifest via an atomic rename.  A killed job resumes by (a) skipping
-manifest-recorded waves, (b) deleting any files a half-committed wave
-left behind (deterministic ``wave-<id>-`` filename prefix), then
-(c) re-running pending waves.  Re-running a wave is idempotent.
+partition granularity**, and — because ALCO is a *streaming* collector
+whose single most common operation is "new shards arrived, run again" —
+the manifest tracks **input files**, not positional wave numbers:
+
+- a wave is a chunk of the *pending* (not-yet-processed) sorted file
+  list, identified by a content hash of its file names, so wave
+  identity is stable under corpus growth, wave-size changes and
+  resume-after-crash regrouping;
+- on every run, pending = corpus files minus the union of all
+  committed waves' input files: appending shards re-processes ONLY the
+  new files, and total metrics (summed over all committed waves) equal
+  a fresh full run bit-for-bit;
+- files a half-committed wave left in the final tree carry their wave
+  id as a filename prefix; any prefix not present in the manifest is
+  an orphan and is deleted before new waves run.
 
 Per-wave lineage + metrics recorded (BASELINE.json:14): input files,
 rows, parse failures, routed counts per sink, output file count.
@@ -17,6 +25,7 @@ rows, parse failures, routed counts per sink, output file count.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from pathlib import Path
@@ -35,6 +44,15 @@ class CheckpointManifest:
 
     def is_done(self, wave_id: str) -> bool:
         return self.waves.get(wave_id, {}).get("status") == "done"
+
+    def processed_files(self) -> set[str]:
+        """Union of input files across all committed waves — the
+        resume/append frontier."""
+        out: set[str] = set()
+        for w in self.waves.values():
+            if w.get("status") == "done":
+                out.update(w.get("input_files", ()))
+        return out
 
     def commit(self, wave_id: str, *, input_files: list[str],
                metrics: dict[str, Any]) -> None:
@@ -66,24 +84,36 @@ class CheckpointManifest:
 
 
 def make_waves(files: list[str], wave_size: int) -> list[tuple[str, list[str]]]:
-    """Deterministic (wave_id, files) grouping: sorted input, fixed-size
-    chunks.  The same input always yields the same waves, so resume
-    after a kill lines up with the previous run."""
+    """Deterministic (wave_id, files) grouping of the PENDING file list:
+    sorted input, fixed-size chunks, id = content hash of the chunk's
+    file names.  The same chunk always yields the same id (idempotent
+    re-runs); growing the corpus only appends new waves — committed
+    waves keep their identity because they are keyed by what they
+    processed, not by their position."""
     files = sorted(files)
     out = []
     for i in range(0, len(files), wave_size):
-        out.append((f"w{i // wave_size:05d}", files[i:i + wave_size]))
+        chunk = files[i:i + wave_size]
+        wid = "w" + hashlib.sha1("\n".join(chunk).encode()).hexdigest()[:12]
+        out.append((wid, chunk))
     return out
 
 
-def cleanup_wave_outputs(out_root: str | Path, wave_id: str) -> int:
-    """Delete files a half-committed wave left in the final tree (they
-    carry the ``wave-<id>-`` prefix), making a re-run idempotent."""
+def cleanup_uncommitted_outputs(out_root: str | Path,
+                                committed: set[str]) -> int:
+    """Delete final-tree files and metric partials whose wave-id prefix
+    is not in the manifest (orphans of half-committed waves), making
+    any re-run idempotent.  Returns the number of files removed."""
     n = 0
     root = Path(out_root)
     if not root.exists():
         return 0
-    for p in root.glob(f"sink=*/date=*/{wave_id}-*.parquet"):
-        p.unlink()
-        n += 1
+    for p in root.glob("sink=*/date=*/w*.parquet"):
+        if p.name.split("-", 1)[0] not in committed:
+            p.unlink()
+            n += 1
+    for p in root.glob("_checkpoint/partials/*.parquet"):
+        if p.stem not in committed:
+            p.unlink()
+            n += 1
     return n

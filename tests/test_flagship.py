@@ -202,11 +202,84 @@ def test_resume_after_partial_promote(t_small_dir, flagship_out, tmp_path):
     assert got["text"].equals(want["text"]) and len(got) == len(want)
 
 
-def test_resume_rejects_changed_wave_size(t_small_dir, tmp_path):
+def test_resume_tolerates_changed_wave_size(t_small_dir, tmp_path):
+    """Waves are keyed by the files they processed, not by position:
+    resuming with a different wave_size is a clean no-op."""
     out = tmp_path / "guard"
     run_flagship(t_small_dir, out, wave_size=4)
-    with pytest.raises(ValueError, match="different run configuration"):
-        run_flagship(t_small_dir, out, wave_size=2)
-    # original config still resumes cleanly (no-op)
-    s = run_flagship(t_small_dir, out, wave_size=4)
+    s = run_flagship(t_small_dir, out, wave_size=2)
     assert s["rows"] == 1173
+
+
+def test_resume_rejects_shrunk_corpus(t_small_dir, tmp_path):
+    """A corpus missing files the manifest already committed is
+    ambiguous (totals would include vanished data) -> hard error."""
+    import shutil as sh
+
+    corpus = tmp_path / "shrink_corpus"
+    sh.copytree(t_small_dir, corpus)
+    out = tmp_path / "shrink_out"
+    run_flagship(corpus, out, wave_size=4)
+    victim = sorted(corpus.glob("*.parquet"))[0]
+    victim.unlink()
+    with pytest.raises(ValueError, match="missing from the corpus"):
+        run_flagship(corpus, out, wave_size=4)
+
+
+def test_incremental_append_processes_only_new_files(t_small_dir, tmp_path):
+    """The streaming-collector contract (SURVEY §2.9): append shards,
+    re-run the same out_root -> only the new files are processed, and
+    totals + aggregate artifact equal a fresh full run bit-for-bit."""
+    import shutil as sh
+
+    import alco_ray.pipelines.flagship as fl
+
+    all_files = sorted(Path(t_small_dir).glob("*.parquet"))
+    assert len(all_files) >= 4
+    grow = tmp_path / "grow_corpus"
+    grow.mkdir()
+    for f in all_files[:-2]:
+        sh.copy(f, grow / f.name)
+
+    out = tmp_path / "grow_out"
+    run_flagship(grow, out, wave_size=4)
+    n_waves_before = len(CheckpointManifest(out).waves)
+
+    # Append the last two shards; count how many waves actually run by
+    # spying on promote_staging (one promote per executed wave).
+    for f in all_files[-2:]:
+        sh.copy(f, grow / f.name)
+    executed = []
+    orig = fl.promote_staging
+
+    def spy(staging_dir, out_root, wave_id):
+        executed.append(wave_id)
+        return orig(staging_dir, out_root, wave_id)
+
+    fl.promote_staging = spy
+    try:
+        summary = run_flagship(grow, out, wave_size=4)
+    finally:
+        fl.promote_staging = orig
+
+    assert len(executed) == 1  # 2 new files, wave_size 4 -> one wave
+    m = CheckpointManifest(out)
+    assert len(m.waves) == n_waves_before + 1
+    appended_names = {f.name for f in all_files[-2:]}
+    new_wave = m.waves[executed[0]]
+    assert {Path(p).name for p in new_wave["input_files"]} == appended_names
+
+    # Bit-for-bit vs a fresh full run over the same (grown) corpus.
+    fresh_out = tmp_path / "fresh_out"
+    fresh = run_flagship(grow, fresh_out, wave_size=4)
+    assert summary["rows"] == fresh["rows"]
+    assert summary["parse_failures"] == fresh["parse_failures"]
+    assert summary["routed_counts"] == fresh["routed_counts"]
+    a = pq.read_table(out / "aggregates" / "interval_counts")
+    b = pq.read_table(fresh_out / "aggregates" / "interval_counts")
+    assert a.equals(b)
+    got = _read_out(out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = _read_out(fresh_out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got.equals(want)
