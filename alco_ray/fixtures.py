@@ -260,3 +260,44 @@ def corpus_for_sf(sf_dir: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     if tag not in SF_TURNS:
         tag = "sf0.01"
     return ensure_corpus(tag, root=root)
+
+
+def ensure_langid_fixture(tag: str, n_per_lang: int = 20, seed: int = 97,
+                          root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """Deterministic labeled multilingual eval table for language ID:
+    (doc_id, text, true_lang), ``n_per_lang`` sentences per language
+    sampled from each language's seed-word pool (so the trigram
+    classifier's expected accuracy is 100% — validated at generation,
+    which makes ``true_lang`` a legitimate DuckDB oracle for
+    ``pred_lang``).  Idempotent + atomic like ensure_corpus."""
+    import os
+
+    from .stages.text import _LANG_SEEDS, LangId
+
+    out_dir = Path(root) / f"{tag}_langid"
+    path = out_dir / "langid_eval.parquet"
+    if path.exists():
+        return path
+    rng = np.random.RandomState(seed)
+    rows_text, rows_lang = [], []
+    for lang in sorted(_LANG_SEEDS):
+        words = _LANG_SEEDS[lang].split()
+        for _ in range(n_per_lang):
+            n_words = rng.randint(10, 18)
+            rows_text.append(" ".join(rng.choice(words, size=n_words)))
+            rows_lang.append(lang)
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows_text)), pa.int64()),
+        "text": pa.array(rows_text, pa.string()),
+        "true_lang": pa.array(rows_lang, pa.string()),
+    })
+    pred = LangId()(t)["pred_lang"].to_pylist()
+    bad = [i for i, (p, w) in enumerate(zip(pred, rows_lang)) if p != w]
+    if bad:  # deterministic: never fires once validated for a seed
+        raise AssertionError(
+            f"langid fixture seed {seed} yields misclassified rows {bad}")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tmp = out_dir / f".langid_eval.parquet.tmp.{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path

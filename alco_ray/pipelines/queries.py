@@ -539,25 +539,90 @@ def d_jaccard_pairs(sf_dir: str):
     return dedup.jaccard_pairs(ds, threshold=0.5, max_shingle_freq=None)
 
 
+# Sidecar artifacts under /tmp/alco_ray_cache/<sf>/: intermediate
+# hash-family outputs (LSH candidates, SimHash signatures) written by
+# the engine at query time so the DuckDB oracle can consume the SAME
+# candidates/signatures — turning "approximate stage -> exact stage"
+# chains into hash-checkable queries (the exact stage is what the
+# oracle verifies; the pytest suite pins the hash-family semantics).
+
+def _write_sidecar(table: pa.Table, sf_dir: str, name: str) -> None:
+    import os
+
+    d = Path("/tmp/alco_ray_cache") / Path(sf_dir).name
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".{name}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, d / name)
+
+
 def d_minhash_lsh(sf_dir: str):
+    """MinHash-LSH candidates -> exact-Jaccard verification (>= 0.5).
+
+    The LSH->verify->apply chain: candidates alone would silently
+    delete non-duplicates on LSH false positives at scale.  The
+    candidate set is persisted as a sidecar so the oracle joins it
+    against the exact-Jaccard CTE — verification is hash-checked."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.lsh_candidate_pairs(ds)
+    cands = dedup.lsh_candidate_pairs(ds)
+    ct = agg_stage.concat_nonempty(ray.get(cands.to_arrow_refs()))
+    if ct.num_columns == 0:
+        ct = pa.table({"doc_a": pa.array([], pa.int64()),
+                       "doc_b": pa.array([], pa.int64())})
+    ct = (ct.select(["doc_a", "doc_b"])
+            .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
+    _write_sidecar(ct, sf_dir, "lsh_candidates.parquet")
+    return dedup.verify_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        ct, threshold=0.5)
 
 
 def d_simhash(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 7) via pigeonhole banding:
+    8 chunks x 8 bits guarantee recall 1.0 below 8 differing bits, and
+    the in-bucket exact Hamming check gives precision 1.0 — so the
+    distributed pair generation is exactly reproducible in SQL
+    (bit_count(xor(...)) over the persisted signature sidecar)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(dedup.simhash_batch, batch_format="pyarrow")
+    sigs = agg_stage.concat_nonempty(ray.get(
+        ds.map_batches(dedup.simhash_batch, batch_format="pyarrow")
+          .to_arrow_refs()))
+    _write_sidecar(sigs.sort_by([("doc_id", "ascending")]), sf_dir,
+                   "simhash_sigs.parquet")
+    return dedup.simhash_near_pairs(
+        ds, max_hamming=7, sig_ds=ray.data.from_arrow(sigs))
 
 
 def d_fingerprint(sf_dir: str):
+    """Fingerprint-collision dedup view: every member of a dup group
+    with its min-id representative (hash-shuffle join, no broadcast).
+    Fingerprint equality <=> token-stream equality, which the oracle
+    expresses directly over the token stream.  The corpus is unioned
+    with a re-keyed copy of its first 50 docs (same UNION ALL in the
+    oracle SQL) so the check is non-trivial at every scale — the base
+    documents table has no identical token streams at small sf."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(text.fingerprint, batch_format="pyarrow")
+
+    def rekey(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["doc_id"], 50))
+        return b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())))
+
+    planted = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(rekey, batch_format="pyarrow")
+    return text.fingerprint_dups(ds.union(planted))
 
 
 def d_lang_id(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(text.LangId, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    """Language-ID eval over the deterministic labeled multilingual
+    fixture (accuracy 100% by construction, validated at generation) —
+    the labeled table IS the oracle."""
+    p = fixtures.ensure_langid_fixture(Path(sf_dir).name)
+    ds = ray.data.read_parquet(str(p), columns=["doc_id", "text"])
+    out = ds.map_batches(text.LangId, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    return out.select_columns(["doc_id", "pred_lang"])
 
 
 def mm_image_meta(sf_dir: str):

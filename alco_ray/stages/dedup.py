@@ -325,6 +325,147 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         Sum("n_bands", alias_name="n_bands"))
 
 
+def verify_pairs(ds, candidates, threshold: float = 0.5, *,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3, max_candidates: int = 50_000_000):
+    """Exact-Jaccard verification of candidate near-dup pairs.
+
+    ``candidates`` (Dataset/Table of doc_a, doc_b — e.g. from
+    :func:`lsh_candidate_pairs`) are APPROXIMATE: at scale, feeding
+    them straight into :func:`dedup_apply` silently deletes
+    non-duplicate documents on LSH false positives.  This operator
+    computes the exact n-gram Jaccard for candidate pairs only and
+    keeps those at/above ``threshold``.
+
+    Shape: semi-join the corpus to the involved doc ids (broadcast —
+    candidates are small relative to the corpus; ``max_candidates``
+    makes that a checked limit), run the exact bucketed pair kernel
+    over that subset (cost ~ |involved|, not corpus), then intersect
+    with the candidate set.  Returns Dataset(doc_a, doc_b, inter, uni).
+    """
+    import ray
+    import ray.data
+
+    from .aggregate import concat_nonempty
+
+    if hasattr(candidates, "to_arrow_refs"):
+        candidates = concat_nonempty(ray.get(candidates.to_arrow_refs()))
+    if candidates.num_rows > max_candidates:
+        raise ValueError(
+            f"verify_pairs: {candidates.num_rows} candidates exceed "
+            f"max_candidates={max_candidates}; verify in shards")
+    if candidates.num_rows == 0:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "inter": pa.array([], pa.int64()),
+                          "uni": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    a = candidates["doc_a"].to_numpy(zero_copy_only=False)
+    b = candidates["doc_b"].to_numpy(zero_copy_only=False)
+    involved = pa.array(np.unique(np.concatenate([a, b])))
+    iref = ray.put(involved)
+
+    def keep_involved(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=ray.get(iref)))
+
+    sub = ds.map_batches(keep_involved, batch_format="pyarrow")
+    exact = jaccard_pairs(sub, threshold, text_col=text_col, id_col=id_col,
+                          k=k, max_shingle_freq=None,
+                          n_buckets=suggest_pair_partitions(len(involved)))
+    exact_t = concat_nonempty(ray.get(exact.to_arrow_refs()))
+    if exact_t.num_rows == 0 or exact_t.num_columns == 0:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "inter": pa.array([], pa.int64()),
+                          "uni": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    # Intersect exact pairs among involved docs with the candidate set
+    # (exact pairs between involved-but-not-candidate docs must not
+    # leak through).  Both tables are bounded; exact pandas merge.
+    got = exact_t.to_pandas().merge(
+        candidates.select(["doc_a", "doc_b"]).to_pandas(),
+        on=["doc_a", "doc_b"], how="inner")
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        got, preserve_index=False).select(["doc_a", "doc_b", "inter", "uni"]))
+
+
+def simhash_near_pairs(ds, max_hamming: int = 7, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_chunks: int = 8, max_bucket: int | None = None,
+                       sig_ds=None):
+    """All pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Banded by pigeonhole: the 64-bit signature splits into ``n_chunks``
+    equal bit-chunks; a pair differing in <= n_chunks-1 bits must agree
+    on at least one chunk, so grouping by (chunk_id, chunk_value)
+    reaches **recall 1.0** for ``max_hamming < n_chunks``, and the
+    in-bucket exact Hamming check gives precision 1.0 — making the
+    distributed pair generation exactly SQL-checkable from the
+    signature table.  ``max_bucket``, when set, caps degenerate-bucket
+    quadratic blowup at scale (trades recall, like LSH).  ``sig_ds``
+    lets the caller reuse precomputed (id, simhash) signatures.
+    """
+    import pandas as pd  # noqa: F811
+
+    import ray.data
+    from ray.data.aggregate import Min
+
+    assert 64 % n_chunks == 0 and max_hamming < n_chunks
+    bits = 64 // n_chunks
+    sigs = sig_ds if sig_ds is not None else ds.map_batches(
+        lambda t: simhash_batch(t, text_col, id_col), batch_format="pyarrow")
+    n_parts = suggest_pair_partitions(ds.count(), expansion=n_chunks)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sig = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        chunk_ids = np.tile(np.arange(n_chunks, dtype=np.int32), n)
+        shifts = (np.arange(n_chunks, dtype=np.uint64) * np.uint64(bits))
+        vals = ((sig[:, None] >> shifts[None, :])
+                & np.uint64((1 << bits) - 1)).reshape(-1)
+        # partition on (chunk, value): a (chunk, value) bucket lives in
+        # exactly one partition
+        mix = (vals.view(np.int64)
+               ^ (chunk_ids.astype(np.int64) * 0x9E3779B9))
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_chunks)),
+            "sig": pa.array(np.repeat(sig.view(np.int64), n_chunks)),
+            "chunk_id": pa.array(chunk_ids),
+            "chunk_val": pa.array(vals.view(np.int64)),
+            "part": pa.array((mix & (n_parts - 1)).astype(np.int32)),
+        })
+
+    parts = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None:
+            sz = g.groupby(["chunk_id", "chunk_val"])[id_col].transform("size")
+            g = g[sz <= max_bucket]
+        m = g.merge(g, on=["chunk_id", "chunk_val"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        x = (m["sig_a"].to_numpy().astype(np.int64).view(np.uint64)
+             ^ m["sig_b"].to_numpy().astype(np.int64).view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        out = pd.DataFrame({"doc_a": m[f"{id_col}_a"].to_numpy(),
+                            "doc_b": m[f"{id_col}_b"].to_numpy(),
+                            "hamming": ham})
+        out = out[out["hamming"] <= max_hamming]
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    partials = parts.groupby("part").map_groups(pairs_in_part,
+                                                batch_format="pandas")
+    # distinct across partitions (a pair can agree on chunks living in
+    # different partitions)
+    return partials.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
 def dedup_apply(ds, pairs, *, id_col: str = "doc_id"):
     """Keep one representative per near-dup cluster.
 

@@ -204,6 +204,42 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
                      "fingerprint": pa.array(out.view(np.int64), pa.int64())})
 
 
+def fingerprint_dups(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Documents whose token-stream fingerprint collides with another's:
+    (doc_id, rep_doc_id = min id of the colliding group) — one row per
+    member of every dup group, representatives included.
+
+    Fingerprint equality <=> token-stream equality (64-bit rolling
+    hash; collisions are the usual negligible-risk trade), so this is
+    the content-identity dedup view.  Shape: map-side fingerprints ->
+    groupby(fingerprint) to find dup groups -> hash-shuffle join of the
+    (small) dup-group table back to the fingerprint rows — both sides
+    partition on the same key, no broadcast of an unbounded set."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    fps = ds.map_batches(
+        lambda b: fingerprint(b, text_col, id_col), batch_format="pyarrow")
+    groups = fps.groupby("fingerprint").aggregate(
+        Min(id_col, alias_name="rep_doc_id"), Count(alias_name="n"))
+    dup_groups = groups.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)).drop_columns(["n"]),
+        batch_format="pyarrow").materialize()
+    if dup_groups.count() == 0:
+        # A fully-empty join side crashes Ray's hash join (ray 2.49.2:
+        # ArrowInvalid "no match for key field on right side"); a
+        # dup-free corpus is a 0-row answer, not a crash.
+        import ray.data
+
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "rep_doc_id": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = fps.join(dup_groups, "inner", num_partitions=n_parts,
+                      on=("fingerprint",))
+    return joined.select_columns([id_col, "rep_doc_id"])
+
+
 # Character-trigram profiles per language, built deterministically from
 # tiny embedded seed text.  This is a heuristic n-gram language ID
 # (stub-grade: real pipelines plug a model here); the Ray plumbing —

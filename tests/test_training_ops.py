@@ -447,3 +447,57 @@ def test_cosine_dup_pairs_guard_dispatch():
     e = set(zip(exact["vec_a"], exact["vec_b"]))
     b = set(zip(bucketed["vec_a"], bucketed["vec_b"]))
     assert b <= e  # verified: no false positives
+
+
+def test_verify_pairs_filters_false_positives():
+    t = _docs_table()
+    ds = ray.data.from_arrow(t)
+    # Candidates: one true near-dup pair, one unrelated pair (an LSH
+    # false positive), one exact-dup pair.
+    cands = pa.table({"doc_a": pa.array([0, 0, 0], pa.int64()),
+                      "doc_b": pa.array([1, 2, 3], pa.int64())})
+    got = dedup.verify_pairs(ds, cands, threshold=0.5).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs and (0, 2) in pairs   # real dups survive
+    assert (0, 3) not in pairs                   # false positive killed
+    # inter/uni match the brute-force shingle sets
+    texts = t["text"].to_pylist()
+    for _, r in got.iterrows():
+        sa = _py_shingles(texts[int(r.doc_a)])
+        sb = _py_shingles(texts[int(r.doc_b)])
+        assert r.inter == len(sa & sb) and r.uni == len(sa | sb)
+    # verify never invents pairs outside the candidate set: docs 0 and
+    # 1 are both involved, but only listed pairs can come back
+    assert pairs <= {(0, 1), (0, 2), (0, 3)}
+
+
+def test_simhash_near_pairs_exhaustive_vs_bruteforce():
+    # Pigeonhole banding must find EXACTLY the pairs with hamming <=
+    # max_hamming (recall and precision 1.0) — compare against the
+    # all-pairs answer on a corpus with planted near-identical docs.
+    t = _docs_table()
+    got = dedup.simhash_near_pairs(
+        ray.data.from_arrow(t), max_hamming=7).to_pandas()
+    sig = dedup.simhash_batch(t)
+    h = np.asarray(sig["simhash"]).view(np.uint64)
+    expect = {}
+    for a in range(len(h)):
+        for b in range(a + 1, len(h)):
+            d = bin(int(h[a]) ^ int(h[b])).count("1")
+            if d <= 7:
+                expect[(a, b)] = d
+    assert {(a, b): d for a, b, d in
+            zip(got["doc_a"], got["doc_b"], got["hamming"])} == expect
+    assert expect, "fixture must contain at least one near pair"
+
+
+def test_fingerprint_dups_and_empty_corpus():
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c", "b c a", "a b c", "x y z"])})
+    got = text.fingerprint_dups(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(zip(got["doc_id"], got["rep_doc_id"])) == [(0, 0), (2, 0)]
+    # corpus without any dup: 0 rows, not a crashed hash join
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(["a b c", "x y z"])})
+    got2 = text.fingerprint_dups(ray.data.from_arrow(t2)).to_pandas()
+    assert len(got2) == 0
