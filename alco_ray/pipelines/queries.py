@@ -521,6 +521,23 @@ def d_dedup_exact(sf_dir: str):
     return dedup.dedup_exact(ds, ["text"], "doc_id")
 
 
+def d_dedup_exact_rows(sf_dir: str):
+    """Full-row exact dedup (keep min-doc_id row per text), over the
+    corpus unioned with a re-keyed copy of its first 50 docs so real
+    duplicates exist at every scale (mirrored in the oracle SQL)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["doc_id"], 50))
+        return b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())))
+
+    planted = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(rekey, batch_format="pyarrow")
+    return dedup.dedup_exact_rows(ds.union(planted), ["text"], "doc_id")
+
+
 def d_dedup_apply(sf_dir: str):
     """End-to-end near-dedup: Jaccard pairs -> connected components ->
     keep the min-id representative per cluster."""
@@ -718,6 +735,7 @@ REGISTRY = {
     "d_token_stats": d_token_stats,
     "d_quality": d_quality,
     "d_dedup_exact": d_dedup_exact,
+    "d_dedup_exact_rows": d_dedup_exact_rows,
     "d_dedup_apply": d_dedup_apply,
     "d_jaccard_pairs": d_jaccard_pairs,
     "d_minhash_lsh": d_minhash_lsh,

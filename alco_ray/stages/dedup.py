@@ -108,6 +108,37 @@ def shingle_explode(batch: pa.Table, text_col: str = "text",
     })
 
 
+def dedup_exact_rows(ds, key_cols: list[str], order_col: str, *,
+                     n_parts: int | None = None):
+    """Full-row exact dedup: keep the first row (minimum ``order_col``)
+    per exact key, with ALL columns — the operator users actually want
+    when "dedup" means "give me the surviving rows".
+
+    Shape: hash-partition on the key columns (a key lives in exactly
+    one partition), then ONE vectorized sort + drop_duplicates per
+    partition — no per-group Python, no broadcast, shuffle volume =
+    input size once."""
+    import pandas as pd  # noqa: F811
+
+    from .window import default_hash_parts
+
+    n_parts = n_parts or default_hash_parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.select(key_cols).to_pandas(), index=False).to_numpy()
+        return b.append_column(
+            "part", pa.array((h % n_parts).astype(np.int32)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, order_col], kind="mergesort")
+        return g.drop_duplicates(subset=key_cols, keep="first") \
+                .drop(columns=["part"])
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("part").map_groups(body, batch_format="pandas")
+
+
 def suggest_pair_partitions(n_rows: int, rows_per_part: int = 250_000,
                             expansion: int = 128, lo: int = 32,
                             hi: int = 1 << 16) -> int:

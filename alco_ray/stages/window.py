@@ -27,13 +27,20 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _default_parts() -> int:
+def default_hash_parts() -> int:
+    """Default key-hash partition count for partition-local kernels
+    (here and in dedup_exact_rows): a multiple of cluster CPUs,
+    power-of-two.  Callers override when rows/n_parts outgrows a
+    worker's heap."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     want = max(64, 4 * cpus)
     return 1 << (want - 1).bit_length()
+
+
+_default_parts = default_hash_parts
 
 
 def _partitioned(ds, key_col: str, n_parts: int | None = None):

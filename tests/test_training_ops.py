@@ -501,3 +501,19 @@ def test_fingerprint_dups_and_empty_corpus():
                    "text": pa.array(["a b c", "x y z"])})
     got2 = text.fingerprint_dups(ray.data.from_arrow(t2)).to_pandas()
     assert len(got2) == 0
+
+
+def test_dedup_exact_rows_keeps_full_first_row():
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 3, 2], pa.int64()),
+        "text": pa.array(["same", "same", "other", "same"]),
+        "extra": pa.array([50, 10, 30, 20], pa.int64()),
+    })
+    got = dedup.dedup_exact_rows(
+        ray.data.from_arrow(t), ["text"], "doc_id").to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    # min-doc_id row per text, all columns preserved
+    assert got.to_dict("records") == [
+        {"doc_id": 1, "text": "same", "extra": 10},
+        {"doc_id": 3, "text": "other", "extra": 30},
+    ]
