@@ -60,16 +60,19 @@ def _make_block_writer(staging_dir: str, partition_cols: list[str]):
         # batch still overwrites its own output.
         import pandas as pd
 
-        hs = []
-        for c in batch.column_names:
-            try:
-                hs.append(pd.util.hash_array(
-                    b[c].to_numpy(zero_copy_only=False)).sum())
-            except TypeError:
-                # non-hashable (nested) column: fall back to its
-                # length-prefixed string form
-                hs.append(pd.util.hash_array(
-                    np.asarray(b[c].to_pylist(), dtype=object)).sum())
+        def col_hash(arr):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # nested (list) columns: hash the flattened leaf values —
+            # pandas can't hash array-valued rows
+            while pa.types.is_list(arr.type) \
+                    or pa.types.is_fixed_size_list(arr.type) \
+                    or pa.types.is_large_list(arr.type):
+                arr = pa.compute.list_flatten(arr)
+            return pd.util.hash_array(
+                arr.to_numpy(zero_copy_only=False)).sum()
+
+        hs = [col_hash(b[c]) for c in batch.column_names]
         ident = hashlib.sha1(
             (f"{n}:" + ":".join(f"{h:x}" for h in hs)).encode()
         ).hexdigest()[:16]

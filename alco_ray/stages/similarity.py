@@ -333,6 +333,153 @@ def lsh_bucket_batch(batch: pa.Table, *, col: str = "embedding",
     return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
 
 
+def _probe_bucket_set(base: int, n_probe_bits: int) -> set[int]:
+    """The query's LSH bucket plus all buckets within Hamming distance
+    ``n_probe_bits`` of it (multi-probe)."""
+    probe = {base}
+    if n_probe_bits >= 1:
+        for i in range(_N_PLANES):
+            probe.add(base ^ (1 << i))
+    if n_probe_bits >= 2:
+        for i in range(_N_PLANES):
+            for j in range(i + 1, _N_PLANES):
+                probe.add(base ^ (1 << i) ^ (1 << j))
+    return probe
+
+
+def build_lsh_index(ds, index_dir, *, col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 777) -> None:
+    """Persisted ANN index, built ONCE and probed many times (the
+    Sphinx-index analog): rows are written as bucket-partitioned
+    Parquet (``bucket=<b>/``) via the idempotent partitioned sink, plus
+    a meta sidecar pinning the hash family.  Probes then read ONLY the
+    probed bucket directories — no per-query corpus re-scan or
+    re-assignment."""
+    import json
+    import os
+    from pathlib import Path
+
+    from ..sinks import _make_block_writer
+
+    d = Path(index_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    writer = _make_block_writer(str(d), ["bucket"])
+    bucketed = ds.map_batches(
+        lambda b: lsh_bucket_batch(b, col=col, seed=seed),
+        batch_format="pyarrow")
+    bucketed.map_batches(writer, batch_format="pyarrow").materialize()
+    tmp = d / f".meta.json.tmp.{os.getpid()}"
+    tmp.write_text(json.dumps({"kind": "lsh", "n_planes": _N_PLANES,
+                               "seed": seed, "col": col,
+                               "id_col": id_col}))
+    os.replace(tmp, d / "meta.json")
+
+
+def knn_lsh_probe(index_dir, query_vec, k: int = 10, *,
+                  n_probe_bits: int = 2):
+    """Partition-pruned ANN probe against a persisted LSH index: read
+    only the probed ``bucket=<b>/`` directories, exact cosine within.
+    Cost scales with the probed fraction of the corpus, independent of
+    how many queries have run before."""
+    import json
+    from pathlib import Path
+
+    import ray.data
+
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _planes(len(q), meta["seed"])
+    base = int(((q @ planes) >= 0) @ (1 << np.arange(meta["n_planes"])))
+    probe = _probe_bucket_set(base, n_probe_bits)
+    dirs = [d / f"bucket={b}" for b in sorted(probe)]
+    files = [str(p) for b in dirs if b.is_dir()
+             for p in sorted(b.glob("*.parquet"))]
+    if not files:
+        empty = pa.table({meta["id_col"]: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    ds = ray.data.read_parquet(files)
+    return knn_brute(ds, q, k, col=meta["col"], id_col=meta["id_col"])
+
+
+def build_ivf_index(ds, index_dir, n_centroids: int = 16, *,
+                    col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 123) -> None:
+    """Persisted IVF index: k-means coarse quantizer trained once, rows
+    written as inverted-list-partitioned Parquet (``list=<cid>/``) with
+    a centroid sidecar — probes read only the probed lists."""
+    import json
+    import os
+    from pathlib import Path
+
+    import ray
+
+    from ..sinks import _make_block_writer
+
+    d = Path(index_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    cents = ivf_centroids(ds, n_centroids, col=col, seed=seed)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _matrix(batch, col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cid = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("list", pa.array(cid))
+
+    writer = _make_block_writer(str(d), ["list"])
+    ds.map_batches(assign, batch_format="pyarrow") \
+      .map_batches(writer, batch_format="pyarrow").materialize()
+    import pyarrow.parquet as pq
+
+    cent_t = pa.table({
+        "cid": pa.array(np.arange(len(cents), dtype=np.int32)),
+        "centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array(cents.reshape(-1), pa.float64()), cents.shape[1]),
+    })
+    tmpp = d / f".centroids.parquet.tmp.{os.getpid()}"
+    pq.write_table(cent_t, tmpp)
+    os.replace(tmpp, d / "centroids.parquet")
+    tmp = d / f".meta.json.tmp.{os.getpid()}"
+    tmp.write_text(json.dumps({"kind": "ivf", "n_centroids": len(cents),
+                               "seed": seed, "col": col,
+                               "id_col": id_col}))
+    os.replace(tmp, d / "meta.json")
+
+
+def knn_ivf_probe(index_dir, query_vec, k: int = 10, *, n_probe: int = 4):
+    """Partition-pruned probe against a persisted IVF index: rank the
+    sidecar centroids, read only the top ``n_probe`` list directories,
+    exact cosine within."""
+    import json
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    cent_t = pq.read_table(d / "centroids.parquet")
+    cents = _matrix(cent_t, "centroid")
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    files = [str(p) for cid in probe
+             for p in sorted((d / f"list={cid}").glob("*.parquet"))
+             if (d / f"list={cid}").is_dir()]
+    if not files:
+        empty = pa.table({meta["id_col"]: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    ds = ray.data.read_parquet(files)
+    return knn_brute(ds, q, k, col=meta["col"], id_col=meta["id_col"])
+
+
 def knn_lsh(ds, query_vec, k: int = 10, *, col: str = "embedding",
             id_col: str = "vec_id", seed: int = 777, n_probe_bits: int = 2):
     """Approximate cosine top-k: probe the query's LSH bucket plus all
@@ -346,15 +493,7 @@ def knn_lsh(ds, query_vec, k: int = 10, *, col: str = "embedding",
     planes = _planes(len(q), seed)
     qbits = (q @ planes) >= 0
     base = int(qbits @ (1 << np.arange(_N_PLANES)))
-
-    probe = {base}
-    if n_probe_bits >= 1:
-        for i in range(_N_PLANES):
-            probe.add(base ^ (1 << i))
-    if n_probe_bits >= 2:
-        for i in range(_N_PLANES):
-            for j in range(i + 1, _N_PLANES):
-                probe.add(base ^ (1 << i) ^ (1 << j))
+    probe = _probe_bucket_set(base, n_probe_bits)
 
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, col=col, seed=seed),

@@ -517,3 +517,37 @@ def test_dedup_exact_rows_keeps_full_first_row():
         {"doc_id": 1, "text": "same", "extra": 10},
         {"doc_id": 3, "text": "other", "extra": 30},
     ]
+
+
+def test_persisted_ann_indexes_build_once_probe_pruned(tmp_path):
+    t, m = _vec_table(n=300, d=16, seed=21)
+    ds = ray.data.from_arrow(t)
+
+    # LSH: build once, probe twice; the probe must touch only a strict
+    # subset of the bucket partitions (partition pruning), and the
+    # query vector itself must come back rank 1.
+    lsh_dir = tmp_path / "lsh"
+    similarity.build_lsh_index(ds, lsh_dir)
+    all_buckets = {p.name for p in lsh_dir.glob("bucket=*")}
+    assert len(all_buckets) > 8
+    import json
+    meta = json.loads((lsh_dir / "meta.json").read_text())
+    q = m[7].astype(np.float64)
+    planes = similarity._planes(len(q), meta["seed"])
+    base = int(((q @ planes) >= 0) @ (1 << np.arange(meta["n_planes"])))
+    probe = similarity._probe_bucket_set(base, 2)
+    probed_present = {f"bucket={b}" for b in probe} & all_buckets
+    assert 0 < len(probed_present) < len(all_buckets)  # pruned read
+    for _ in range(2):  # build once, probe many
+        got = similarity.knn_lsh_probe(lsh_dir, q, k=5).to_pandas()
+        assert got["vec_id"].tolist()[0] == 7
+        assert got["sim"].tolist()[0] == pytest.approx(1.0)
+
+    # IVF: same contract over inverted lists.
+    ivf_dir = tmp_path / "ivf"
+    similarity.build_ivf_index(ds, ivf_dir, n_centroids=8)
+    lists = {p.name for p in ivf_dir.glob("list=*")}
+    assert len(lists) > 4
+    got = similarity.knn_ivf_probe(ivf_dir, q, k=5, n_probe=3).to_pandas()
+    assert got["vec_id"].tolist()[0] == 7  # self-query recall
+    assert len(got) == 5
