@@ -190,7 +190,8 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
                  cfg: PipelineConfig | None = None, *,
                  wave_size: int = 64,
                  encoder_concurrency=None,
-                 write_aggregates: bool = True) -> dict[str, Any]:
+                 write_aggregates: bool = True,
+                 dict_cache: str | Path | None = None) -> dict[str, Any]:
     """Run (or resume) the flagship ingest over a transcript corpus.
 
     Returns a summary dict with total metrics; detailed per-wave lineage
@@ -238,8 +239,13 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
     if pending:
         # Insert-if-absent growth keyed by already-scanned shards: a
         # resume/append run scans only new files, and ids already
-        # written into committed output never change.
-        dicts = build_or_load_dicts(files, cfg, out_root / "dicts")
+        # written into committed output never change.  ``dict_cache``
+        # lets runs over the same corpus share the artifact (ALCO's
+        # dictionaries live in Redis and are warm for every collector;
+        # rebuilding them per job is fixed cost the reference never
+        # pays).
+        dicts = build_or_load_dicts(files, cfg,
+                                    dict_cache or out_root / "dicts")
         dict_refs = {col: ray.put(t) for col, t in dicts.items()}
 
     for wave_id, wave_files in waves:
