@@ -581,11 +581,7 @@ def d_minhash_lsh(sf_dir: str):
     candidate set is persisted as a sidecar so the oracle joins it
     against the exact-Jaccard CTE — verification is hash-checked."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = dedup.lsh_candidate_pairs(ds)
-    ct = agg_stage.concat_nonempty(ray.get(cands.to_arrow_refs()))
-    if ct.num_columns == 0:
-        ct = pa.table({"doc_a": pa.array([], pa.int64()),
-                       "doc_b": pa.array([], pa.int64())})
+    ct = dedup.lsh_candidate_pairs(ds, as_table=True)
     ct = (ct.select(["doc_a", "doc_b"])
             .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
     _write_sidecar(ct, sf_dir, "lsh_candidates.parquet")

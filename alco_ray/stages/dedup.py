@@ -301,12 +301,17 @@ def band_explode(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, max_bucket: int = 256,
-                        n_parts: int | None = None):
+                        n_parts: int | None = None,
+                        as_table: bool = False):
     """MinHash-LSH candidate pairs: Dataset(doc_a, doc_b) distinct.
 
     Pipeline: signatures -> band explode -> groupby(band_id, band_hash)
     -> pairs per bucket -> distinct.  ``max_bucket`` caps quadratic
     blowup from degenerate buckets (boilerplate-heavy corpora).
+    ``as_table=True`` folds the cross-partition distinct driver-side
+    and returns a pa.Table — candidate lists are bounded by
+    construction, and a consumer that materializes them anyway (e.g.
+    the verify chain) saves one all-to-all shuffle's fixed latency.
     """
     import pandas as pd  # noqa: F811
 
@@ -352,6 +357,18 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     partials = parts.groupby("part").map_groups(pairs_in_part,
                                                 batch_format="pandas")
     # distinct pairs (a pair can collide in several bands / partitions)
+    if as_table:
+        import ray
+
+        from .aggregate import concat_nonempty
+
+        t = concat_nonempty(ray.get(partials.to_arrow_refs()))
+        if t.num_columns == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_bands": pa.array([], pa.int64())})
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("n_bands", "sum")])
+        return g.rename_columns(["doc_a", "doc_b", "n_bands"])
     return partials.groupby(["doc_a", "doc_b"]).aggregate(
         Sum("n_bands", alias_name="n_bands"))
 
@@ -400,6 +417,37 @@ def verify_pairs(ds, candidates, threshold: float = 0.5, *,
         return batch.filter(pc.is_in(batch[id_col], value_set=ray.get(iref)))
 
     sub = ds.map_batches(keep_involved, batch_format="pyarrow")
+
+    if candidates.num_rows <= 200_000 and len(involved) <= 200_000:
+        # Bounded candidate sets (the common case — that's the point
+        # of LSH): pull the involved rows once and verify per-pair
+        # with sorted-array intersections locally.  The distributed
+        # alternative costs TWO extra all-to-all shuffles whose fixed
+        # latency dwarfs this much compute.
+        subset = concat_nonempty(ray.get(
+            sub.select_columns([id_col, text_col]).to_arrow_refs()))
+        h, offs = _shingle_hashes(subset, text_col, k)
+        ids = subset[id_col].to_numpy(zero_copy_only=False)
+        pos = {int(i): j for j, i in enumerate(ids)}
+        inter = np.zeros(candidates.num_rows, dtype=np.int64)
+        uni = np.zeros(candidates.num_rows, dtype=np.int64)
+        for i in range(candidates.num_rows):
+            ja, jb = pos.get(int(a[i])), pos.get(int(b[i]))
+            if ja is None or jb is None:
+                continue
+            sa = h[offs[ja]:offs[ja + 1]]
+            sb = h[offs[jb]:offs[jb + 1]]
+            m = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter[i] = m
+            uni[i] = len(sa) + len(sb) - m
+        thr = round(threshold * 1000)
+        keep = (uni > 0) & (inter * 1000 >= uni * thr)
+        out = pa.table({"doc_a": pa.array(a[keep]),
+                        "doc_b": pa.array(b[keep]),
+                        "inter": pa.array(inter[keep], pa.int64()),
+                        "uni": pa.array(uni[keep], pa.int64())})
+        return ray.data.from_arrow(out)
+
     exact = jaccard_pairs(sub, threshold, text_col=text_col, id_col=id_col,
                           k=k, max_shingle_freq=None,
                           n_buckets=suggest_pair_partitions(len(involved)))
