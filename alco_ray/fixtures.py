@@ -301,3 +301,26 @@ def ensure_langid_fixture(tag: str, n_per_lang: int = 20, seed: int = 97,
     pq.write_table(t, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_jsonl_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """JSON-lines mirror of a Parquet corpus (ALCO's native wire format
+    is JSON messages): one ``<shard>.jsonl`` per Parquet shard, ``ts``
+    serialized as full-precision ISO-8601.  Idempotent + atomic; used
+    to prove the JSONL source ingests identically to the Parquet one."""
+    src = ensure_corpus(tag)
+    out_dir = Path(root) / f"{tag}_jsonl"
+    done = out_dir / "_COMPLETE"
+    if done.exists():
+        return out_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for p in sorted(src.glob("*.parquet")):
+        t = pq.read_table(p)
+        iso = _format_iso(t["ts"].combine_chunks().cast(pa.int64())
+                          .to_numpy(zero_copy_only=False))
+        df = t.drop_columns(["ts"]).append_column("ts", iso).to_pandas()
+        tmp = out_dir / f".{p.stem}.jsonl.tmp.{os.getpid()}"
+        df.to_json(tmp, orient="records", lines=True, force_ascii=False)
+        os.replace(tmp, out_dir / f"{p.stem}.jsonl")
+    done.touch()
+    return out_dir

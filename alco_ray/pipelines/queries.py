@@ -276,6 +276,60 @@ def t_context_errors(sf_dir: str):
                                  radius=1)
 
 
+def t_jsonl_routed(sf_dir: str):
+    """S1/S2 wire-format parity: the SAME corpus delivered as
+    JSON-lines (ALCO's native message format) must route identically —
+    the oracle reads the Parquet corpus, the engine the JSONL mirror,
+    and the routed counts must hash-match (exercises the ISO-ts
+    round-trip and the schema normalization in the JSONL source)."""
+    from ..sources import read_jsonl_transcripts
+
+    tag = fixtures.corpus_for_sf(sf_dir).name
+    jd = fixtures.ensure_jsonl_corpus(tag)
+    cfg = default_transcript_config()
+    ds = read_jsonl_transcripts(jd)
+    routed = (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow")
+                .map_batches(make_route_batch(cfg), batch_format="pyarrow"))
+    return agg_stage.routed_counts(routed)
+
+
+def d_vocab(sf_dir: str):
+    """Vocabulary build: top-100 tokens by corpus frequency (count
+    desc, token asc tie-break) — map-side per-batch token counts, one
+    hash-shuffle groupby over the unbounded token key, then top-k."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = text.token_explode(b)
+        g = (pa.table({"token": toks["token"]})
+             .group_by(["token"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["token", "cnt"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    g = p.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    return order.top_k(g, ["cnt", "token"], 100, descending=[True, False])
+
+
+def d_quality_filter(sf_dir: str):
+    """Quality filtering (the delete-side of quality scoring): keep
+    docs with >= 20 tokens and stopword ratio >= 10% — natural-language
+    documents a training pipeline would retain."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        q = text.quality_score(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(pc.multiply(q["n_stopwords"],
+                                         pa.scalar(10, pa.int64())),
+                             q["n_tokens"]))
+        return q.filter(keep).select(["doc_id", "n_tokens", "n_stopwords"])
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- events
 
 def _parsed_events(sf_dir: str) -> "ray.data.Dataset":
@@ -725,6 +779,7 @@ REGISTRY = {
     "t_dedup_backstop": t_dedup_backstop,
     "t_grep": t_grep,
     "t_dead_letter": t_dead_letter,
+    "t_jsonl_routed": t_jsonl_routed,
     # events analog
     "e_interval_counts": e_interval_counts,
     "e_routed_counts": e_routed_counts,
@@ -745,6 +800,8 @@ REGISTRY = {
     "d_token_explode": d_token_explode,
     "d_token_stats": d_token_stats,
     "d_quality": d_quality,
+    "d_quality_filter": d_quality_filter,
+    "d_vocab": d_vocab,
     "d_dedup_exact": d_dedup_exact,
     "d_dedup_exact_rows": d_dedup_exact_rows,
     "d_dedup_apply": d_dedup_apply,

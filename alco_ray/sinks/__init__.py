@@ -152,3 +152,91 @@ def promote_staging(staging_dir: str | Path, out_root: str | Path,
         n += 1
     shutil.rmtree(staging, ignore_errors=True)
     return n
+
+
+def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
+                       pattern: str = "sink=*/date=*") -> int:
+    """Small-file compaction of the routed sink tree (the Sphinx RT
+    segment-merge analog): within each partition directory, greedily
+    group files up to ``target_bytes`` and rewrite each group as one
+    file.  Crash-safe and idempotent without a manifest:
+
+    - a compacted file records its input basenames in the Parquet
+      key-value metadata; a recovery pass first deletes any recorded
+      inputs still present (crash between write and unlink);
+    - compacted outputs are named ``c-<hash-of-inputs>`` so a retry
+      overwrites its own file;
+    - already-compacted files participate in later compactions like
+      any other file (metadata is rewritten), so repeated calls
+      converge instead of re-growing.
+
+    Directories compact in parallel as Ray tasks (one task per
+    partition dir — the natural unit; no shuffle).  Returns the number
+    of files removed (inputs deleted minus outputs written).
+    """
+    import hashlib
+    import json
+
+    import ray
+
+    def compact_dir(d: str) -> int:
+        import pyarrow.parquet as pq_  # re-import inside the task
+
+        dp = Path(d)
+        removed = 0
+        # recovery: drop inputs a previous crash left behind
+        for c in dp.glob("c-*.parquet"):
+            meta = pq_.read_schema(c).metadata or {}
+            inputs = json.loads(meta.get(b"compacted_inputs", b"[]"))
+            for name in inputs:
+                victim = dp / name
+                if victim.exists() and victim != c:
+                    victim.unlink()
+                    removed += 1
+        files = sorted(p for p in dp.glob("*.parquet"))
+        if len(files) <= 1:
+            return removed
+        group: list[Path] = []
+        size = 0
+
+        def flush(group: list[Path]) -> int:
+            if len(group) <= 1:
+                return 0
+            import pyarrow as pa_
+
+            t = pa_.concat_tables([pq_.read_table(p) for p in group])
+            names = sorted(p.name for p in group)
+            h = hashlib.sha1("\n".join(names).encode()).hexdigest()[:16]
+            meta = dict(t.schema.metadata or {})
+            meta[b"compacted_inputs"] = json.dumps(names).encode()
+            t = t.replace_schema_metadata(meta)
+            dest = dp / f"c-{h}.parquet"
+            tmp = dp / f".c-{h}.parquet.tmp"
+            pq_.write_table(t, tmp)
+            import os as os_
+
+            os_.replace(tmp, dest)
+            n = 0
+            for p in group:
+                if p != dest:
+                    p.unlink()
+                    n += 1
+            return n - 1  # inputs removed minus one output added
+
+        for p in files:
+            sz = p.stat().st_size
+            if group and size + sz > target_bytes:
+                removed += flush(group)
+                group, size = [], 0
+            group.append(p)
+            size += sz
+        removed += flush(group)
+        return removed
+
+    dirs = sorted(str(d) for d in Path(out_root).glob(pattern) if d.is_dir())
+    if not dirs:
+        return 0
+    if ray.is_initialized():
+        worker = ray.remote(num_cpus=1)(compact_dir)
+        return sum(ray.get([worker.remote(d) for d in dirs]))
+    return sum(compact_dir(d) for d in dirs)

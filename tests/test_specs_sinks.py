@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pyarrow as pa
 
 from alco_ray import fixtures
@@ -85,3 +87,55 @@ def test_write_routed_standalone(tmp_path):
     assert len(files) == 4  # one per (sink, date)
     back = pq.read_table(sorted(tmp_path.glob("sink=a/date=2024-01-01/*"))[0])
     assert back.column_names == ["x"]  # partition cols live in the path
+
+
+def test_compact_partitions_preserves_rows(tmp_path):
+    """Compaction merges small files per partition dir, preserves row
+    content bit-for-bit, and is idempotent (a second call is a no-op)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from alco_ray.sinks import compact_partitions, write_routed
+
+    batch = fixtures.generate_transcripts(40, 400, seed=13)
+    cfg = default_transcript_config()
+    routed = make_route_batch(cfg)(make_parse_batch(cfg)(batch))
+    ds = ray.data.from_arrow(routed).repartition(12)
+    write_routed(ds, tmp_path, ["sink", "date"])
+
+    files_before = glob.glob(f"{tmp_path}/sink=*/date=*/*.parquet")
+    want = pq.read_table(sorted(files_before)) \
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+    removed = compact_partitions(tmp_path, target_bytes=1 << 30)
+    files_after = glob.glob(f"{tmp_path}/sink=*/date=*/*.parquet")
+    assert removed > 0 and len(files_after) < len(files_before)
+    # every dir with >1 input collapsed to one file under a big target
+    for d in set(str(Path(f).parent) for f in files_after):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    got = pq.read_table(sorted(files_after)) \
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.select(want.column_names).equals(want)
+
+    assert compact_partitions(tmp_path, target_bytes=1 << 30) == 0  # no-op
+
+
+def test_jsonl_source_matches_parquet(t_small_dir):
+    """The JSONL mirror of a Parquet corpus must ingest to an
+    identical table (schema + values) — the wire-format parity ALCO's
+    JSON messages require."""
+    import pyarrow.parquet as pq
+
+    from alco_ray.sources import read_jsonl_transcripts, read_transcripts
+
+    tag = Path(t_small_dir).name
+    jd = fixtures.ensure_jsonl_corpus(tag)
+    a = read_jsonl_transcripts(jd).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = read_transcripts(t_small_dir).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
