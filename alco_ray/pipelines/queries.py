@@ -747,6 +747,21 @@ def v_cosine_dup(sf_dir: str):
     return similarity.cosine_dup_pairs(ds, threshold=0.4)
 
 
+def v_cosine_dedup_apply(sf_dir: str):
+    """Embedding near-dedup end-to-end: cosine pairs -> connected
+    components -> keep the min-id representative per cluster (the
+    cross-family composition of v_cosine_dup and dedup_apply)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = similarity.cosine_dup_pairs(ds, threshold=0.4)
+    pairs_t = agg_stage.concat_nonempty(ray.get(pairs.to_arrow_refs()))
+    if pairs_t.num_columns == 0:
+        pairs_t = pa.table({"vec_a": pa.array([], pa.int64()),
+                            "vec_b": pa.array([], pa.int64())})
+    return dedup.dedup_apply(
+        _read(sf_dir, "embeddings", columns=["vec_id"]),
+        pairs_t.rename_columns(["doc_a", "doc_b"]), id_col="vec_id")
+
+
 def v_dims(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
@@ -817,5 +832,6 @@ REGISTRY = {
     "v_knn_lsh": v_knn_lsh,
     "v_knn_ivf": v_knn_ivf,
     "v_cosine_dup": v_cosine_dup,
+    "v_cosine_dedup_apply": v_cosine_dedup_apply,
     "v_dims": v_dims,
 }

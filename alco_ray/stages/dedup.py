@@ -486,9 +486,6 @@ def simhash_near_pairs(ds, max_hamming: int = 7, *,
     """
     import pandas as pd  # noqa: F811
 
-    import ray.data
-    from ray.data.aggregate import Min
-
     assert 64 % n_chunks == 0 and max_hamming < n_chunks
     bits = 64 // n_chunks
     sigs = sig_ds if sig_ds is not None else ds.map_batches(
@@ -518,31 +515,67 @@ def simhash_near_pairs(ds, max_hamming: int = 7, *,
     parts = sigs.map_batches(explode, batch_format="pyarrow")
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
-        if max_bucket is not None:
-            sz = g.groupby(["chunk_id", "chunk_val"])[id_col].transform("size")
-            g = g[sz <= max_bucket]
-        m = g.merge(g, on=["chunk_id", "chunk_val"], suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-        if not len(m):
+        # Segment-sorted numpy pair generation: a pandas self-merge
+        # materializes bucket^2 full-width rows (measured 11M rows /
+        # 75 s at sf0.1 under real chunk skew); triu indices + a
+        # filter-before-materialize popcount keep only index arrays
+        # and the surviving pairs.
+        ids = g[id_col].to_numpy()
+        sg = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        cid = g["chunk_id"].to_numpy()
+        cval = g["chunk_val"].to_numpy()
+        order = np.lexsort((cval, cid))
+        ids, sg, cid, cval = ids[order], sg[order], cid[order], cval[order]
+        n = len(ids)
+        change = np.empty(n, dtype=bool)
+        if n:
+            change[0] = True
+            change[1:] = (cid[1:] != cid[:-1]) | (cval[1:] != cval[:-1])
+        starts = np.flatnonzero(change) if n else np.zeros(0, np.int64)
+        ends = np.append(starts[1:], n)
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or (max_bucket is not None and m > max_bucket):
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            x = sg[s:e][ia] ^ sg[s:e][ib]
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            if not keep.any():
+                continue
+            # Emit each pair from its SMALLEST agreeing chunk only:
+            # both full signatures are present in every matching
+            # bucket, so global uniqueness holds by construction and
+            # the cross-partition distinct shuffle (measured as the
+            # dominant cost) disappears entirely.
+            xk = x[keep]
+            mask = np.uint64((1 << bits) - 1)
+            agree = np.stack([(xk >> np.uint64(c * bits)) & mask == 0
+                              for c in range(n_chunks)], axis=1)
+            first_agree = np.argmax(agree, axis=1)
+            mine = first_agree == int(cid[s])
+            if not mine.any():
+                continue
+            aa = ids[s:e][ia[keep][mine]]
+            bb = ids[s:e][ib[keep][mine]]
+            swap = aa > bb
+            out_a.append(np.where(swap, bb, aa))
+            out_b.append(np.where(swap, aa, bb))
+            out_h.append(ham[keep][mine])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
-        x = (m["sig_a"].to_numpy().astype(np.int64).view(np.uint64)
-             ^ m["sig_b"].to_numpy().astype(np.int64).view(np.uint64))
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                            axis=1).sum(axis=1).astype(np.int64)
-        out = pd.DataFrame({"doc_a": m[f"{id_col}_a"].to_numpy(),
-                            "doc_b": m[f"{id_col}_b"].to_numpy(),
-                            "hamming": ham})
-        out = out[out["hamming"] <= max_hamming]
-        return out.drop_duplicates(["doc_a", "doc_b"])
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    partials = parts.groupby("part").map_groups(pairs_in_part,
-                                                batch_format="pandas")
-    # distinct across partitions (a pair can agree on chunks living in
-    # different partitions)
-    return partials.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    # No distinct stage: min-agreeing-chunk emission is globally unique
+    # by construction (see pairs_in_part).
+    return parts.groupby("part").map_groups(pairs_in_part,
+                                            batch_format="pandas")
 
 
 def dedup_apply(ds, pairs, *, id_col: str = "doc_id"):
