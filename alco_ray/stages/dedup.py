@@ -40,42 +40,42 @@ from .text import hash_tokens, segmented_window_hashes
 MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
-def dedup_exact(ds, key_cols: list[str], order_col: str):
+def dedup_exact(ds, key_cols: list[str], order_col: str, *,
+                n_parts: int | None = None):
     """One row per exact key: (key_cols..., <order_col> of the kept
-    representative = group min, n_dups).  Hash-shuffle groupby with
-    map-side combine — fully vectorized (no per-group Python), the
-    D1 row-level backstop.  To recover full rows, semi-join the result
-    back on (key, order) with :func:`ray.data.Dataset.join`."""
-    from ray.data.aggregate import Count, Min
+    representative = group min, n_dups) — the D1 row-level backstop.
 
-    # Timestamp order columns ride as int64 micros: Ray's groupby
-    # Min re-infers the unit from the values (second-aligned data
-    # comes back timestamp[s]), making the output schema unstable.
-    ts_type = None
-    sch = ds.schema(fetch_if_missing=True)
-    if sch is not None and order_col in sch.names:
-        t = sch.base_schema.field(order_col).type
-        if pa.types.is_timestamp(t):
-            ts_type = t
+    Shape: hash-partition on the key columns (a key lives in exactly
+    one partition), then ONE vectorized pandas aggregation per
+    partition.  Ray's own hash-shuffle aggregate measured ~44k rows/s
+    on this path (30 s for 1.3M rows at sf0.1); the partitioned
+    pandas groupby is bounded only by the shuffle.  This also
+    sidesteps Ray's value-dependent timestamp-unit re-inference
+    (second-aligned timestamp[us] came back timestamp[s] from
+    Dataset.groupby Min).  To recover full rows use
+    :func:`dedup_exact_rows`."""
+    import pandas as pd  # noqa: F811
 
-            def to_i64(b: pa.Table) -> pa.Table:
-                i = b.schema.get_field_index(order_col)
-                return b.set_column(i, order_col,
-                                    pc.cast(b[order_col], pa.int64()))
+    from .window import default_hash_parts
 
-            ds = ds.map_batches(to_i64, batch_format="pyarrow")
+    n_parts = n_parts or default_hash_parts()
 
-    out = ds.groupby(key_cols).aggregate(
-        Min(order_col, alias_name=order_col),
-        Count(alias_name="n_dups"),
-    )
-    if ts_type is not None:
-        def back(b: pa.Table) -> pa.Table:
-            i = b.schema.get_field_index(order_col)
-            return b.set_column(i, order_col, pc.cast(b[order_col], ts_type))
+    def add_part(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.select(key_cols).to_pandas(), index=False).to_numpy()
+        return b.append_column(
+            "part", pa.array((h % n_parts).astype(np.int32)))
 
-        out = out.map_batches(back, batch_format="pyarrow")
-    return out
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(key_cols, sort=False, dropna=False)
+                .agg(**{order_col: (order_col, "min"),
+                        "n_dups": (order_col, "size")})
+                .reset_index())
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("part").map_groups(body, batch_format="pandas")
 
 
 def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 3
@@ -186,6 +186,8 @@ def jaccard_pairs(ds, threshold: float = 0.5, *, text_col: str = "text",
 
     sh = sh.map_batches(bucketize, batch_format="pyarrow")
 
+    thr = round(threshold * 1000)
+
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if max_shingle_freq is not None:
             df_counts = g.groupby("shingle")["shingle"].transform("size")
@@ -197,30 +199,46 @@ def jaccard_pairs(ds, threshold: float = 0.5, *, text_col: str = "text",
                      na=("n_shingles_a", "first"),
                      nb=("n_shingles_b", "first"))
                 .reset_index())
-        return out.rename(columns={f"{id_col}_a": "doc_a",
-                                   f"{id_col}_b": "doc_b"})
+        out = out.rename(columns={f"{id_col}_a": "doc_a",
+                                  f"{id_col}_b": "doc_b"})
+        # Exact-safe size-ratio prune: J >= t and inter <= min(na, nb)
+        # imply min(na, nb) >= t * max(na, nb); incompatible-size
+        # pairs can never pass the final threshold, so dropping their
+        # partials here cuts the shuffle without changing the answer.
+        na = out["na"].to_numpy()
+        nb = out["nb"].to_numpy()
+        ok = (np.minimum(na, nb) * 1000 >= thr * np.maximum(na, nb))
+        out = out[ok]
+        # Re-partition the pair partials by pair hash for the final
+        # sum: Ray's own Aggregate measured ~44k rows/s on this shape
+        # (200+ s at sf0.1); a second bounded map_groups with a
+        # vectorized pandas sum is limited only by the shuffle.
+        a = out["doc_a"].to_numpy(copy=True).view(np.uint64)
+        b2 = out["doc_b"].to_numpy(copy=True).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)
+                 ^ b2 * np.uint64(0xC2B2AE3D27D4EB4F))
+        out = out.assign(part2=(h & np.uint64(n_buckets - 1))
+                         .astype(np.int32))
+        return out
 
     pair_partials = sh.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas")
 
-    from ray.data.aggregate import Max, Sum
+    def sum_finalize(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["doc_a", "doc_b"], sort=False)
+              .agg(inter=("inter", "sum"), na=("na", "max"),
+                   nb=("nb", "max"))
+              .reset_index())
+        uni = (s["na"] + s["nb"] - s["inter"]).astype("int64")
+        keep = s["inter"].to_numpy() * 1000 >= uni.to_numpy() * thr
+        out = pd.DataFrame({"doc_a": s["doc_a"], "doc_b": s["doc_b"],
+                            "inter": s["inter"].astype("int64"),
+                            "uni": uni})
+        return out[keep]
 
-    agg = pair_partials.groupby(["doc_a", "doc_b"]).aggregate(
-        Sum("inter", alias_name="inter"),
-        Max("na", alias_name="na"),
-        Max("nb", alias_name="nb"),
-    )
-    thr = round(threshold * 1000)
-
-    def finalize(b: pa.Table) -> pa.Table:
-        uni = pc.subtract(pc.add(b["na"], b["nb"]), b["inter"])
-        keep = pc.greater_equal(pc.multiply(b["inter"], pa.scalar(1000, pa.int64())),
-                                pc.multiply(uni, pa.scalar(thr, pa.int64())))
-        out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                        "inter": pc.cast(b["inter"], pa.int64()), "uni": uni})
-        return out.filter(keep)
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return pair_partials.groupby("part2").map_groups(
+        sum_finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- MinHash
