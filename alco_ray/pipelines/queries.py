@@ -692,6 +692,30 @@ def d_lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "pred_lang"])
 
 
+def mm_frame_sample(sf_dir: str):
+    """Video-style frame sampling over binary payloads: every 4th
+    64-byte frame of each payload as its own row.  Output projects the
+    numeric frame geometry so the SQL oracle (generate_series over
+    octet_length) checks the explode exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = ds.map_batches(multimodal.encode_documents_as_media,
+                           batch_format="pyarrow")
+    frames = media.map_batches(
+        lambda b: multimodal.sample_frames_batch(b, frame_bytes=64,
+                                                 every_n=4),
+        batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "frame_idx": b["frame_idx"],
+            "frame_bytes": pc.cast(pc.binary_length(b["payload"]),
+                                   pa.int64()),
+        })
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 def mm_image_meta(sf_dir: str):
     """Multimodal plumbing: binary payloads -> actor-pool decode stub."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -827,6 +851,7 @@ REGISTRY = {
     "d_lang_id": d_lang_id,
     "mm_image_meta": mm_image_meta,
     "mm_features": mm_features,
+    "mm_frame_sample": mm_frame_sample,
     # embeddings
     "v_knn": v_knn,
     "v_knn_lsh": v_knn_lsh,

@@ -88,6 +88,82 @@ class FakeFeatureExtractor:
         })
 
 
+class FakeImageResizer:
+    """Actor-pool resize stub: payload in -> payload out (composable
+    with decode/feature stages).  The fake "resize" tiles/truncates the
+    byte stream to exactly ``w*h`` bytes — deterministic, so output
+    sizes are exact — while the plumbing (binary->binary actor stage,
+    per-actor "codec" init, small batches) matches a real
+    PIL/libvips stage."""
+
+    def __init__(self, w: int = 64, h: int = 64):
+        self.target = w * h
+        self.w, self.h = w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out = []
+        for p in payloads:
+            p = p or b"\x00"
+            reps = -(-self.target // len(p))
+            out.append((p * reps)[: self.target])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "payload": pa.array(out, pa.binary()),
+            "width": pa.array([self.w] * batch.num_rows, pa.int64()),
+            "height": pa.array([self.h] * batch.num_rows, pa.int64()),
+        })
+
+
+def sample_frames_batch(batch: pa.Table, frame_bytes: int = 64,
+                        every_n: int = 4) -> pa.Table:
+    """Frame sampling: treat each payload as a sequence of
+    ``frame_bytes``-sized frames and emit every ``every_n``-th frame as
+    its own row (doc_id, frame_idx, payload) — the video
+    keyframe-extraction shape.  Vectorized: one flat byte buffer + one
+    offsets array, frames materialized via zero-copy
+    ``LargeBinaryArray.from_buffers`` (no per-frame Python objects)."""
+    payloads = batch["payload"].to_pylist()
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    flat = b"".join(p or b"" for p in payloads)
+    lens = np.fromiter((len(p or b"") for p in payloads), dtype=np.int64,
+                       count=len(payloads))
+    doc_start = np.concatenate([[0], np.cumsum(lens)])
+    n_frames = -(-lens // frame_bytes)          # ceil
+    n_sampled = -(-n_frames // every_n)          # frames 0, n, 2n, ...
+    total = int(n_sampled.sum())
+    if total == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "frame_idx": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.large_binary()),
+        })
+    # per-sampled-frame: owning doc, intra-doc sampled ordinal
+    doc_of = np.repeat(np.arange(len(ids)), n_sampled)
+    cum0 = np.concatenate([[0], np.cumsum(n_sampled)[:-1]])
+    ordinal = np.arange(total) - np.repeat(cum0, n_sampled)
+    frame_idx = ordinal * every_n
+    starts = doc_start[doc_of] + frame_idx * frame_bytes
+    ends = np.minimum(starts + frame_bytes, doc_start[doc_of] + lens[doc_of])
+    offsets = np.empty(total + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(ends - starts, out=offsets[1:])
+    # gather the sampled byte ranges into one contiguous buffer
+    src = np.frombuffer(flat, dtype=np.uint8)
+    take = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)]) \
+        if total else np.zeros(0, np.int64)
+    data = src[take].tobytes()
+    frames = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), total,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])
+    return pa.table({
+        "doc_id": pa.array(ids[doc_of]),
+        "frame_idx": pa.array(frame_idx, pa.int64()),
+        "payload": frames,
+    })
+
+
 def decode_media(ds, decoder_cls=FakeImageDecoder, *, batch_size: int = 256,
                  concurrency=(1, 4)):
     """Run an actor-pool decode over a multimodal dataset."""

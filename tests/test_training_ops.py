@@ -551,3 +551,27 @@ def test_persisted_ann_indexes_build_once_probe_pruned(tmp_path):
     got = similarity.knn_ivf_probe(ivf_dir, q, k=5, n_probe=3).to_pandas()
     assert got["vec_id"].tolist()[0] == 7  # self-query recall
     assert len(got) == 5
+
+
+def test_multimodal_resize_and_frame_sample():
+    t = _docs_table()
+    media = multimodal.encode_documents_as_media(t)
+
+    resized = multimodal.FakeImageResizer(w=8, h=8)(media)
+    assert all(len(p) == 64 for p in resized["payload"].to_pylist())
+    assert resized["width"].to_pylist() == [8] * t.num_rows
+
+    frames = multimodal.sample_frames_batch(media, frame_bytes=16,
+                                            every_n=2)
+    # brute-force expectation: every 2nd 16-byte frame per payload
+    expect = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        p = text.encode()
+        n = -(-len(p) // 16)
+        for i in range(0, n, 2):
+            expect.append((did, i, p[i * 16:(i + 1) * 16]))
+    got = list(zip(frames["doc_id"].to_pylist(),
+                   frames["frame_idx"].to_pylist(),
+                   frames["payload"].to_pylist()))
+    assert got == expect
+    assert expect  # fixture yields frames
