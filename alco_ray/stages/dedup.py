@@ -333,8 +333,6 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """
     import pandas as pd  # noqa: F811
 
-    from ray.data.aggregate import Sum
-
     sigs = ds.map_batches(
         lambda b: minhash_batch(b, text_col, id_col, k),
         batch_format="pyarrow")
@@ -387,8 +385,30 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                              "n_bands": pa.array([], pa.int64())})
         g = t.group_by(["doc_a", "doc_b"]).aggregate([("n_bands", "sum")])
         return g.rename_columns(["doc_a", "doc_b", "n_bands"])
-    return partials.groupby(["doc_a", "doc_b"]).aggregate(
-        Sum("n_bands", alias_name="n_bands"))
+
+    # Distributed distinct via the partitioned-pandas shape (a pair
+    # lives in exactly one hash partition) — Ray's own Aggregate
+    # measures ~44k rows/s on pair tables.
+    def add_pair_part(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)
+                 ^ c * np.uint64(0xC2B2AE3D27D4EB4F))
+        return b.append_column(
+            "part2", pa.array((h & np.uint64(n_parts - 1))
+                              .astype(np.int32)))
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["doc_a", "doc_b"], sort=False)
+                .agg(n_bands=("n_bands", "sum")).reset_index())
+        out["n_bands"] = out["n_bands"].astype("int64")
+        return out
+
+    return (partials.map_batches(add_pair_part, batch_format="pyarrow")
+            .groupby("part2").map_groups(sum_pairs, batch_format="pandas"))
 
 
 def verify_pairs(ds, candidates, threshold: float = 0.5, *,
