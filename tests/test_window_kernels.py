@@ -1,0 +1,87 @@
+"""Property tests (hypothesis) for the segmented window kernels.
+
+The Ray plumbing around these kernels is pinned by the DuckDB oracle
+queries; these tests hammer the pure numpy kernels themselves with
+randomized segment layouts, which is where off-by-one window clamping
+and segment-reset bugs live.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from alco_ray.stages.window import _segment_bounds, _windowed_flag_sum
+
+segments = st.lists(st.integers(min_value=1, max_value=15),
+                    min_size=1, max_size=8)
+
+
+def _layout(seg_lens, rng_seed):
+    rng = np.random.RandomState(rng_seed)
+    keys = np.repeat(np.arange(len(seg_lens)), seg_lens)
+    flags = rng.randint(0, 2, size=len(keys)).astype(np.int64)
+    return keys, flags
+
+
+@given(seg_lens=segments, radius=st.integers(0, 4), seed=st.integers(0, 999))
+@settings(max_examples=150, deadline=None)
+def test_windowed_flag_sum_matches_bruteforce(seg_lens, radius, seed):
+    keys, flags = _layout(seg_lens, seed)
+    seg_start, seg_end, _ = _segment_bounds(keys)
+    got = _windowed_flag_sum(flags, seg_start, seg_end, radius)
+    for i in range(len(keys)):
+        lo = max(i - radius, seg_start[i])
+        hi = min(i + radius, seg_end[i] - 1)
+        assert got[i] == flags[lo:hi + 1].sum()
+
+
+@given(seg_lens=segments, seed=st.integers(0, 999))
+@settings(max_examples=150, deadline=None)
+def test_asof_offset_trick_matches_bruteforce(seg_lens, seed):
+    keys, flags = _layout(seg_lens, seed)
+    # idx values: arbitrary increasing-within-segment ints
+    rng = np.random.RandomState(seed + 1)
+    idx = np.concatenate([np.cumsum(rng.randint(1, 5, size=n))
+                          for n in seg_lens]).astype(np.int64)
+    _, _, seg_id = _segment_bounds(keys)
+    OFF = np.int64(1) << 32
+    val = np.where(flags.astype(bool), idx, np.int64(-1)) + seg_id * OFF
+    got = np.maximum.accumulate(val) - seg_id * OFF
+    # brute force: last flagged idx at-or-before, per segment
+    last = {}
+    for i in range(len(keys)):
+        k = keys[i]
+        if flags[i]:
+            last[k] = idx[i]
+        assert got[i] == last.get(k, -1)
+
+
+@given(seg_lens=segments, gap=st.integers(1, 10), seed=st.integers(0, 999))
+@settings(max_examples=150, deadline=None)
+def test_session_cumsum_rebase_matches_bruteforce(seg_lens, gap, seed):
+    keys, _ = _layout(seg_lens, seed)
+    rng = np.random.RandomState(seed + 2)
+    deltas = rng.randint(0, 15, size=len(keys)).astype(np.int64)
+    ts = np.concatenate([np.cumsum(deltas[keys == k])
+                         for k in range(len(seg_lens))])
+    seg_start, _, _ = _segment_bounds(keys)
+    n = len(keys)
+    g = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        d = ts[1:] - ts[:-1]
+        pos = np.arange(1, n, dtype=np.int64)
+        g[1:] = ((d > gap) & (pos != seg_start[1:])).astype(np.int64)
+    c = np.cumsum(g)
+    got = c - c[seg_start]
+    # brute force per segment
+    expect = np.zeros(n, dtype=np.int64)
+    for k in range(len(seg_lens)):
+        rows = np.flatnonzero(keys == k)
+        sid = 0
+        for j, r in enumerate(rows):
+            if j > 0 and ts[r] - ts[rows[j - 1]] > gap:
+                sid += 1
+            expect[r] = sid
+    assert np.array_equal(got, expect)
