@@ -27,6 +27,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="input shards per checkpointed wave")
     ap.add_argument("--no-aggregates", action="store_true",
                     help="skip the final interval-count merge")
+    ap.add_argument("--dict-cache", default=None,
+                    help="shared dictionary-artifact dir (reused across "
+                         "runs over the same corpus; default "
+                         "<out>/dicts)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU cap (ignored on a cluster)")
     args = ap.parse_args(argv)
@@ -42,7 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.flagship import run_flagship
 
     summary = run_flagship(args.input, args.out, wave_size=args.wave_size,
-                           write_aggregates=not args.no_aggregates)
+                           write_aggregates=not args.no_aggregates,
+                           dict_cache=args.dict_cache)
     print(json.dumps(summary))
     ray.shutdown()
     return 0
