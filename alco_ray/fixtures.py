@@ -308,11 +308,19 @@ def ensure_jsonl_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     is JSON messages): one ``<shard>.jsonl`` per Parquet shard, ``ts``
     serialized as full-precision ISO-8601.  Idempotent + atomic; used
     to prove the JSONL source ingests identically to the Parquet one."""
-    src = ensure_corpus(tag)
+    src = ensure_corpus(tag, root=root)
+    # Stamp the mirror with the SOURCE corpus's generation stamp: if
+    # the Parquet corpus regenerates (parameter change), a stale JSONL
+    # mirror must not survive to be "parity-checked" against new data.
+    src_stamp = (src / "_COMPLETE").read_text()
     out_dir = Path(root) / f"{tag}_jsonl"
     done = out_dir / "_COMPLETE"
     if done.exists():
-        return out_dir
+        if done.read_text() == src_stamp:
+            return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
     out_dir.mkdir(parents=True, exist_ok=True)
     for p in sorted(src.glob("*.parquet")):
         t = pq.read_table(p)
@@ -322,5 +330,5 @@ def ensure_jsonl_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
         tmp = out_dir / f".{p.stem}.jsonl.tmp.{os.getpid()}"
         df.to_json(tmp, orient="records", lines=True, force_ascii=False)
         os.replace(tmp, out_dir / f"{p.stem}.jsonl")
-    done.touch()
+    done.write_text(src_stamp)
     return out_dir

@@ -56,7 +56,12 @@ def build_or_load_dicts(files: list[str], cfg: PipelineConfig,
     deterministic deviation from Redis arrival order; a vocab-stable
     appended corpus therefore yields byte-identical dicts to a fresh
     full build.)  The level dict is the static canonical set (the
-    level vocabulary is config, not data)."""
+    level vocabulary is config, not data).
+
+    Concurrency contract: ONE writer per cache dir at a time (the
+    checkpointed out_root default satisfies this; a shared
+    ``dict_cache`` must not be grown by overlapping runs — per-file
+    writes are atomic, but the grow step is read-modify-write)."""
     dicts: dict[str, pa.Table] = {}
     dynamic = [c for c in cfg.filtered_columns() if c != "level"]
     cache = Path(cache_dir)
@@ -89,11 +94,11 @@ def build_or_load_dicts(files: list[str], cfg: PipelineConfig,
                         dicts[c] = grown
                 else:
                     dicts[c] = fresh[c]
-                tmp = cache / f".{c}.parquet.tmp"
+                tmp = cache / f".{c}.parquet.tmp.{os.getpid()}"
                 pq.write_table(dicts[c], tmp)
                 os.replace(tmp, cache / f"{c}.parquet")
             scanned.update(pending)
-            tmp = cache / "._scanned.json.tmp"
+            tmp = cache / f"._scanned.json.tmp.{os.getpid()}"
             tmp.write_text(json.dumps(sorted(scanned)))
             os.replace(tmp, state_path)
     if "level" in cfg.filtered_columns():

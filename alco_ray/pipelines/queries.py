@@ -738,28 +738,52 @@ def v_knn(sf_dir: str):
     return res.select_columns(["vec_id", "rank"])
 
 
+def _corpus_sig(sf_dir: str, table: str) -> str:
+    """Source-file identity (path, size, mtime) — a persisted index
+    built from a different corpus state must be rebuilt, not served."""
+    import hashlib
+
+    p = Path(_tp(sf_dir, table))
+    st = p.stat()
+    return hashlib.sha1(
+        f"{p}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
+
+
+def _index_fresh(idx: Path, sig: str) -> bool:
+    import json
+
+    meta = idx / "meta.json"
+    if not meta.exists():
+        return False
+    return json.loads(meta.read_text()).get("corpus_sig") == sig
+
+
 def v_knn_lsh(sf_dir: str):
     """Two-phase ANN: build the persisted LSH index ONCE (bucket-
     partitioned Parquet under /tmp/alco_ray_cache/<sf>/ann_lsh), then
     probe it with a partition-pruned read — the Sphinx build-once /
-    query-many shape, no per-query corpus re-scan."""
+    query-many shape, no per-query corpus re-scan.  The index carries
+    a corpus signature; a changed corpus triggers an atomic rebuild."""
     idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "ann_lsh"
-    if not (idx / "meta.json").exists():
+    sig = _corpus_sig(sf_dir, "embeddings")
+    if not _index_fresh(idx, sig):
         similarity.build_lsh_index(
             _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-            idx)
+            idx, extra_meta={"corpus_sig": sig})
     res = similarity.knn_lsh_probe(idx, _query_vec(sf_dir), k=10)
     return res.select_columns(["vec_id", "rank"])
 
 
 def v_knn_ivf(sf_dir: str):
     """Two-phase IVF ANN: train + persist inverted lists once, probe
-    the top-4 lists via partition-pruned reads."""
+    the top-4 lists via partition-pruned reads; corpus-signature
+    staleness check like v_knn_lsh."""
     idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "ann_ivf"
-    if not (idx / "meta.json").exists():
+    sig = _corpus_sig(sf_dir, "embeddings")
+    if not _index_fresh(idx, sig):
         similarity.build_ivf_index(
             _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-            idx, n_centroids=16)
+            idx, n_centroids=16, extra_meta={"corpus_sig": sig})
     res = similarity.knn_ivf_probe(idx, _query_vec(sf_dir), k=10,
                                    n_probe=4)
     return res.select_columns(["vec_id", "rank"])

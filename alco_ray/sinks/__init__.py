@@ -159,16 +159,23 @@ def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
     """Small-file compaction of the routed sink tree (the Sphinx RT
     segment-merge analog): within each partition directory, greedily
     group files up to ``target_bytes`` and rewrite each group as one
-    file.  Crash-safe and idempotent without a manifest:
+    file.  Convergent and checkpoint-aware:
 
+    - when the tree has a checkpoint manifest, only files belonging to
+      COMMITTED waves (or earlier compactions) are touched — orphan
+      files of a half-committed wave must stay identifiable by their
+      wave-id prefix so ``cleanup_uncommitted_outputs`` can delete
+      them before the wave re-runs (compacting them would duplicate
+      the wave's rows on resume);
     - a compacted file records its input basenames in the Parquet
       key-value metadata; a recovery pass first deletes any recorded
-      inputs still present (crash between write and unlink);
+      inputs still present, so repeated calls converge.  A crash
+      between installing the compacted file and unlinking its inputs
+      leaves BOTH readable until the next compaction call — schedule
+      compaction when no readers race it (same operational contract
+      as Sphinx segment merges);
     - compacted outputs are named ``c-<hash-of-inputs>`` so a retry
-      overwrites its own file;
-    - already-compacted files participate in later compactions like
-      any other file (metadata is rewritten), so repeated calls
-      converge instead of re-growing.
+      overwrites its own file.
 
     Directories compact in parallel as Ray tasks (one task per
     partition dir — the natural unit; no shuffle).  Returns the number
@@ -178,6 +185,11 @@ def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
     import json
 
     import ray
+
+    committed: set[str] | None = None
+    manifest = Path(out_root) / "_checkpoint" / "manifest.json"
+    if manifest.exists():
+        committed = set(json.loads(manifest.read_text()))
 
     def compact_dir(d: str) -> int:
         import pyarrow.parquet as pq_  # re-import inside the task
@@ -194,6 +206,10 @@ def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
                     victim.unlink()
                     removed += 1
         files = sorted(p for p in dp.glob("*.parquet"))
+        if committed is not None:
+            files = [p for p in files
+                     if p.name.startswith("c-")
+                     or p.name.split("-", 1)[0] in committed]
         if len(files) <= 1:
             return removed
         group: list[Path] = []

@@ -292,12 +292,33 @@ def cosine_dup_pairs_lsh(ds, threshold: float = 0.4, *,
 
     partials = exploded.groupby(["table_id", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow")
-    # distinct pairs (a pair can collide in several tables)
-    from ray.data.aggregate import Count
 
-    uniq = partials.groupby(["vec_a", "vec_b"]).aggregate(
-        Count(alias_name="_n"))
-    return uniq.drop_columns(["_n"])
+    # distinct pairs (a pair can collide in several tables) via the
+    # partitioned-pandas shape — Ray's Aggregate measures ~44k rows/s
+    # on pair tables, the exact bottleneck this scale path exists to
+    # avoid.
+    from .dedup import suggest_pair_partitions
+
+    n_parts2 = suggest_pair_partitions(n, expansion=n_tables)
+
+    def add_pair_part(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        c = b["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)
+                 ^ c * np.uint64(0xC2B2AE3D27D4EB4F))
+        return b.append_column(
+            "part", pa.array((h & np.uint64(n_parts2 - 1))
+                             .astype(np.int32)))
+
+    def distinct_pairs(g):
+        return g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]]
+
+    return (partials.map_batches(add_pair_part, batch_format="pyarrow")
+            .groupby("part").map_groups(distinct_pairs,
+                                        batch_format="pandas"))
 
 
 def _planes_banded(d: int, n_tables: int, n_bits: int,
@@ -318,9 +339,10 @@ _PLANES_CACHE: dict = {}
 _N_PLANES = 12
 
 
-def _planes(d: int, seed: int = 777) -> np.ndarray:
+def _planes(d: int, seed: int = 777, n_planes: int | None = None
+            ) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((d, _N_PLANES))
+    return rng.standard_normal((d, n_planes or _N_PLANES))
 
 
 def lsh_bucket_batch(batch: pa.Table, *, col: str = "embedding",
@@ -333,28 +355,47 @@ def lsh_bucket_batch(batch: pa.Table, *, col: str = "embedding",
     return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
 
 
-def _probe_bucket_set(base: int, n_probe_bits: int) -> set[int]:
+def _probe_bucket_set(base: int, n_probe_bits: int,
+                      n_planes: int) -> set[int]:
     """The query's LSH bucket plus all buckets within Hamming distance
     ``n_probe_bits`` of it (multi-probe)."""
     probe = {base}
     if n_probe_bits >= 1:
-        for i in range(_N_PLANES):
+        for i in range(n_planes):
             probe.add(base ^ (1 << i))
     if n_probe_bits >= 2:
-        for i in range(_N_PLANES):
-            for j in range(i + 1, _N_PLANES):
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
                 probe.add(base ^ (1 << i) ^ (1 << j))
     return probe
 
 
+def _swap_in_index(build_dir, index_dir) -> None:
+    """Atomically install a freshly built index directory: a crashed
+    build leaves only an orphan ``.building.*`` dir (never a torn or
+    merged index), and a rebuild fully replaces the old artifact."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    index_dir = Path(index_dir)
+    if index_dir.exists():
+        shutil.rmtree(index_dir)
+    os.rename(build_dir, index_dir)
+
+
 def build_lsh_index(ds, index_dir, *, col: str = "embedding",
-                    id_col: str = "vec_id", seed: int = 777) -> None:
+                    id_col: str = "vec_id", seed: int = 777,
+                    extra_meta: dict | None = None) -> None:
     """Persisted ANN index, built ONCE and probed many times (the
     Sphinx-index analog): rows are written as bucket-partitioned
     Parquet (``bucket=<b>/``) via the idempotent partitioned sink, plus
-    a meta sidecar pinning the hash family.  Probes then read ONLY the
-    probed bucket directories — no per-query corpus re-scan or
-    re-assignment."""
+    a meta sidecar pinning the hash family.  The build stages into a
+    ``.building.<pid>`` dir and swaps in atomically (meta.json written
+    last), so a crashed build never leaves a torn/merged index.
+    Probes read ONLY the probed bucket directories — no per-query
+    corpus re-scan or re-assignment.  ``extra_meta`` (e.g. a corpus
+    signature) rides along in meta.json for staleness checks."""
     import json
     import os
     from pathlib import Path
@@ -362,17 +403,17 @@ def build_lsh_index(ds, index_dir, *, col: str = "embedding",
     from ..sinks import _make_block_writer
 
     d = Path(index_dir)
-    d.mkdir(parents=True, exist_ok=True)
-    writer = _make_block_writer(str(d), ["bucket"])
+    build = d.parent / f".{d.name}.building.{os.getpid()}"
+    build.mkdir(parents=True, exist_ok=True)
+    writer = _make_block_writer(str(build), ["bucket"])
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, col=col, seed=seed),
         batch_format="pyarrow")
     bucketed.map_batches(writer, batch_format="pyarrow").materialize()
-    tmp = d / f".meta.json.tmp.{os.getpid()}"
-    tmp.write_text(json.dumps({"kind": "lsh", "n_planes": _N_PLANES,
-                               "seed": seed, "col": col,
-                               "id_col": id_col}))
-    os.replace(tmp, d / "meta.json")
+    meta = {"kind": "lsh", "n_planes": _N_PLANES, "seed": seed,
+            "col": col, "id_col": id_col, **(extra_meta or {})}
+    (build / "meta.json").write_text(json.dumps(meta))
+    _swap_in_index(build, d)
 
 
 def knn_lsh_probe(index_dir, query_vec, k: int = 10, *,
@@ -389,9 +430,12 @@ def knn_lsh_probe(index_dir, query_vec, k: int = 10, *,
     d = Path(index_dir)
     meta = json.loads((d / "meta.json").read_text())
     q = np.asarray(query_vec, dtype=np.float64)
-    planes = _planes(len(q), meta["seed"])
+    # The hash family comes from the META sidecar, not module
+    # constants: an index persisted under a different plane count must
+    # be probed with ITS planes.
+    planes = _planes(len(q), meta["seed"], meta["n_planes"])
     base = int(((q @ planes) >= 0) @ (1 << np.arange(meta["n_planes"])))
-    probe = _probe_bucket_set(base, n_probe_bits)
+    probe = _probe_bucket_set(base, n_probe_bits, meta["n_planes"])
     dirs = [d / f"bucket={b}" for b in sorted(probe)]
     files = [str(p) for b in dirs if b.is_dir()
              for p in sorted(b.glob("*.parquet"))]
@@ -406,10 +450,12 @@ def knn_lsh_probe(index_dir, query_vec, k: int = 10, *,
 
 def build_ivf_index(ds, index_dir, n_centroids: int = 16, *,
                     col: str = "embedding", id_col: str = "vec_id",
-                    seed: int = 123) -> None:
+                    seed: int = 123,
+                    extra_meta: dict | None = None) -> None:
     """Persisted IVF index: k-means coarse quantizer trained once, rows
     written as inverted-list-partitioned Parquet (``list=<cid>/``) with
-    a centroid sidecar — probes read only the probed lists."""
+    a centroid sidecar — probes read only the probed lists.  Staged
+    build + atomic swap, like :func:`build_lsh_index`."""
     import json
     import os
     from pathlib import Path
@@ -419,7 +465,8 @@ def build_ivf_index(ds, index_dir, n_centroids: int = 16, *,
     from ..sinks import _make_block_writer
 
     d = Path(index_dir)
-    d.mkdir(parents=True, exist_ok=True)
+    build = d.parent / f".{d.name}.building.{os.getpid()}"
+    build.mkdir(parents=True, exist_ok=True)
     cents = ivf_centroids(ds, n_centroids, col=col, seed=seed)
     cref = ray.put(cents)
 
@@ -430,7 +477,7 @@ def build_ivf_index(ds, index_dir, n_centroids: int = 16, *,
         cid = np.argmax(m @ c.T, axis=1).astype(np.int32)
         return batch.append_column("list", pa.array(cid))
 
-    writer = _make_block_writer(str(d), ["list"])
+    writer = _make_block_writer(str(build), ["list"])
     ds.map_batches(assign, batch_format="pyarrow") \
       .map_batches(writer, batch_format="pyarrow").materialize()
     import pyarrow.parquet as pq
@@ -440,14 +487,11 @@ def build_ivf_index(ds, index_dir, n_centroids: int = 16, *,
         "centroid": pa.FixedSizeListArray.from_arrays(
             pa.array(cents.reshape(-1), pa.float64()), cents.shape[1]),
     })
-    tmpp = d / f".centroids.parquet.tmp.{os.getpid()}"
-    pq.write_table(cent_t, tmpp)
-    os.replace(tmpp, d / "centroids.parquet")
-    tmp = d / f".meta.json.tmp.{os.getpid()}"
-    tmp.write_text(json.dumps({"kind": "ivf", "n_centroids": len(cents),
-                               "seed": seed, "col": col,
-                               "id_col": id_col}))
-    os.replace(tmp, d / "meta.json")
+    pq.write_table(cent_t, build / "centroids.parquet")
+    meta = {"kind": "ivf", "n_centroids": len(cents), "seed": seed,
+            "col": col, "id_col": id_col, **(extra_meta or {})}
+    (build / "meta.json").write_text(json.dumps(meta))
+    _swap_in_index(build, d)
 
 
 def knn_ivf_probe(index_dir, query_vec, k: int = 10, *, n_probe: int = 4):
@@ -493,7 +537,7 @@ def knn_lsh(ds, query_vec, k: int = 10, *, col: str = "embedding",
     planes = _planes(len(q), seed)
     qbits = (q @ planes) >= 0
     base = int(qbits @ (1 << np.arange(_N_PLANES)))
-    probe = _probe_bucket_set(base, n_probe_bits)
+    probe = _probe_bucket_set(base, n_probe_bits, _N_PLANES)
 
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, col=col, seed=seed),

@@ -241,6 +241,8 @@ def fingerprint_dups(ds, *, text_col: str = "text", id_col: str = "doc_id"):
                   .groupby("part").map_groups(dup_reps,
                                               batch_format="pandas")
                   .materialize())
+    # (distinct name from n_parts above: add_part captures n_parts by
+    # reference, and Ray lineage may re-execute it after this point)
     if dup_groups.count() == 0:
         # A fully-empty join side crashes Ray's hash join (ray 2.49.2:
         # ArrowInvalid "no match for key field on right side"); a
@@ -250,8 +252,8 @@ def fingerprint_dups(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         empty = pa.table({id_col: pa.array([], pa.int64()),
                           "rep_doc_id": pa.array([], pa.int64())})
         return ray.data.from_arrow(empty)
-    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    joined = fps.join(dup_groups, "inner", num_partitions=n_parts,
+    join_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = fps.join(dup_groups, "inner", num_partitions=join_parts,
                       on=("fingerprint",))
     return joined.select_columns([id_col, "rep_doc_id"])
 

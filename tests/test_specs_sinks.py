@@ -139,3 +139,36 @@ def test_jsonl_source_matches_parquet(t_small_dir):
         ["conv_id", "turn_idx"]).reset_index(drop=True)
     assert list(a.columns) == list(b.columns)
     assert a.equals(b)
+
+
+def test_compaction_leaves_uncommitted_wave_orphans(tmp_path):
+    """compact_partitions must not absorb orphan files of a
+    half-committed wave: they stay identifiable by wave-id prefix so
+    the next run's cleanup can delete them (compacting them would
+    duplicate the wave's rows on resume)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sink=chat" / "date=2024-01-01"
+    d.mkdir(parents=True)
+    t = pa.table({"conv_id": pa.array(["a", "b"]),
+                  "turn_idx": pa.array([0, 1], pa.int32())})
+    for name in ("wAAAA-00000-b1.parquet", "wAAAA-00001-b2.parquet",
+                 "wBBBB-00000-b3.parquet", "wBBBB-00001-b4.parquet"):
+        pq.write_table(t, d / name)
+    ck = tmp_path / "_checkpoint"
+    ck.mkdir()
+    (ck / "manifest.json").write_text(json.dumps(
+        {"wAAAA": {"status": "done", "input_files": [], "metrics": {}}}))
+
+    from alco_ray.sinks import compact_partitions
+
+    removed = compact_partitions(tmp_path, target_bytes=1 << 30)
+    names = sorted(p.name for p in d.glob("*.parquet"))
+    # committed wave's two files merged into one c-*; orphans untouched
+    assert removed == 1
+    assert [n for n in names if n.startswith("wBBBB")] == \
+        ["wBBBB-00000-b3.parquet", "wBBBB-00001-b4.parquet"]
+    assert len([n for n in names if n.startswith("c-")]) == 1
+    assert not [n for n in names if n.startswith("wAAAA")]

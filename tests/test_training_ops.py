@@ -535,7 +535,7 @@ def test_persisted_ann_indexes_build_once_probe_pruned(tmp_path):
     q = m[7].astype(np.float64)
     planes = similarity._planes(len(q), meta["seed"])
     base = int(((q @ planes) >= 0) @ (1 << np.arange(meta["n_planes"])))
-    probe = similarity._probe_bucket_set(base, 2)
+    probe = similarity._probe_bucket_set(base, 2, meta["n_planes"])
     probed_present = {f"bucket={b}" for b in probe} & all_buckets
     assert 0 < len(probed_present) < len(all_buckets)  # pruned read
     for _ in range(2):  # build once, probe many
