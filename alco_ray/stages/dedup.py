@@ -56,15 +56,7 @@ def dedup_exact(ds, key_cols: list[str], order_col: str, *,
     :func:`dedup_exact_rows`."""
     import pandas as pd  # noqa: F811
 
-    from .window import default_hash_parts
-
-    n_parts = n_parts or default_hash_parts()
-
-    def add_part(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            b.select(key_cols).to_pandas(), index=False).to_numpy()
-        return b.append_column(
-            "part", pa.array((h % n_parts).astype(np.int32)))
+    from .window import partition_by_key
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(key_cols, sort=False, dropna=False)
@@ -74,7 +66,7 @@ def dedup_exact(ds, key_cols: list[str], order_col: str, *,
         out["n_dups"] = out["n_dups"].astype("int64")
         return out
 
-    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    parts = partition_by_key(ds, key_cols, n_parts)
     return parts.groupby("part").map_groups(body, batch_format="pandas")
 
 
@@ -120,22 +112,14 @@ def dedup_exact_rows(ds, key_cols: list[str], order_col: str, *,
     input size once."""
     import pandas as pd  # noqa: F811
 
-    from .window import default_hash_parts
-
-    n_parts = n_parts or default_hash_parts()
-
-    def add_part(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            b.select(key_cols).to_pandas(), index=False).to_numpy()
-        return b.append_column(
-            "part", pa.array((h % n_parts).astype(np.int32)))
+    from .window import partition_by_key
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([*key_cols, order_col], kind="mergesort")
         return g.drop_duplicates(subset=key_cols, keep="first") \
                 .drop(columns=["part"])
 
-    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    parts = partition_by_key(ds, key_cols, n_parts)
     return parts.groupby("part").map_groups(body, batch_format="pandas")
 
 

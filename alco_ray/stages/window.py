@@ -43,16 +43,30 @@ def default_hash_parts() -> int:
 _default_parts = default_hash_parts
 
 
-def _partitioned(ds, key_col: str, n_parts: int | None = None):
-    """Append int32 ``part`` = hash(key) % n_parts (deterministic)."""
-    n_parts = n_parts or _default_parts()
+def partition_by_key(ds, key_cols, n_parts: int | None = None):
+    """Append int32 ``part`` = hash(key columns) % n_parts — THE shared
+    primitive behind every partition-local kernel in this package
+    (window ops, dedup_exact, dedup_exact_rows): a key lives in
+    exactly one partition, so partition-local answers are globally
+    exact.  Deterministic (pandas SipHash, fixed key)."""
+    n_parts = n_parts or default_hash_parts()
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def add_part(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(b[key_col].to_numpy(zero_copy_only=False))
+        if len(cols) == 1:
+            h = pd.util.hash_array(
+                b[cols[0]].to_numpy(zero_copy_only=False))
+        else:
+            h = pd.util.hash_pandas_object(
+                b.select(cols).to_pandas(), index=False).to_numpy()
         return b.append_column(
             "part", pa.array((h % n_parts).astype(np.int32)))
 
     return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def _partitioned(ds, key_col: str, n_parts: int | None = None):
+    return partition_by_key(ds, key_col, n_parts)
 
 
 def _segment_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
