@@ -34,12 +34,16 @@ CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Headline query subset: one per operator family (parse/aggregate,
 # enrich-join, ordering, event routing, TPC-H agg-join, tokenize,
-# dedup exact + minhash-LSH, quality, brute-force kNN).
+# dedup exact + minhash-LSH, quality, brute-force kNN).  The round-1
+# set is kept intact for cross-round comparison; round 2 appends the
+# operators its optimization ledger rewrote (exact Jaccard, SimHash
+# banding, window kernel, cosine dedup).
 BENCH_QUERIES = [
     "t_interval_counts", "t_enriched", "t_ordered_turns", "t_top_recent",
     "e_user_stats", "q1_pricing", "q_mktsegment",
     "d_token_stats", "d_quality", "d_dedup_exact", "d_minhash_lsh",
     "v_knn",
+    "d_jaccard_pairs", "d_simhash", "t_rolling_errors", "v_cosine_dup",
 ]
 
 
