@@ -410,6 +410,17 @@ def e_user_stats(sf_dir: str):
                          Sum("total_cents", alias_name="total_cents")))
 
 
+def e_median_value(sf_dir: str):
+    """Exact discrete median of event value (cents) per event_type —
+    histogram-partial quantile, no distributed sort."""
+    import ray.data
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    t = agg_stage.quantile_disc(ds, "value", 0.5, by="event_type")
+    return ray.data.from_arrow(t.rename_columns(["event_type",
+                                                 "median_cents"]))
+
+
 def e_topk_value(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "value"])
     return order.top_k(ds, ["value", "event_id"], 100,
@@ -554,6 +565,12 @@ def q_part_filter(sf_dir: str):
 
 
 # ------------------------------------------------------------- documents
+
+def d_tf_df(sf_dir: str):
+    """Integer-exact TF/DF table over documents (TF-IDF precursor)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.tf_df(ds)
+
 
 def d_token_explode(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -849,6 +866,7 @@ REGISTRY = {
     "e_dict_encode": e_dict_encode,
     "e_json_k": e_json_k,
     "e_user_stats": e_user_stats,
+    "e_median_value": e_median_value,
     "e_topk_value": e_topk_value,
     "e_minmax_ts": e_minmax_ts,
     "e_sessionize": e_sessionize,
@@ -860,6 +878,7 @@ REGISTRY = {
     "q_top_orders": q_top_orders,
     "q_part_filter": q_part_filter,
     # documents / training-data ops
+    "d_tf_df": d_tf_df,
     "d_token_explode": d_token_explode,
     "d_token_stats": d_token_stats,
     "d_quality": d_quality,

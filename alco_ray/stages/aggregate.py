@@ -132,3 +132,50 @@ def distinct_values(ds, col: str) -> pa.Table:
     vals = pc.unique(merged[col].combine_chunks()).to_pylist()
     return pa.table({col: pa.array(sorted(v for v in vals if v is not None),
                                    pa.string())})
+
+
+def quantile_disc(ds, value_col: str, q: float, by: str,
+                  scale: int = 100):
+    """Exact discrete quantile per bounded group (A-family extension):
+    the element at 0-based sorted index ceil(q*n)-1 of the
+    integer-scaled value (money in cents) — matching DuckDB's
+    ``quantile_disc`` element choice, bit-for-bit because the domain
+    is discrete.
+
+    Shape: per-block (group, scaled-value) histogram partials, driver
+    fold, cumulative pick.  Exactness without a distributed sort —
+    valid whenever group count x distinct scaled values is bounded
+    (prices/latencies are; free-floating doubles are not — those need
+    the sort-based path or a sketch).  Returns Table(by, q_value)
+    with q_value in scaled integer units."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b[value_col], scale),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        t = pa.table({by: b[by], "v": v})
+        g = t.group_by([by, "v"]).aggregate([([], "count_all")])
+        return g.rename_columns([by, "v", "n"])
+
+    parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                    .to_arrow_refs())
+    merged = concat_nonempty(parts)
+    hist = (merged.group_by([by, "v"]).aggregate([("n", "sum")])
+            .rename_columns([by, "v", "n"])
+            .sort_by([(by, "ascending"), ("v", "ascending")])
+            .to_pandas())
+    import math
+
+    out_k, out_v = [], []
+    for key, g in hist.groupby(by, sort=True):
+        n = int(g["n"].sum())
+        target = max(1, math.ceil(q * n))  # 1-based rank
+        cum = g["n"].cumsum()
+        out_k.append(key)
+        out_v.append(int(g.loc[cum >= target, "v"].iloc[0]))
+    return pa.table({by: pa.array(out_k),
+                     "q_value": pa.array(out_v, pa.int64())})

@@ -308,3 +308,35 @@ class LangId:
             "pred_lang": pa.array([self.langs[i] for i in best], pa.string()),
             "score": pa.array(scores[np.arange(n), best], pa.int64()),
         })
+
+
+def tf_df(ds, *, text_col: str = "text", id_col: str = "doc_id",
+          n_parts: int | None = None):
+    """Integer-exact IR stats: (doc_id, token, tf, df) — term frequency
+    per document and document frequency per token (the TF-IDF
+    precursor; the float weighting is a trivial map the consumer
+    applies, kept out so results stay bit-for-bit comparable).
+
+    Shape: per-batch (doc, token, tf) partials (a document lives
+    wholly in one batch), then hash-partition on token — a token's
+    rows co-locate, so df is a partition-local distinct count."""
+    from .window import partition_by_key
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        tok = token_explode(b, text_col, id_col)
+        g = tok.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "token", "tf"])
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+    parts = partition_by_key(tf, "token", n_parts)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[[id_col, "token", "tf"]].copy()
+        out["tf"] = out["tf"].astype("int64")
+        # df = number of (doc, token) rows per token (distinct docs by
+        # construction: tf rows are already per-(doc, token))
+        out["df"] = g.groupby("token")["token"].transform("size") \
+            .astype("int64")
+        return out
+
+    return parts.groupby("part").map_groups(body, batch_format="pandas")

@@ -575,3 +575,36 @@ def test_multimodal_resize_and_frame_sample():
                    frames["payload"].to_pylist()))
     assert got == expect
     assert expect  # fixture yields frames
+
+
+def test_quantile_disc_matches_numpy():
+    from alco_ray.stages import aggregate as agg
+
+    rng = np.random.RandomState(5)
+    vals = np.round(rng.uniform(0, 100, size=500), 2)
+    keys = rng.choice(["a", "b", "c"], size=500)
+    t = pa.table({"k": pa.array(keys), "value": pa.array(vals)})
+    for q in (0.25, 0.5, 0.9):
+        got = agg.quantile_disc(ray.data.from_arrow(t).repartition(5),
+                                "value", q, by="k")
+        m = dict(zip(got["k"].to_pylist(), got["q_value"].to_pylist()))
+        for k in "abc":
+            cents = np.sort(np.round(vals[keys == k] * 100)
+                            .astype(np.int64))
+            idx = max(1, int(np.ceil(q * len(cents)))) - 1
+            assert m[k] == cents[idx], (k, q)
+
+
+def test_tf_df_matches_bruteforce():
+    t = _docs_table()
+    got = text.tf_df(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got_map = {(d, tk): (tf, df) for d, tk, tf, df in
+               zip(got["doc_id"], got["token"], got["tf"], got["df"])}
+    from collections import Counter
+
+    texts = t["text"].to_pylist()
+    tfs = {i: Counter(_py_tokens(s)) for i, s in enumerate(texts)}
+    dfs = Counter(tk for c in tfs.values() for tk in c)
+    expect = {(i, tk): (n, dfs[tk]) for i, c in tfs.items()
+              for tk, n in c.items()}
+    assert got_map == expect
