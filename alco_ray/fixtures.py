@@ -315,20 +315,28 @@ def ensure_jsonl_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     src_stamp = (src / "_COMPLETE").read_text()
     out_dir = Path(root) / f"{tag}_jsonl"
     done = out_dir / "_COMPLETE"
-    if done.exists():
-        if done.read_text() == src_stamp:
-            return out_dir
-        import shutil
+    if done.exists() and done.read_text() == src_stamp:
+        return out_dir
+    # Staged build + rename-swap (same pattern as ensure_corpus): a
+    # stale mirror stays readable until the fresh tree swaps in, and a
+    # crash leaves only an orphan .tmp dir, never a half-written
+    # marker-less mirror.
+    import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    tmp_dir = out_dir.with_name(out_dir.name + f".tmp.{os.getpid()}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    tmp_dir.mkdir(parents=True, exist_ok=True)
     for p in sorted(src.glob("*.parquet")):
         t = pq.read_table(p)
         iso = _format_iso(t["ts"].combine_chunks().cast(pa.int64())
                           .to_numpy(zero_copy_only=False))
         df = t.drop_columns(["ts"]).append_column("ts", iso).to_pandas()
-        tmp = out_dir / f".{p.stem}.jsonl.tmp.{os.getpid()}"
-        df.to_json(tmp, orient="records", lines=True, force_ascii=False)
-        os.replace(tmp, out_dir / f"{p.stem}.jsonl")
-    done.write_text(src_stamp)
+        df.to_json(tmp_dir / f"{p.stem}.jsonl", orient="records",
+                   lines=True, force_ascii=False)
+    (tmp_dir / "_COMPLETE").write_text(src_stamp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a race
     return out_dir

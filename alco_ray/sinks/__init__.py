@@ -189,7 +189,8 @@ def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
     committed: set[str] | None = None
     manifest = Path(out_root) / "_checkpoint" / "manifest.json"
     if manifest.exists():
-        committed = set(json.loads(manifest.read_text()))
+        committed = {wid for wid, w in json.loads(manifest.read_text())
+                     .items() if w.get("status") == "done"}
 
     def compact_dir(d: str) -> int:
         import pyarrow.parquet as pq_  # re-import inside the task

@@ -123,6 +123,20 @@ def dedup_exact_rows(ds, key_cols: list[str], order_col: str, *,
     return parts.groupby("part").map_groups(body, batch_format="pandas")
 
 
+def pair_partition_ids(a: np.ndarray, b: np.ndarray,
+                       n_parts: int) -> np.ndarray:
+    """int32 partition ids for (a, b) pair keys — THE shared pair-hash
+    behind every pair distinct/sum stage here and in similarity (a
+    pair lives in exactly one partition).  ``n_parts`` must be a power
+    of two."""
+    with np.errstate(over="ignore"):
+        h = (np.ascontiguousarray(a, dtype=np.int64).view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ np.ascontiguousarray(b, dtype=np.int64).view(np.uint64)
+             * np.uint64(0xC2B2AE3D27D4EB4F))
+    return (h & np.uint64(n_parts - 1)).astype(np.int32)
+
+
 def suggest_pair_partitions(n_rows: int, rows_per_part: int = 250_000,
                             expansion: int = 128, lo: int = 32,
                             hi: int = 1 << 16) -> int:
@@ -197,13 +211,8 @@ def jaccard_pairs(ds, threshold: float = 0.5, *, text_col: str = "text",
         # sum: Ray's own Aggregate measured ~44k rows/s on this shape
         # (200+ s at sf0.1); a second bounded map_groups with a
         # vectorized pandas sum is limited only by the shuffle.
-        a = out["doc_a"].to_numpy(copy=True).view(np.uint64)
-        b2 = out["doc_b"].to_numpy(copy=True).view(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15)
-                 ^ b2 * np.uint64(0xC2B2AE3D27D4EB4F))
-        out = out.assign(part2=(h & np.uint64(n_buckets - 1))
-                         .astype(np.int32))
+        out = out.assign(part2=pair_partition_ids(
+            out["doc_a"].to_numpy(), out["doc_b"].to_numpy(), n_buckets))
         return out
 
     pair_partials = sh.groupby("bucket").map_groups(
@@ -374,16 +383,9 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # lives in exactly one hash partition) — Ray's own Aggregate
     # measures ~44k rows/s on pair tables.
     def add_pair_part(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64) \
-            .view(np.uint64)
-        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64) \
-            .view(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15)
-                 ^ c * np.uint64(0xC2B2AE3D27D4EB4F))
-        return b.append_column(
-            "part2", pa.array((h & np.uint64(n_parts - 1))
-                              .astype(np.int32)))
+        return b.append_column("part2", pa.array(pair_partition_ids(
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False), n_parts)))
 
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(["doc_a", "doc_b"], sort=False)

@@ -149,11 +149,16 @@ def sample_frames_batch(batch: pa.Table, frame_bytes: int = 64,
     offsets = np.empty(total + 1, dtype=np.int64)
     offsets[0] = 0
     np.cumsum(ends - starts, out=offsets[1:])
-    # gather the sampled byte ranges into one contiguous buffer
+    # gather the sampled byte ranges into one contiguous buffer —
+    # segmented-arange (repeat + intra-offset), no per-frame Python
     src = np.frombuffer(flat, dtype=np.uint8)
-    take = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)]) \
-        if total else np.zeros(0, np.int64)
-    data = src[take].tobytes()
+    frame_lens = ends - starts
+    tot_bytes = int(frame_lens.sum())
+    base = np.repeat(starts, frame_lens)
+    cum0b = np.concatenate([[0], np.cumsum(frame_lens)[:-1]])
+    intra = np.arange(tot_bytes, dtype=np.int64) \
+        - np.repeat(cum0b, frame_lens)
+    data = src[base + intra].tobytes()
     frames = pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), total,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])

@@ -302,16 +302,11 @@ def cosine_dup_pairs_lsh(ds, threshold: float = 0.4, *,
     n_parts2 = suggest_pair_partitions(n, expansion=n_tables)
 
     def add_pair_part(b: pa.Table) -> pa.Table:
-        a = b["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64) \
-            .view(np.uint64)
-        c = b["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64) \
-            .view(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15)
-                 ^ c * np.uint64(0xC2B2AE3D27D4EB4F))
-        return b.append_column(
-            "part", pa.array((h & np.uint64(n_parts2 - 1))
-                             .astype(np.int32)))
+        from .dedup import pair_partition_ids
+
+        return b.append_column("part", pa.array(pair_partition_ids(
+            b["vec_a"].to_numpy(zero_copy_only=False),
+            b["vec_b"].to_numpy(zero_copy_only=False), n_parts2)))
 
     def distinct_pairs(g):
         return g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]]
@@ -370,18 +365,39 @@ def _probe_bucket_set(base: int, n_probe_bits: int,
     return probe
 
 
+def _sweep_stale_builds(index_dir) -> None:
+    """Remove orphan ``.{name}.building.*`` staging dirs left by
+    crashed builds (each run stages under its own pid, so the scheme
+    must be self-cleaning)."""
+    import shutil
+    from pathlib import Path
+
+    d = Path(index_dir)
+    for stale in d.parent.glob(f".{d.name}.building.*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def _swap_in_index(build_dir, index_dir) -> None:
-    """Atomically install a freshly built index directory: a crashed
-    build leaves only an orphan ``.building.*`` dir (never a torn or
-    merged index), and a rebuild fully replaces the old artifact."""
+    """Install a freshly built index directory with a minimal missing-
+    path window: old dir is renamed aside (one syscall), the new dir
+    renamed in (one syscall), then the old removed — a crashed build
+    leaves only an orphan ``.building.*``/``.trash.*`` dir, never a
+    torn or merged index.  Concurrent REBUILDS of the same index dir
+    still need external coordination (single-writer, like the dict
+    cache); probes racing the two renames can transiently miss the
+    dir."""
     import os
     import shutil
     from pathlib import Path
 
     index_dir = Path(index_dir)
+    trash = None
     if index_dir.exists():
-        shutil.rmtree(index_dir)
+        trash = index_dir.parent / f".{index_dir.name}.trash.{os.getpid()}"
+        os.rename(index_dir, trash)
     os.rename(build_dir, index_dir)
+    if trash is not None:
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def build_lsh_index(ds, index_dir, *, col: str = "embedding",
@@ -403,6 +419,7 @@ def build_lsh_index(ds, index_dir, *, col: str = "embedding",
     from ..sinks import _make_block_writer
 
     d = Path(index_dir)
+    _sweep_stale_builds(d)
     build = d.parent / f".{d.name}.building.{os.getpid()}"
     build.mkdir(parents=True, exist_ok=True)
     writer = _make_block_writer(str(build), ["bucket"])
@@ -465,6 +482,7 @@ def build_ivf_index(ds, index_dir, n_centroids: int = 16, *,
     from ..sinks import _make_block_writer
 
     d = Path(index_dir)
+    _sweep_stale_builds(d)
     build = d.parent / f".{d.name}.building.{os.getpid()}"
     build.mkdir(parents=True, exist_ok=True)
     cents = ivf_centroids(ds, n_centroids, col=col, seed=seed)
