@@ -200,6 +200,37 @@ def e_sessionize(sf_dir: str):
                              gap_minutes=30)
 
 
+def e_session_stats(sf_dir: str):
+    """Aggregate over a DERIVED key: per (user, session) event count
+    and exact microsecond duration — sessionize -> user-hash
+    partitions -> partition-local pandas aggregation (a user's
+    sessions co-locate)."""
+    import pandas as pd
+
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    sess = window.sessionize(ds, key_col="user_id", ts_col="ts",
+                             gap_minutes=30)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["user_id", "session_id"], sort=False)
+                .agg(n_events=("event_id", "size"),
+                     min_ts=("ts", "min"), max_ts=("ts", "max"))
+                .reset_index())
+        dur = (out["max_ts"].to_numpy().astype("datetime64[us]")
+               .view(np.int64)
+               - out["min_ts"].to_numpy().astype("datetime64[us]")
+               .view(np.int64))
+        out = out.drop(columns=["min_ts", "max_ts"])
+        out["n_events"] = out["n_events"].astype("int64")
+        out["duration_us"] = dur
+        return out
+
+    return partition_by_key(sess, "user_id").groupby("part").map_groups(
+        body, batch_format="pandas")
+
+
 def mm_features(sf_dir: str):
     """Multimodal feature-extraction plumbing (rows-only check)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -572,6 +603,24 @@ def d_tf_df(sf_dir: str):
     return text.tf_df(ds)
 
 
+def d_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment (the eval-split
+    primitive every training pipeline needs): multiplicative-hash the
+    stable id into 100 buckets -> 80/10/10.  The hash is plain int64
+    arithmetic ((id * 2654435761) mod 2^32 mod 100), so the oracle
+    reproduces it exactly — no RNG, stable under any partitioning."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def body(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % 4294967296 % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def d_token_explode(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text.token_explode, batch_format="pyarrow")
@@ -870,6 +919,7 @@ REGISTRY = {
     "e_topk_value": e_topk_value,
     "e_minmax_ts": e_minmax_ts,
     "e_sessionize": e_sessionize,
+    "e_session_stats": e_session_stats,
     # relational coverage
     "q1_pricing": q1_pricing,
     "q_mktsegment": q_mktsegment,
@@ -878,6 +928,7 @@ REGISTRY = {
     "q_top_orders": q_top_orders,
     "q_part_filter": q_part_filter,
     # documents / training-data ops
+    "d_split_assign": d_split_assign,
     "d_tf_df": d_tf_df,
     "d_token_explode": d_token_explode,
     "d_token_stats": d_token_stats,
