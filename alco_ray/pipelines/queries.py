@@ -136,6 +136,15 @@ def t_per_conv_stats(sf_dir: str):
     return order.per_conv_turn_stats(ds, salt_buckets=16)
 
 
+def t_topk_per_conv(sf_dir: str):
+    """Grouped limit (A4 per group): the 3 latest turns of every
+    conversation — hash-partitioned sort + head, no global sort."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    return order.top_k_per_group(ds, "conv_id", ["turn_idx"], 3,
+                                 descending=True)
+
+
 def t_top_recent(sf_dir: str):
     """A4: 50 most recent turns by parsed event time."""
     cfg = default_transcript_config()
@@ -900,6 +909,7 @@ REGISTRY = {
     "t_ordered_turns": t_ordered_turns,
     "t_per_conv_stats": t_per_conv_stats,
     "t_top_recent": t_top_recent,
+    "t_topk_per_conv": t_topk_per_conv,
     "t_residual_js": t_residual_js,
     "t_context_errors": t_context_errors,
     "t_rolling_errors": t_rolling_errors,

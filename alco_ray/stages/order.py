@@ -96,6 +96,31 @@ def per_conv_turn_stats(ds, salt_buckets: int = 16,
                                                 batch_format="pandas")
 
 
+def top_k_per_group(ds, group_col: str, sort_cols: list[str], k: int,
+                    descending=True, n_parts: int | None = None):
+    """Top-k rows PER GROUP (latest k turns per conversation, top
+    events per user — the grouped-limit operator Ray Data lacks):
+    hash-partition on the group key, then one vectorized
+    sort + groupby-head per partition.  Deterministic given a
+    tie-breaking sort key; returns all input columns."""
+    import numpy as np  # noqa: F401
+    import pandas as pd
+
+    from .window import partition_by_key
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort",
+                          ascending=[not d for d in descending])
+        return (g.groupby(group_col, sort=False).head(k)
+                 .drop(columns=["part"]))
+
+    parts = partition_by_key(ds, group_col, n_parts)
+    return parts.groupby("part").map_groups(body, batch_format="pandas")
+
+
 def top_k(ds, keys: list[str], k: int, descending=True):
     """A4 top-k without a global sort: per-block local top-k inside
     map_batches (whole-block batches), then a driver-side merge of the

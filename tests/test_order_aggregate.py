@@ -84,3 +84,19 @@ def test_distinct_values(t_small_table):
     got = distinct_values(ray.data.from_arrow(t_small_table),
                           "role")["role"].to_pylist()
     assert got == ["assistant", "system", "tool", "user"]
+
+
+def test_top_k_per_group(t_small_table):
+    from alco_ray.stages.order import top_k_per_group
+
+    got = top_k_per_group(
+        ray.data.from_arrow(t_small_table).repartition(5),
+        "conv_id", ["turn_idx"], 2, descending=True).to_pandas()
+    df = t_small_table.to_pandas()
+    want = (df.sort_values(["conv_id", "turn_idx"],
+                           ascending=[True, False])
+              .groupby("conv_id").head(2))
+    g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    w = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert g[["conv_id", "turn_idx", "text"]].equals(
+        w[["conv_id", "turn_idx", "text"]])
