@@ -136,6 +136,30 @@ def t_per_conv_stats(sf_dir: str):
     return order.per_conv_turn_stats(ds, salt_buckets=16)
 
 
+def t_conv_tool_stats(sf_dir: str):
+    """Distinct-count per group (the COUNT(DISTINCT) operator class):
+    per conversation, turns with a tool call and distinct tools used —
+    key-hash partitions + one vectorized pandas nunique per partition."""
+    import pandas as pd
+
+    from ..stages.window import partition_by_key
+
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "tool"])
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("conv_id", sort=False)
+                .agg(n_tool_turns=("tool", "count"),      # non-null
+                     n_distinct_tools=("tool", "nunique"))
+                .reset_index())
+        for c in ("n_tool_turns", "n_distinct_tools"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return partition_by_key(ds, "conv_id").groupby("part").map_groups(
+        body, batch_format="pandas")
+
+
 def t_topk_per_conv(sf_dir: str):
     """Grouped limit (A4 per group): the 3 latest turns of every
     conversation — hash-partitioned sort + head, no global sort."""
@@ -910,6 +934,7 @@ REGISTRY = {
     "t_per_conv_stats": t_per_conv_stats,
     "t_top_recent": t_top_recent,
     "t_topk_per_conv": t_topk_per_conv,
+    "t_conv_tool_stats": t_conv_tool_stats,
     "t_residual_js": t_residual_js,
     "t_context_errors": t_context_errors,
     "t_rolling_errors": t_rolling_errors,
