@@ -313,7 +313,8 @@ def band_explode(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, max_bucket: int = 256,
                         n_parts: int | None = None,
-                        as_table: bool = False):
+                        as_table: bool = False,
+                        max_candidate_rows: int = 50_000_000):
     """MinHash-LSH candidate pairs: Dataset(doc_a, doc_b) distinct.
 
     Pipeline: signatures -> band explode -> groupby(band_id, band_hash)
@@ -371,7 +372,17 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
         from .aggregate import concat_nonempty
 
-        t = concat_nonempty(ray.get(partials.to_arrow_refs()))
+        blocks = ray.get(partials.to_arrow_refs())
+        # Checked limit BEFORE the driver-side concat copies anything
+        # (the refs themselves are plasma-backed / zero-copy): a
+        # degenerate boilerplate corpus must raise, not OOM the driver.
+        total = sum(t.num_rows for t in blocks)
+        if total > max_candidate_rows:
+            raise ValueError(
+                f"lsh_candidate_pairs(as_table=True): {total} candidate "
+                f"rows exceed max_candidate_rows={max_candidate_rows}; "
+                "verify in shards (as_table=False keeps them distributed)")
+        t = concat_nonempty(blocks)
         if t.num_columns == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
@@ -450,20 +461,57 @@ def verify_pairs(ds, candidates, threshold: float = 0.5, *,
         # latency dwarfs this much compute.
         subset = concat_nonempty(ray.get(
             sub.select_columns([id_col, text_col]).to_arrow_refs()))
+        if subset.num_rows == 0 or id_col not in subset.column_names:
+            # No candidate doc id exists in the corpus (concat_nonempty
+            # collapses an all-empty ref list to a zero-column table).
+            empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                              "doc_b": pa.array([], pa.int64()),
+                              "inter": pa.array([], pa.int64()),
+                              "uni": pa.array([], pa.int64())})
+            return ray.data.from_arrow(empty)
         h, offs = _shingle_hashes(subset, text_col, k)
         ids = subset[id_col].to_numpy(zero_copy_only=False)
-        pos = {int(i): j for j, i in enumerate(ids)}
+        # Vectorized id -> row position (sorted lookup, no Python dict).
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+
+        def locate(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            j = np.clip(np.searchsorted(sids, x), 0, len(sids) - 1)
+            ok = sids[j] == x
+            return order[j], ok
+
+        ja, oka = locate(a)
+        jb, okb = locate(b)
+        valid = oka & okb
         inter = np.zeros(candidates.num_rows, dtype=np.int64)
         uni = np.zeros(candidates.num_rows, dtype=np.int64)
-        for i in range(candidates.num_rows):
-            ja, jb = pos.get(int(a[i])), pos.get(int(b[i]))
-            if ja is None or jb is None:
-                continue
-            sa = h[offs[ja]:offs[ja + 1]]
-            sb = h[offs[jb]:offs[jb + 1]]
-            m = len(np.intersect1d(sa, sb, assume_unique=True))
-            inter[i] = m
-            uni[i] = len(sa) + len(sb) - m
+        va, vb = ja[valid], jb[valid]
+        la = offs[va + 1] - offs[va]
+        lb = offs[vb + 1] - offs[vb]
+
+        def gather(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
+            # Segmented gather of variable-length shingle slices: one
+            # fancy-index instead of a per-pair Python loop.
+            out_starts = np.cumsum(lens) - lens
+            idx = (np.arange(int(lens.sum()), dtype=np.int64)
+                   - np.repeat(out_starts, lens)
+                   + np.repeat(offs[rows], lens))
+            return h[idx]
+
+        # Per-doc shingles are DISTINCT (see _shingle_hashes), so after
+        # sorting each pair's combined (A ++ B) list, every shared
+        # shingle appears as exactly one adjacent duplicate.
+        pair_ids = np.arange(len(va), dtype=np.int64)
+        vals = np.concatenate([gather(va, la), gather(vb, lb)])
+        keys = np.concatenate([np.repeat(pair_ids, la),
+                               np.repeat(pair_ids, lb)])
+        srt = np.lexsort((vals, keys))
+        kv, vv = keys[srt], vals[srt]
+        dup = (kv[1:] == kv[:-1]) & (vv[1:] == vv[:-1])
+        icount = np.bincount(kv[1:][dup],
+                             minlength=len(va)).astype(np.int64)
+        inter[valid] = icount
+        uni[valid] = la + lb - icount
         thr = round(threshold * 1000)
         keep = (uni > 0) & (inter * 1000 >= uni * thr)
         out = pa.table({"doc_a": pa.array(a[keep]),
