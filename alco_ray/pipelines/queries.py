@@ -55,6 +55,17 @@ def _corpus(sf_dir: str) -> Path:
     return fixtures.corpus_for_sf(sf_dir)
 
 
+def _nrows(path) -> int:
+    """Row count from Parquet footer metadata only (no data read) —
+    the approx_rows hint for partition-local kernels over TRANSFORMED
+    inputs, where Dataset.count() would execute the upstream plan an
+    extra time.  Pure reads don't need it (Ray answers count() from
+    the same metadata)."""
+    p = Path(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def _parsed_routed(sf_dir: str) -> "ray.data.Dataset":
     cfg = default_transcript_config()
     ds = read_transcripts(_corpus(sf_dir))
@@ -190,13 +201,15 @@ def _parsed_level(sf_dir: str):
 def t_rolling_errors(sf_dir: str):
     """Windowed aggregate: ERROR count within +-2 turns, per turn."""
     return window.rolling_count(_parsed_level(sf_dir), flag_col="level",
-                                flag_value="ERROR", radius=2)
+                                flag_value="ERROR", radius=2,
+                                approx_rows=_nrows(_corpus(sf_dir)))
 
 
 def t_asof_last_error(sf_dir: str):
     """As-of join within conversation: latest ERROR turn at-or-before."""
     return window.asof_prior(_parsed_level(sf_dir), flag_col="level",
-                             flag_value="ERROR")
+                             flag_value="ERROR",
+                             approx_rows=_nrows(_corpus(sf_dir)))
 
 
 def t_kv_fields(sf_dir: str):
@@ -223,7 +236,8 @@ def t_dedup_backstop(sf_dir: str):
                           columns=["conv_id", "turn_idx", "ts"])
     doubled = ds.union(read_transcripts(
         _corpus(sf_dir), columns=["conv_id", "turn_idx", "ts"]))
-    return dedup.dedup_exact(doubled, ["conv_id", "turn_idx"], "ts")
+    return dedup.dedup_exact(doubled, ["conv_id", "turn_idx"], "ts",
+                             approx_rows=2 * _nrows(_corpus(sf_dir)))
 
 
 def e_sessionize(sf_dir: str):
@@ -260,8 +274,10 @@ def e_session_stats(sf_dir: str):
         out["duration_us"] = dur
         return out
 
-    return partition_by_key(sess, "user_id").groupby("part").map_groups(
-        body, batch_format="pandas")
+    return partition_by_key(
+        sess, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
 
 
 def mm_features(sf_dir: str):
@@ -337,7 +353,8 @@ def t_context_errors(sf_dir: str):
         make_parse_batch(cfg), batch_format="pyarrow")
     ds = ds.select_columns(["conv_id", "turn_idx", "level"])
     return window.context_window(ds, match_col="level", match_value="ERROR",
-                                 radius=1)
+                                 radius=1,
+                                 approx_rows=_nrows(_corpus(sf_dir)))
 
 
 def t_jsonl_routed(sf_dir: str):
@@ -688,7 +705,9 @@ def d_dedup_exact_rows(sf_dir: str):
 
     planted = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(rekey, batch_format="pyarrow")
-    return dedup.dedup_exact_rows(ds.union(planted), ["text"], "doc_id")
+    return dedup.dedup_exact_rows(
+        ds.union(planted), ["text"], "doc_id",
+        approx_rows=_nrows(_tp(sf_dir, "documents")) + 50)
 
 
 def d_dedup_apply(sf_dir: str):
@@ -900,13 +919,14 @@ def v_cosine_dedup_apply(sf_dir: str):
     cross-family composition of v_cosine_dup and dedup_apply)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = similarity.cosine_dup_pairs(ds, threshold=0.4)
-    pairs_t = agg_stage.concat_nonempty(ray.get(pairs.to_arrow_refs()))
-    if pairs_t.num_columns == 0:
-        pairs_t = pa.table({"vec_a": pa.array([], pa.int64()),
-                            "vec_b": pa.array([], pa.int64())})
+    # Hand dedup_apply the Dataset itself: its max_edges limit is then
+    # enforced on block row counts BEFORE any driver-side concat.
+    edges = pairs.map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
     return dedup.dedup_apply(
         _read(sf_dir, "embeddings", columns=["vec_id"]),
-        pairs_t.rename_columns(["doc_a", "doc_b"]), id_col="vec_id")
+        edges, id_col="vec_id")
 
 
 def v_dims(sf_dir: str):

@@ -41,7 +41,7 @@ MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
 def dedup_exact(ds, key_cols: list[str], order_col: str, *,
-                n_parts: int | None = None):
+                n_parts: int | None = None, approx_rows: int | None = None):
     """One row per exact key: (key_cols..., <order_col> of the kept
     representative = group min, n_dups) — the D1 row-level backstop.
 
@@ -66,7 +66,8 @@ def dedup_exact(ds, key_cols: list[str], order_col: str, *,
         out["n_dups"] = out["n_dups"].astype("int64")
         return out
 
-    parts = partition_by_key(ds, key_cols, n_parts)
+    parts = partition_by_key(ds, key_cols, n_parts,
+                             approx_rows=approx_rows)
     return parts.groupby("part").map_groups(body, batch_format="pandas")
 
 
@@ -101,7 +102,8 @@ def shingle_explode(batch: pa.Table, text_col: str = "text",
 
 
 def dedup_exact_rows(ds, key_cols: list[str], order_col: str, *,
-                     n_parts: int | None = None):
+                     n_parts: int | None = None,
+                     approx_rows: int | None = None):
     """Full-row exact dedup: keep the first row (minimum ``order_col``)
     per exact key, with ALL columns — the operator users actually want
     when "dedup" means "give me the surviving rows".
@@ -119,7 +121,8 @@ def dedup_exact_rows(ds, key_cols: list[str], order_col: str, *,
         return g.drop_duplicates(subset=key_cols, keep="first") \
                 .drop(columns=["part"])
 
-    parts = partition_by_key(ds, key_cols, n_parts)
+    parts = partition_by_key(ds, key_cols, n_parts,
+                             approx_rows=approx_rows)
     return parts.groupby("part").map_groups(body, batch_format="pandas")
 
 
@@ -650,7 +653,8 @@ def simhash_near_pairs(ds, max_hamming: int = 7, *,
                                             batch_format="pandas")
 
 
-def dedup_apply(ds, pairs, *, id_col: str = "doc_id"):
+def dedup_apply(ds, pairs, *, id_col: str = "doc_id",
+                max_edges: int = 50_000_000):
     """Keep one representative per near-dup cluster.
 
     ``pairs`` is a Dataset/Table of (doc_a, doc_b) near-dup edges (from
@@ -665,12 +669,19 @@ def dedup_apply(ds, pairs, *, id_col: str = "doc_id"):
 
     from .aggregate import concat_nonempty
 
-    max_edges = 50_000_000
     if hasattr(pairs, "to_arrow_refs"):
-        pairs = concat_nonempty(ray.get(pairs.to_arrow_refs()))
-    if pairs.num_rows > max_edges:
+        # Enforce the limit on summed block row counts BEFORE the
+        # driver-side concat copies anything (the refs are
+        # plasma-backed / zero-copy until then).
+        blocks = ray.get(pairs.to_arrow_refs())
+        n_edges = sum(t.num_rows for t in blocks)
+        if n_edges <= max_edges:
+            pairs = concat_nonempty(blocks)
+    else:
+        n_edges = pairs.num_rows
+    if n_edges > max_edges:
         raise ValueError(
-            f"dedup_apply: {pairs.num_rows} near-dup edges exceed the "
+            f"dedup_apply: {n_edges} near-dup edges exceed the "
             f"driver-side component limit ({max_edges}); raise the pair "
             "threshold or pre-contract edges (e.g. keep only each doc's "
             "minimum partner) before applying")

@@ -154,6 +154,48 @@ def _codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return cp, np.concatenate([[0], np.cumsum(lens)])
 
 
+def _codepoints_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint32 code-point array + per-string int64 offsets, decoded
+    straight from the Arrow string buffers — no ``to_pylist()``, no
+    Python-object materialization of the text column.
+
+    Vectorized UTF-8 decode: classify each byte's payload bits, assign
+    bytes to characters with one cumsum over start-byte flags, then sum
+    ``payload << 6*(bytes_after_it_in_char)`` per character (exact in
+    float64: every addend < 2^21, totals < 2^21).  Matches
+    :func:`_codepoints` bit-for-bit on valid UTF-8."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    width = 8 if pa.types.is_large_string(arr.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1,
+                         offset=arr.offset * width).astype(np.int64)
+    data = arr.buffers()[2]
+    b = (np.frombuffer(data, dtype=np.uint8)[offs[0]:offs[-1]]
+         if data is not None and offs[-1] > offs[0]
+         else np.zeros(0, np.uint8))
+    offs = offs - offs[0]
+    is_start = (b & 0xC0) != 0x80
+    starts_cum = np.concatenate([[0], np.cumsum(is_start)])
+    str_offs = starts_cum[offs].astype(np.int64)
+    if not len(b):
+        return np.zeros(0, np.uint32), str_offs
+    char_id = starts_cum[1:] - 1
+    nchars = int(char_id[-1]) + 1
+    val = np.where(b < 0x80, b,
+          np.where((b & 0xE0) == 0xC0, b & 0x1F,
+          np.where((b & 0xF0) == 0xE0, b & 0x0F,
+          np.where((b & 0xF8) == 0xF0, b & 0x07,
+                   b & 0x3F)))).astype(np.int64)
+    start_pos = np.flatnonzero(is_start)
+    char_len = np.diff(np.append(start_pos, len(b)))
+    pos_in_char = np.arange(len(b), dtype=np.int64) - start_pos[char_id]
+    shift = (char_len[char_id] - 1 - pos_in_char) * 6
+    cp = np.bincount(char_id, weights=(val << shift).astype(np.float64),
+                     minlength=nchars).astype(np.uint32)
+    return cp, str_offs
+
+
 def _trigram_set(text: str) -> np.ndarray:
     """Sorted distinct char-trigram hashes of one string."""
     cp, offs = _codepoints([text])
@@ -290,7 +332,7 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lowered = pc.utf8_lower(
             pc.coalesce(batch["text"], pa.scalar("", pa.string())))
-        cp, offs = _codepoints(lowered.to_pylist())
+        cp, offs = _codepoints_arrow(lowered)
         grams, goffs = segmented_window_hashes(
             cp.astype(np.uint64), offs, 3, _TRIGRAM_B)
         n = batch.num_rows
@@ -311,7 +353,7 @@ class LangId:
 
 
 def tf_df(ds, *, text_col: str = "text", id_col: str = "doc_id",
-          n_parts: int | None = None):
+          n_parts: int | None = None, tokens_per_doc: int = 64):
     """Integer-exact IR stats: (doc_id, token, tf, df) — term frequency
     per document and document frequency per token (the TF-IDF
     precursor; the float weighting is a trivial map the consumer
@@ -328,6 +370,13 @@ def tf_df(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return g.rename_columns([id_col, "token", "tf"])
 
     tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+    if n_parts is None:
+        # Size from the INPUT row count (metadata-cheap on pure reads)
+        # times a tokens-per-doc estimate: counting `tf` itself would
+        # execute tf_partial an extra time.
+        from .window import suggest_key_partitions
+
+        n_parts = suggest_key_partitions(ds.count() * tokens_per_doc)
     parts = partition_by_key(tf, "token", n_parts)
 
     def body(g: pd.DataFrame) -> pd.DataFrame:

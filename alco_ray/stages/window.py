@@ -28,10 +28,10 @@ import pyarrow as pa
 
 
 def default_hash_parts() -> int:
-    """Default key-hash partition count for partition-local kernels
-    (here and in dedup_exact_rows): a multiple of cluster CPUs,
-    power-of-two.  Callers override when rows/n_parts outgrows a
-    worker's heap."""
+    """CPU-derived FLOOR for the key-hash partition count: a multiple
+    of cluster CPUs, power-of-two.  The data-proportional default is
+    :func:`suggest_key_partitions`; this floor keeps small inputs from
+    under-parallelizing."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
@@ -43,13 +43,34 @@ def default_hash_parts() -> int:
 _default_parts = default_hash_parts
 
 
-def partition_by_key(ds, key_cols, n_parts: int | None = None):
+def suggest_key_partitions(n_rows: int, rows_per_part: int = 250_000,
+                           hi: int = 1 << 16) -> int:
+    """Data-proportional power-of-two partition count for the
+    partition-local kernels: each partition's frame is one in-worker
+    pandas sort, so its row count must stay bounded at ANY corpus size
+    (a fixed CPU-derived count means frames grow linearly with the
+    corpus).  Floor = :func:`default_hash_parts` (parallelism at small
+    scale), cap ``hi`` bounds per-group scheduling overhead."""
+    want = max(default_hash_parts(), min(hi, -(-int(n_rows) // rows_per_part)))
+    return 1 << (int(want) - 1).bit_length()
+
+
+def partition_by_key(ds, key_cols, n_parts: int | None = None,
+                     approx_rows: int | None = None):
     """Append int32 ``part`` = hash(key columns) % n_parts — THE shared
     primitive behind every partition-local kernel in this package
     (window ops, dedup_exact, dedup_exact_rows): a key lives in
     exactly one partition, so partition-local answers are globally
-    exact.  Deterministic (pandas SipHash, fixed key)."""
-    n_parts = n_parts or default_hash_parts()
+    exact.  Deterministic (pandas SipHash, fixed key).
+
+    ``n_parts`` defaults to :func:`suggest_key_partitions` over
+    ``approx_rows`` if given (callers that know the corpus size from
+    Parquet metadata avoid an extra pass), else over ``ds.count()``
+    (one extra pass over the upstream plan — the safe default; pass
+    the hint on hot paths)."""
+    if n_parts is None:
+        n_parts = suggest_key_partitions(
+            approx_rows if approx_rows is not None else ds.count())
     cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -65,8 +86,9 @@ def partition_by_key(ds, key_cols, n_parts: int | None = None):
     return ds.map_batches(add_part, batch_format="pyarrow")
 
 
-def _partitioned(ds, key_col: str, n_parts: int | None = None):
-    return partition_by_key(ds, key_col, n_parts)
+def _partitioned(ds, key_col: str, n_parts: int | None = None,
+                 approx_rows: int | None = None):
+    return partition_by_key(ds, key_col, n_parts, approx_rows=approx_rows)
 
 
 def _segment_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -96,7 +118,8 @@ def _windowed_flag_sum(flag: np.ndarray, seg_start: np.ndarray,
 
 def rolling_count(ds, *, flag_col: str, flag_value, radius: int = 2,
                   conv_col: str = "conv_id", idx_col: str = "turn_idx",
-                  out_col: str = "w_count", n_parts: int | None = None):
+                  out_col: str = "w_count", n_parts: int | None = None,
+                  approx_rows: int | None = None):
     """Centered rolling window aggregate: for every turn, the number of
     rows with ``flag_col == flag_value`` within ``radius`` turns in the
     same conversation (ROWS frame)."""
@@ -110,13 +133,15 @@ def rolling_count(ds, *, flag_col: str, flag_value, radius: int = 2,
         out[out_col] = _windowed_flag_sum(flag, seg_start, seg_end, radius)
         return out
 
-    return _partitioned(ds, conv_col, n_parts).groupby("part").map_groups(
+    return _partitioned(ds, conv_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
 
 
 def asof_prior(ds, *, flag_col: str, flag_value,
                conv_col: str = "conv_id", idx_col: str = "turn_idx",
-               out_col: str = "last_match_idx", n_parts: int | None = None):
+               out_col: str = "last_match_idx", n_parts: int | None = None,
+               approx_rows: int | None = None):
     """As-of join within a conversation: for every turn, the most
     recent ``turn_idx`` at-or-before it whose ``flag_col`` equals
     ``flag_value`` (-1 if none yet).
@@ -138,13 +163,14 @@ def asof_prior(ds, *, flag_col: str, flag_value,
         out[out_col] = run - seg_id * OFF
         return out
 
-    return _partitioned(ds, conv_col, n_parts).groupby("part").map_groups(
+    return _partitioned(ds, conv_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
 
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                gap_minutes: int = 30, out_col: str = "session_id",
-               n_parts: int | None = None):
+               n_parts: int | None = None, approx_rows: int | None = None):
     """Gap-based sessionization: within each key, a new session starts
     whenever the time since the previous event exceeds ``gap_minutes``.
     session_id = running count of gap-breaks (0-based) per key.
@@ -172,14 +198,16 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         g[out_col] = c - c[seg_start]
         return g
 
-    return _partitioned(ds, key_col, n_parts).groupby("part").map_groups(
+    return _partitioned(ds, key_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas").drop_columns(["part"])
 
 
 def context_window(ds, *, match_col: str, match_value, radius: int = 1,
                    conv_col: str = "conv_id", idx_col: str = "turn_idx",
                    keep_cols: list[str] | None = None,
-                   n_parts: int | None = None):
+                   n_parts: int | None = None,
+                   approx_rows: int | None = None):
     """Rows within ``radius`` turns of a matching row in the same
     conversation (the grep context view).  Returns the kept rows."""
     cols = keep_cols or [conv_col, idx_col, match_col]
@@ -192,5 +220,6 @@ def context_window(ds, *, match_col: str, match_value, radius: int = 1,
         w = _windowed_flag_sum(flag, seg_start, seg_end, radius)
         return g.loc[w > 0, cols]
 
-    return _partitioned(ds, conv_col, n_parts).groupby("part").map_groups(
+    return _partitioned(ds, conv_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")

@@ -608,3 +608,70 @@ def test_tf_df_matches_bruteforce():
     expect = {(i, tk): (n, dfs[tk]) for i, c in tfs.items()
               for tk, n in c.items()}
     assert got_map == expect
+
+
+def test_key_partitions_grow_with_input():
+    """suggest_key_partitions must be data-proportional (a fixed
+    CPU-derived count means partition frames grow linearly with the
+    corpus) with the CPU floor at small scale."""
+    from alco_ray.stages.window import (default_hash_parts,
+                                        suggest_key_partitions)
+
+    floor = default_hash_parts()
+    small = suggest_key_partitions(10_000)
+    big = suggest_key_partitions(1_000_000_000)
+    assert small == floor
+    assert big > small
+    # bounded frame size: rows/parts stays near the target
+    assert 1_000_000_000 / big <= 250_000
+    for n in (small, big):
+        assert n & (n - 1) == 0  # power of two (mask partitioning)
+    assert suggest_key_partitions(10**12) == 1 << 16  # capped
+
+
+def test_dedup_apply_max_edges_checked_before_concat():
+    """An over-limit pair Dataset must raise BEFORE the driver-side
+    concat materializes the edge list."""
+    import pytest
+    import ray.data
+
+    from alco_ray.stages import dedup
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": list(range(10))}))
+    edges = pa.table({"doc_a": [0, 1, 2, 3], "doc_b": [4, 5, 6, 7]})
+    pairs = ray.data.from_arrow(edges)
+    with pytest.raises(ValueError, match="exceed the"):
+        dedup.dedup_apply(docs, pairs, max_edges=3)
+    # under the limit: same answer as the table path
+    got = sorted(dedup.dedup_apply(docs, pairs, max_edges=4)
+                 .to_pandas()["doc_id"])
+    want = sorted(dedup.dedup_apply(docs, edges)
+                  .to_pandas()["doc_id"])
+    assert got == want == [0, 1, 2, 3, 8, 9]
+
+
+def test_codepoints_arrow_matches_python():
+    """The Arrow-buffer UTF-8 decode must match the utf-32 reference
+    (incl. multibyte, 4-byte emoji, empty strings, slice offsets)."""
+    from alco_ray.stages.text import _codepoints, _codepoints_arrow
+
+    texts = ["hello", "", "héllo wörld", "быстрая лиса", "敏捷的狐狸",
+             "mixed ascii и кириллица 中文 \U0001F600\U0001F680", "a"]
+    want_cp, want_offs = _codepoints(texts)
+    arr = pa.array(texts, pa.string())
+    got_cp, got_offs = _codepoints_arrow(arr)
+    assert np.array_equal(got_cp, want_cp)
+    assert np.array_equal(got_offs, want_offs)
+    # sliced array (non-zero arr.offset) and large_string
+    sl = arr.slice(2, 4)
+    want_cp2, want_offs2 = _codepoints(texts[2:6])
+    got_cp2, got_offs2 = _codepoints_arrow(sl)
+    assert np.array_equal(got_cp2, want_cp2)
+    assert np.array_equal(got_offs2, want_offs2)
+    big = pa.array(texts, pa.large_string())
+    got_cp3, got_offs3 = _codepoints_arrow(big)
+    assert np.array_equal(got_cp3, want_cp)
+    assert np.array_equal(got_offs3, want_offs)
+    # all-empty input
+    e_cp, e_offs = _codepoints_arrow(pa.array(["", ""], pa.string()))
+    assert len(e_cp) == 0 and np.array_equal(e_offs, [0, 0, 0])
