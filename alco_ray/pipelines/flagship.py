@@ -230,6 +230,21 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
             f"file(s) missing from the corpus (first: {gone[0]}); "
             "committed totals would silently include vanished data — "
             "use a fresh out_root for a shrunk/replaced corpus")
+    # A shard rewritten IN PLACE (same name, new size/mtime) must not
+    # be silently treated as already-processed: committed output and
+    # aggregates would go stale.  Same contract as the shrunk-corpus
+    # check; use a fresh out_root for a replaced corpus.
+    recorded = manifest.file_sigs()
+    for f in files:
+        sig = recorded.get(f)
+        if sig is not None:
+            st = os.stat(f)
+            if [st.st_size, st.st_mtime_ns] != sig:
+                raise ValueError(
+                    f"checkpoint at {out_root} recorded {f} with "
+                    f"size/mtime {sig}, but the file on disk has "
+                    f"[{st.st_size}, {st.st_mtime_ns}] — shard rewritten "
+                    "in place; use a fresh out_root for a replaced corpus")
     pending = [f for f in files if f not in processed]
     waves = make_waves(pending, wave_size)
     # Orphans of half-committed waves (any wave-id prefix not in the

@@ -154,6 +154,23 @@ def promote_staging(staging_dir: str | Path, out_root: str | Path,
     return n
 
 
+def compacted_input_names(dirpath: str | Path) -> set[str]:
+    """Basenames recorded as ``compacted_inputs`` by any ``c-*`` file in
+    the directory: files a compaction already absorbed.  Readers skip
+    them so the crash window between installing a compacted file and
+    unlinking its inputs can never double-count rows (footer-only
+    reads; cheap)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    out: set[str] = set()
+    for c in Path(dirpath).glob("c-*.parquet"):
+        meta = pq.read_schema(c).metadata or {}
+        out.update(json.loads(meta.get(b"compacted_inputs", b"[]")))
+    return out
+
+
 def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
                        pattern: str = "sink=*/date=*") -> int:
     """Small-file compaction of the routed sink tree (the Sphinx RT
@@ -197,7 +214,11 @@ def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
 
         dp = Path(d)
         removed = 0
-        # recovery: drop inputs a previous crash left behind
+        # recovery: sweep tmp orphans of a crash between write_table and
+        # os.replace (no pass would otherwise ever touch them), then
+        # drop inputs a previous crash left behind
+        for tmp in dp.glob(".c-*.parquet.tmp"):
+            tmp.unlink()
         for c in dp.glob("c-*.parquet"):
             meta = pq_.read_schema(c).metadata or {}
             inputs = json.loads(meta.get(b"compacted_inputs", b"[]"))

@@ -94,10 +94,26 @@ def read_jsonl_transcripts(paths: list[str] | str,
     return ds.map_batches(normalize, batch_format="pyarrow")
 
 
+def routed_output_files(out_root: str | Path) -> list[str]:
+    """Sorted live file list of the sink tree, excluding files a
+    compaction already absorbed (their rows live in a ``c-*`` file; a
+    crash between installing it and unlinking its inputs must not
+    double-count — see sinks.compact_partitions)."""
+    from ..sinks import compacted_input_names
+
+    files: list[str] = []
+    dirs = {p.parent for p in Path(out_root).glob("sink=*/date=*/*.parquet")}
+    for d in sorted(dirs):
+        absorbed = compacted_input_names(d)
+        files += (str(p) for p in d.glob("*.parquet")
+                  if p.name not in absorbed)
+    return sorted(files)
+
+
 def read_routed_output(out_root: str | Path, columns: list[str] | None = None,
                        ) -> "ray.data.Dataset":
     """Read back the partitioned sink tree (hive keys sink/date become
     columns again) — D2 union-of-shards."""
-    files = sorted(str(p) for p in Path(out_root).glob("sink=*/date=*/*.parquet"))
+    files = routed_output_files(out_root)
     return ray.data.read_parquet(files, columns=columns,
                                  override_num_blocks=suggest_num_blocks(files))

@@ -54,12 +54,35 @@ class CheckpointManifest:
                 out.update(w.get("input_files", ()))
         return out
 
+    def file_sigs(self) -> dict[str, list]:
+        """Recorded (size, mtime_ns) per committed input file — the
+        rewritten-in-place detector.  Waves committed by older manifests
+        (no ``input_sigs``) contribute nothing."""
+        out: dict[str, list] = {}
+        for w in self.waves.values():
+            if w.get("status") == "done":
+                out.update(w.get("input_sigs", {}))
+        return out
+
     def commit(self, wave_id: str, *, input_files: list[str],
                metrics: dict[str, Any]) -> None:
-        """Record a completed wave; atomic via write-temp + os.replace."""
+        """Record a completed wave; atomic via write-temp + os.replace.
+
+        Each input file's (size, mtime_ns) is recorded so a resume can
+        detect a shard REWRITTEN IN PLACE (same name, new content) —
+        silently treating it as already-processed would leave stale
+        committed output and aggregates."""
+        sigs = {}
+        for f in input_files:
+            try:
+                st = os.stat(f)
+                sigs[f] = [st.st_size, st.st_mtime_ns]
+            except OSError:
+                pass  # non-local / vanished source: no signature
         self.waves[wave_id] = {
             "status": "done",
             "input_files": input_files,
+            "input_sigs": sigs,
             "metrics": metrics,
         }
         self.path.parent.mkdir(parents=True, exist_ok=True)

@@ -283,3 +283,22 @@ def test_incremental_append_processes_only_new_files(t_small_dir, tmp_path):
     want = _read_out(fresh_out).to_pandas().sort_values(
         ["conv_id", "turn_idx"]).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_resume_rejects_shard_rewritten_in_place(t_small_dir, tmp_path):
+    """A committed shard rewritten in place (same name, new
+    size/mtime) must raise at resume, not be silently treated as
+    already-processed (stale output/aggregates)."""
+    import shutil as sh
+
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "rewrite_corpus"
+    sh.copytree(t_small_dir, corpus)
+    out = tmp_path / "rewrite_out"
+    run_flagship(corpus, out, wave_size=4)
+    victim = sorted(corpus.glob("*.parquet"))[0]
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, max(1, t.num_rows // 2)), victim)
+    with pytest.raises(ValueError, match="rewritten in place"):
+        run_flagship(corpus, out, wave_size=4)

@@ -172,3 +172,48 @@ def test_compaction_leaves_uncommitted_wave_orphans(tmp_path):
         ["wBBBB-00000-b3.parquet", "wBBBB-00001-b4.parquet"]
     assert len([n for n in names if n.startswith("c-")]) == 1
     assert not [n for n in names if n.startswith("wAAAA")]
+
+
+def test_compaction_crash_window_safety(tmp_path):
+    """(a) stale .c-*.parquet.tmp orphans are swept by the recovery
+    pass; (b) while a compacted file AND its absorbed inputs coexist
+    (the crash window between install and unlink), read_routed_output
+    must not double-count rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from alco_ray.sinks import compact_partitions, write_routed
+    from alco_ray.sources import read_routed_output, routed_output_files
+
+    batch = fixtures.generate_transcripts(20, 200, seed=17)
+    cfg = default_transcript_config()
+    routed = make_route_batch(cfg)(make_parse_batch(cfg)(batch))
+    ds = ray.data.from_arrow(routed).repartition(8)
+    write_routed(ds, tmp_path, ["sink", "date"])
+
+    want_rows = read_routed_output(tmp_path).count()
+    d = Path(sorted(glob.glob(f"{tmp_path}/sink=*/date=*"))[0])
+    orphan = d / ".c-deadbeef.parquet.tmp"
+    orphan.write_bytes(b"torn write")
+
+    # simulate the crash window: compact into c-*, then restore one
+    # absorbed input alongside it
+    inputs_before = sorted(d.glob("*.parquet"))
+    saved = {p.name: p.read_bytes() for p in inputs_before}
+    compact_partitions(tmp_path, target_bytes=1 << 30)
+    assert not orphan.exists()  # (a) tmp swept
+    cfiles = list(d.glob("c-*.parquet"))
+    if len(saved) > 1:
+        assert len(cfiles) == 1
+        resurrect = sorted(saved)[0]
+        (d / resurrect).write_bytes(saved[resurrect])
+        live = routed_output_files(tmp_path)
+        assert str(d / resurrect) not in live  # (b) absorbed input skipped
+        assert read_routed_output(tmp_path).count() == want_rows
+        # next compaction pass heals the window
+        compact_partitions(tmp_path, target_bytes=1 << 30)
+        assert not (d / resurrect).exists()
+        assert read_routed_output(tmp_path).count() == want_rows
