@@ -645,6 +645,94 @@ def q_part_filter(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_region_revenue(sf_dir: str):
+    """Q5-like multi-join chain (region x nation x supplier x lineitem
+    x orders): the two fact tables meet in a hash-shuffle join (orders
+    date-filtered AT THE READ via a pushed-down predicate); the three
+    dimension tables compose driver-side into ONE suppkey -> region
+    lookup broadcast to the probe stage; revenue in integer cents;
+    bounded-key fold."""
+    import pyarrow.dataset as pads
+
+    supplier = pq.read_table(_tp(sf_dir, "supplier"),
+                             columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(_tp(sf_dir, "nation"))
+    region = pq.read_table(_tp(sf_dir, "region"))
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    keys = pc.cast(supplier["s_suppkey"], pa.int64()).combine_chunks()
+    names = pa.array(
+        [r2name[n2r[n]] for n in supplier["s_nationkey"].to_pylist()],
+        pa.string())
+    ref = ray.put((keys, names))
+
+    import datetime
+
+    cutoff = datetime.datetime(1997, 1, 1)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"],
+                   filter=pads.field("o_orderdate") >= cutoff)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(orders, "inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        k0, nm0 = ray.get(ref)
+        rn = pc.take(nm0, pc.index_in(b["l_suppkey"], value_set=k0))
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = (pa.table({"r_name": rn, "c": cents})
+             .group_by(["r_name"])
+             .aggregate([([], "count_all"), ("c", "sum")]))
+        return g.rename_columns(["r_name", "n_items", "revenue_cents"])
+
+    p = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return agg_stage.fold_partials(
+        p, ["r_name"], [("n_items", "sum"), ("revenue_cents", "sum")])
+
+
+def _error_conv_keys(sf_dir: str):
+    """Derived (unbounded) key set: conv_ids with >= 1 ERROR turn."""
+    def err_keys(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.equal(b["level"], "ERROR"))
+                 .select(["conv_id"]))
+
+    return _parsed_level(sf_dir).map_batches(err_keys,
+                                             batch_format="pyarrow")
+
+
+def t_semi_join(sf_dir: str):
+    """Keyed semi join with an UNBOUNDED right side (stages/join.py —
+    both sides hash-shuffle on the key; no broadcast, no row
+    multiplication): turns of conversations containing at least one
+    ERROR-level turn."""
+    from ..stages.join import semi_join
+
+    turns = read_transcripts(_corpus(sf_dir),
+                             columns=["conv_id", "turn_idx"])
+    return semi_join(turns, _error_conv_keys(sf_dir), "conv_id",
+                     approx_rows=_nrows(_corpus(sf_dir)))
+
+
+def t_anti_join(sf_dir: str):
+    """Keyed anti join, unbounded right side: turns of conversations
+    with NO ERROR-level turn (the drop-list filter generalized past
+    broadcast size)."""
+    from ..stages.join import anti_join
+
+    turns = read_transcripts(_corpus(sf_dir),
+                             columns=["conv_id", "turn_idx"])
+    return anti_join(turns, _error_conv_keys(sf_dir), "conv_id",
+                     approx_rows=_nrows(_corpus(sf_dir)))
+
+
 # ------------------------------------------------------------- documents
 
 def d_tf_df(sf_dir: str):
@@ -982,6 +1070,9 @@ REGISTRY = {
     "q_shuffle_join": q_shuffle_join,
     "q_top_orders": q_top_orders,
     "q_part_filter": q_part_filter,
+    "q_region_revenue": q_region_revenue,
+    "t_semi_join": t_semi_join,
+    "t_anti_join": t_anti_join,
     # documents / training-data ops
     "d_split_assign": d_split_assign,
     "d_tf_df": d_tf_df,

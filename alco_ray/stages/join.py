@@ -1,0 +1,85 @@
+"""Keyed semi/anti joins for UNBOUNDED right sides (SURVEY.md §2.4 J3+).
+
+The package's row-membership filters so far assumed a bounded right
+side (dead-letter route list, broadcast drop set).  A user filtering
+100 TB by a 10 B-row key set can't broadcast: both sides must hash-
+partition on the key and meet in partition-local probes.  Ray Data's
+``Dataset.join`` ships exactly that shuffle with ``left_semi`` /
+``left_anti`` join types, so these wrappers add only the parts that
+bite in practice:
+
+- the empty-side guard (ray 2.49 ``Dataset.join`` raises ArrowInvalid
+  when one side has zero blocks — semi of anything with an empty key
+  set is empty, anti is the input unchanged);
+- key-column projection of the right side (its payload columns must
+  not ride through the shuffle);
+- a data-proportional ``num_partitions`` default (partition frames
+  bounded at any corpus size, CPU floor at small scale).
+"""
+
+from __future__ import annotations
+
+
+def _prepared(keys_ds, on: list[str]):
+    """Project the right side to its key columns and materialize it
+    (the join pulls it fully anyway; materializing lets the zero-block
+    guard use a metadata count instead of a second pass)."""
+    return keys_ds.select_columns(list(on)).materialize()
+
+
+def _num_partitions(ds, keys, approx_rows: int | None) -> int:
+    """Data-proportional partition count, CAPPED at ~half the cluster
+    CPUs: Dataset.join schedules one aggregator actor per partition,
+    and a partition count above what the cluster can start DEADLOCKS
+    the join (verified on ray 2.49: num_partitions=64 on 4 CPUs never
+    completes).  On a real cluster CPUs grow with nodes, so the cap
+    still scales partition count out — but per-partition size is
+    data/CPUs, which is Ray join's own memory contract
+    (partition_size_hint exists for skewed cases)."""
+    import ray
+
+    from .window import suggest_key_partitions
+
+    n = approx_rows if approx_rows is not None else ds.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return min(suggest_key_partitions(max(n, keys.count())),
+               max(2, cpus // 2))
+
+
+def semi_join(ds, keys_ds, on: list[str] | str, *,
+              right_on: list[str] | str | None = None,
+              num_partitions: int | None = None,
+              approx_rows: int | None = None):
+    """Rows of ``ds`` whose key appears in ``keys_ds`` (no row
+    multiplication, left columns only).  Hash-shuffle on both sides —
+    the right side may be arbitrarily large."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    keys = _prepared(keys_ds, right_on)
+    if keys.count() == 0:
+        return ds.limit(0)
+    return ds.join(keys, "left_semi",
+                   num_partitions=num_partitions or
+                   _num_partitions(ds, keys, approx_rows),
+                   on=tuple(on), right_on=tuple(right_on))
+
+
+def anti_join(ds, keys_ds, on: list[str] | str, *,
+              right_on: list[str] | str | None = None,
+              num_partitions: int | None = None,
+              approx_rows: int | None = None):
+    """Rows of ``ds`` whose key does NOT appear in ``keys_ds`` (left
+    columns only) — the dead-letter / drop-list filter generalized to
+    an unbounded right side."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    keys = _prepared(keys_ds, right_on)
+    if keys.count() == 0:
+        return ds
+    return ds.join(keys, "left_anti",
+                   num_partitions=num_partitions or
+                   _num_partitions(ds, keys, approx_rows),
+                   on=tuple(on), right_on=tuple(right_on))

@@ -675,3 +675,24 @@ def test_codepoints_arrow_matches_python():
     # all-empty input
     e_cp, e_offs = _codepoints_arrow(pa.array(["", ""], pa.string()))
     assert len(e_cp) == 0 and np.array_equal(e_offs, [0, 0, 0])
+
+
+def test_semi_anti_join_unbounded_right():
+    """Keyed semi/anti joins: no row multiplication on duplicate right
+    keys, left columns only, empty right side = empty/identity."""
+    import ray.data
+
+    from alco_ray.stages.join import anti_join, semi_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": [1, 2, 3, 4, 5, 2], "v": ["a", "b", "c", "d", "e", "f"]}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": [2, 2, 4, 9], "payload": ["x", "y", "z", "w"]}))
+    semi = semi_join(left, right, "k").to_pandas()
+    assert sorted(semi.columns) == ["k", "v"]
+    assert sorted(map(tuple, semi.values)) == [(2, "b"), (2, "f"), (4, "d")]
+    anti = anti_join(left, right, "k").to_pandas()
+    assert sorted(map(tuple, anti.values)) == [(1, "a"), (3, "c"), (5, "e")]
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert semi_join(left, empty, "k").count() == 0
+    assert anti_join(left, empty, "k").count() == 6
