@@ -315,6 +315,43 @@ def t_grep(sf_dir: str):
                        descending=[True, False, False])
 
 
+def _transcript_sig(sf_dir: str) -> str:
+    """Corpus-dir identity (file paths, sizes, mtimes) for transcript
+    index staleness checks."""
+    import hashlib
+
+    parts = []
+    for p in sorted(_corpus(sf_dir).glob("*.parquet")):
+        st = p.stat()
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def t_grep_indexed(sf_dir: str):
+    """The same grep as t_grep, answered from the PERSISTED inverted
+    index (stages/textindex.py — the Sphinx MATCH analog): build once
+    (token postings bucketed by hash + per-day docstore, staged swap,
+    corpus-signature staleness), then probe by reading ONE posting
+    bucket and only the matched rows' day partitions — no per-query
+    corpus re-scan or re-parse."""
+    from ..stages.textindex import build_text_index, grep_probe
+
+    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "text_index"
+    sig = _transcript_sig(sf_dir)
+    if not _index_fresh(idx, sig):
+        cfg = default_transcript_config()
+        parsed = read_transcripts(_corpus(sf_dir)).map_batches(
+            make_parse_batch(cfg), batch_format="pyarrow", batch_size=None
+        ).select_columns(["conv_id", "turn_idx", "parsed_ts", "level",
+                          "text"])
+        build_text_index(parsed, idx, approx_rows=_nrows(_corpus(sf_dir)),
+                         extra_meta={"corpus_sig": sig})
+    return grep_probe(
+        idx, "shuffle", level="ERROR",
+        ts_min=np.datetime64("2024-01-05T00:00:00", "us"),
+        ts_max=np.datetime64("2024-01-25T00:00:00", "us"), k=20)
+
+
 def t_dead_letter(sf_dir: str):
     """J3 end-to-end: a config whose route table omits the tool role —
     unroutable rows land in the dead-letter sink."""
@@ -1073,6 +1110,7 @@ REGISTRY = {
     "q_region_revenue": q_region_revenue,
     "t_semi_join": t_semi_join,
     "t_anti_join": t_anti_join,
+    "t_grep_indexed": t_grep_indexed,
     # documents / training-data ops
     "d_split_assign": d_split_assign,
     "d_tf_df": d_tf_df,

@@ -1,0 +1,200 @@
+"""Persisted inverted full-text index + pruned grep probe.
+
+The reference's entire read side is a persisted *searchable* index
+(Sphinx RT MATCH over per-logger per-day shards; SURVEY.md §1.1
+"Indexed row", §3.3 grep path).  ``t_grep`` answers that query by
+re-scanning and re-parsing the corpus per call; this module is the
+build-once / query-many analog, shaped like the persisted ANN indexes
+in similarity.py:
+
+- **Build** (:func:`build_text_index`): one parse pass over the corpus
+  emits per-turn DISTINCT token postings ``(token, conv_id, turn_idx,
+  parsed_ts, level)`` written as ``postings/bucket=<h>/`` partitioned
+  Parquet (bucket = token-hash & mask — Sphinx's term dictionary), plus
+  a ``docs/date=<d>/`` docstore carrying the text payload (Sphinx's
+  attribute/row store, partitioned by day exactly like ALCO's
+  per-day shards).  Staged ``.building.<pid>`` dir + atomic swap, meta
+  sidecar with the bucket count and a caller corpus signature.
+- **Probe** (:func:`grep_probe`): term -> ONE posting bucket directory
+  (pruned read), vectorized level/time filters on posting attributes,
+  top-k merge, then text fetched from ONLY the matched rows' date
+  partitions.  Cost scales with the probed bucket + matched days, not
+  the corpus.
+
+Match semantics are Sphinx MATCH's: whole-token equality after the
+shared tokenizer (``parse.tokenize``), not substring LIKE — the same
+trade the reference makes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .parse import tokenize
+from .text import hash_tokens
+
+POSTING_COLS = ["conv_id", "turn_idx", "parsed_ts", "level"]
+
+
+def _bucket_of(tokens: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (hash_tokens(tokens) & np.uint64(n_buckets - 1)).astype(np.int32)
+
+
+def posting_explode(batch: pa.Table, n_buckets: int,
+                    text_col: str = "text") -> pa.Table:
+    """One posting row per (turn, DISTINCT token): vectorized tokenize
+    -> per-row first-occurrence dedup (lexsort + adjacent-duplicate
+    drop) -> bucket id.  No per-row Python."""
+    toks = tokenize(batch[text_col], batch.num_rows)
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    offs = np.asarray(toks.offsets).astype(np.int64)
+    rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                     np.diff(offs))
+    if len(flat):
+        h = hash_tokens(flat)
+        srt = np.lexsort((h, rows))
+        rs, hs = rows[srt], h[srt]
+        first = np.ones(len(srt), dtype=bool)
+        first[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        keep = srt[first]
+    else:
+        keep = np.zeros(0, dtype=np.int64)
+    kept_tokens = flat[keep]
+    kept_rows = rows[keep]
+    cols = {
+        "bucket": pa.array(_bucket_of(kept_tokens, n_buckets)),
+        "token": pa.array(kept_tokens, pa.string()),
+    }
+    for c in POSTING_COLS:
+        cols[c] = batch[c].take(pa.array(kept_rows))
+    return pa.table(cols)
+
+
+def build_text_index(parsed_ds, index_dir: str | Path, *,
+                     text_col: str = "text", n_buckets: int | None = None,
+                     approx_rows: int | None = None,
+                     extra_meta: dict | None = None) -> None:
+    """Build the persisted index from a PARSED dataset (columns
+    conv_id, turn_idx, parsed_ts, level, text).  Staged build + atomic
+    swap (crash-safe, same protocol as similarity.build_lsh_index);
+    ``extra_meta`` (e.g. a corpus signature) rides in meta.json for
+    staleness checks."""
+    from ..sinks import _make_block_writer
+    from .similarity import _swap_in_index, _sweep_stale_builds
+    from .window import suggest_key_partitions
+
+    if n_buckets is None:
+        # ~32 distinct tokens per turn estimated; bucket files bounded
+        # at any corpus size, power of two for the mask.
+        n = approx_rows if approx_rows is not None else parsed_ds.count()
+        n_buckets = suggest_key_partitions(n * 32)
+
+    d = Path(index_dir)
+    _sweep_stale_builds(d)
+    build = d.parent / f".{d.name}.building.{os.getpid()}"
+    build.mkdir(parents=True, exist_ok=True)
+
+    post_writer = _make_block_writer(str(build / "postings"), ["bucket"])
+    postings = parsed_ds.map_batches(
+        lambda b: posting_explode(b, n_buckets, text_col),
+        batch_format="pyarrow")
+    postings.map_batches(post_writer, batch_format="pyarrow").materialize()
+
+    doc_writer = _make_block_writer(str(build / "docs"), ["date"])
+
+    def docstore(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "date": pc.strftime(b["parsed_ts"], "%Y-%m-%d"),
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"],
+            text_col: b[text_col],
+        })
+
+    parsed_ds.map_batches(docstore, batch_format="pyarrow") \
+        .map_batches(doc_writer, batch_format="pyarrow").materialize()
+
+    meta = {"kind": "text_inverted", "n_buckets": n_buckets,
+            "text_col": text_col, **(extra_meta or {})}
+    (build / "meta.json").write_text(json.dumps(meta))
+    _swap_in_index(build, d)
+
+
+def grep_probe(index_dir: str | Path, term: str, *, level: str | None = None,
+               ts_min=None, ts_max=None, k: int = 20,
+               stats_out: dict | None = None):
+    """MATCH-style probe: rows whose tokenized text contains ``term``,
+    optional level / [ts_min, ts_max) filters, newest-first top-k with
+    (conv_id, turn_idx) tie-break.  Reads ONE posting bucket directory
+    and only the matched rows' docstore day-partitions; ``stats_out``
+    (if given) records the file lists actually read, for audit."""
+    import ray.data
+
+    from .order import top_k
+
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    term_l = term.lower()
+    bucket = int(_bucket_of(np.array([term_l], dtype=object),
+                            meta["n_buckets"])[0])
+    pfiles = sorted(str(p) for p in
+                    (d / "postings" / f"bucket={bucket}").glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["posting_files"] = pfiles
+        stats_out["doc_files"] = []
+    text_col = meta["text_col"]
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "parsed_ts": pa.array([], pa.timestamp("us")),
+                      text_col: pa.array([], pa.string())})
+    if not pfiles:
+        return ray.data.from_arrow(empty)
+
+    def match(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["token"], term_l)
+        if level is not None:
+            keep = pc.and_(keep, pc.equal(b["level"], level))
+        if ts_min is not None:
+            keep = pc.and_(keep, pc.greater_equal(b["parsed_ts"],
+                                                  pa.scalar(ts_min)))
+        if ts_max is not None:
+            keep = pc.and_(keep, pc.less(b["parsed_ts"],
+                                         pa.scalar(ts_max)))
+        return b.filter(keep).select(["conv_id", "turn_idx", "parsed_ts"])
+
+    hits = ray.data.read_parquet(pfiles) \
+        .map_batches(match, batch_format="pyarrow", batch_size=None)
+    topk = top_k(hits, ["parsed_ts", "conv_id", "turn_idx"], k,
+                 descending=[True, False, False]).to_pandas()
+    if not len(topk):
+        return ray.data.from_arrow(empty)
+
+    # Text fetch: only the matched rows' day partitions (k rows ->
+    # a handful of days), joined driver-side.
+    days = sorted(set(topk["parsed_ts"].dt.strftime("%Y-%m-%d")))
+    dfiles = sorted(str(p) for day in days
+                    for p in (d / "docs" / f"date={day}").glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["doc_files"] = dfiles
+    convs = pa.array(topk["conv_id"].unique())
+
+    def fetch(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["conv_id"], value_set=convs)) \
+            .select(["conv_id", "turn_idx", text_col])
+
+    import ray
+
+    from .aggregate import concat_nonempty
+
+    docs = ray.data.read_parquet(dfiles) \
+        .map_batches(fetch, batch_format="pyarrow", batch_size=None)
+    dt = concat_nonempty(ray.get(docs.to_arrow_refs()))
+    out = topk.merge(dt.to_pandas(), on=["conv_id", "turn_idx"],
+                     how="left")
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out, preserve_index=False).cast(empty.schema))

@@ -696,3 +696,60 @@ def test_semi_anti_join_unbounded_right():
     empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert semi_join(left, empty, "k").count() == 0
     assert anti_join(left, empty, "k").count() == 6
+
+
+def test_text_index_probe_reads_strict_subset(tmp_path):
+    """grep_probe must read exactly one posting bucket dir and only the
+    matched rows' docstore day partitions — never the whole index —
+    and return the same rows as a brute-force filter."""
+    import numpy as np
+    from pathlib import Path
+
+    import ray.data
+
+    from alco_ray.stages.textindex import build_text_index, grep_probe
+
+    n = 400
+    rng = np.random.RandomState(7)
+    ts = (np.datetime64("2024-01-01T00:00:00", "us")
+          + rng.randint(0, 20, n).astype("timedelta64[D]").astype(
+              "timedelta64[us]")
+          + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]"))
+    words = np.array(["alpha", "bravo", "needle", "charlie", "delta"])
+    text = np.array([" ".join(rng.choice(words, 4)) for _ in range(n)])
+    level = rng.choice(np.array(["INFO", "ERROR"]), n)
+    parsed = pa.table({
+        "conv_id": pa.array([f"c{i % 37}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        "parsed_ts": pa.array(ts),
+        "level": pa.array(level, pa.string()),
+        "text": pa.array(text, pa.string()),
+    })
+    idx = tmp_path / "tidx"
+    build_text_index(ray.data.from_arrow(parsed), idx, n_buckets=64,
+                     approx_rows=n)
+
+    stats = {}
+    got = grep_probe(idx, "needle", level="ERROR", k=1000,
+                     stats_out=stats).to_pandas()
+    all_posting = sorted(str(p) for p in idx.glob("postings/*/*.parquet"))
+    all_docs = sorted(str(p) for p in idx.glob("docs/*/*.parquet"))
+    assert stats["posting_files"] and all_posting
+    assert set(stats["posting_files"]) < set(all_posting)  # strict subset
+    assert len({str(Path(f).parent) for f in stats["posting_files"]}) == 1
+    assert set(stats["doc_files"]) <= set(all_docs)
+
+    mask = (np.char.find(text.astype(str), "needle") >= 0) \
+        & (level == "ERROR")
+    want = parsed.to_pandas()[mask][
+        ["conv_id", "turn_idx", "parsed_ts", "text"]]
+    key = lambda df: sorted(map(tuple, df.values))
+    assert key(got) == key(want)
+    # docstore pruning is real: matched days < all days when possible
+    days = {str(Path(f).parent.name) for f in stats["doc_files"]}
+    assert days == {f"date={d}" for d in
+                    want["parsed_ts"].dt.strftime("%Y-%m-%d").unique()}
+    # absent term: empty result with the right schema, no doc reads
+    s2 = {}
+    miss = grep_probe(idx, "zzzmissing", k=10, stats_out=s2).to_pandas()
+    assert len(miss) == 0 and s2["doc_files"] == []
