@@ -191,6 +191,45 @@ def _metrics_from_partials(partials: pa.Table) -> dict[str, Any]:
     }
 
 
+def watch_flagship(input_dir: str | Path, out_root: str | Path,
+                   cfg: PipelineConfig | None = None, *,
+                   wave_size: int = 64,
+                   poll_interval_s: float = 5.0,
+                   max_idle_polls: int | None = None,
+                   stop=None,
+                   dict_cache: str | Path | None = None) -> dict[str, Any]:
+    """The streaming-collector loop: poll ``input_dir`` for new shards
+    and ingest each new frontier with :func:`run_flagship` (file-keyed
+    incremental waves — only NEW files are processed; totals equal a
+    fresh full run bit-for-bit, pinned by the resume tests).
+
+    ALCO's collector blocks on an AMQP queue; the Parquet-shard analog
+    is this poll loop.  ``stop`` (callable -> bool, checked once per
+    poll) ends the loop for embedding/testing; ``max_idle_polls`` ends
+    it after that many consecutive polls with no new work (None =
+    run forever, the daemon mode).  An empty input dir is 'waiting for
+    the first shard', not an error.  Returns the cumulative summary."""
+    import time
+
+    idle = 0
+    while True:
+        if stop is not None and stop():
+            break
+        manifest = CheckpointManifest(out_root)
+        files = transcript_files(input_dir)
+        pending = [f for f in files if f not in manifest.processed_files()]
+        if pending:
+            run_flagship(input_dir, out_root, cfg, wave_size=wave_size,
+                         dict_cache=dict_cache)
+            idle = 0
+        else:
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                break
+            time.sleep(poll_interval_s)
+    return CheckpointManifest(out_root).total_metrics()
+
+
 def run_flagship(input_dir: str | Path, out_root: str | Path,
                  cfg: PipelineConfig | None = None, *,
                  wave_size: int = 64,

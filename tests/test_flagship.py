@@ -302,3 +302,43 @@ def test_resume_rejects_shard_rewritten_in_place(t_small_dir, tmp_path):
     pq.write_table(t.slice(0, max(1, t.num_rows // 2)), victim)
     with pytest.raises(ValueError, match="rewritten in place"):
         run_flagship(corpus, out, wave_size=4)
+
+
+def test_watch_mode_appends_equal_fresh_run(t_small_dir, tmp_path):
+    """watch_flagship: shards appended mid-'stream' are picked up by
+    the poll loop, and the final totals + aggregate artifact equal a
+    fresh full run over the complete corpus bit-for-bit."""
+    import shutil as sh
+
+    import pyarrow.parquet as pq
+
+    from alco_ray.pipelines.flagship import watch_flagship
+
+    shards = sorted(Path(t_small_dir).glob("*.parquet"))
+    assert len(shards) >= 4
+    live = tmp_path / "live_corpus"
+    live.mkdir()
+    for p in shards[: len(shards) // 2]:
+        sh.copy(p, live / p.name)
+
+    out = tmp_path / "watch_out"
+    calls = {"n": 0}
+
+    def stop() -> bool:
+        calls["n"] += 1
+        if calls["n"] == 2:  # first frontier ingested -> appends arrive
+            for p in shards[len(shards) // 2:]:
+                sh.copy(p, live / p.name)
+            return False
+        return calls["n"] > 2
+
+    got = watch_flagship(live, out, wave_size=2, poll_interval_s=0,
+                         stop=stop)
+
+    out_fresh = tmp_path / "fresh_out"
+    want = run_flagship(t_small_dir, out_fresh, wave_size=2)
+    want.pop("aggregate_files", None)
+    assert got == want
+    a = pq.read_table(out / "aggregates" / "interval_counts")
+    b = pq.read_table(out_fresh / "aggregates" / "interval_counts")
+    assert a.equals(b)
