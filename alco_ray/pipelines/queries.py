@@ -183,8 +183,10 @@ def t_topk_per_conv(sf_dir: str):
 def t_top_recent(sf_dir: str):
     """A4: 50 most recent turns by parsed event time."""
     cfg = default_transcript_config()
-    ds = read_transcripts(_corpus(sf_dir)).map_batches(
-        make_parse_batch(cfg), batch_format="pyarrow")
+    ds = read_transcripts(
+        _corpus(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"]
+    ).map_batches(make_parse_batch(cfg, only={"parsed_ts"}),
+                  batch_format="pyarrow")
     ds = ds.select_columns(["conv_id", "turn_idx", "parsed_ts"])
     return order.top_k(ds, ["parsed_ts", "conv_id", "turn_idx"], 50,
                        descending=[True, False, False])
@@ -192,9 +194,13 @@ def t_top_recent(sf_dir: str):
 
 def _parsed_level(sf_dir: str):
     cfg = default_transcript_config()
-    ds = read_transcripts(_corpus(sf_dir))
-    return (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow",
-                           batch_size=None)
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text", "ts"])
+    # only={"level"}: projection pushed INTO the parse — the kv regex
+    # passes, the ts parse and the token count are ~3/4 of parse wall
+    # time and a level-only consumer must not pay them.
+    return (ds.map_batches(make_parse_batch(cfg, only={"level"}),
+                           batch_format="pyarrow", batch_size=None)
               .select_columns(["conv_id", "turn_idx", "level"]))
 
 
@@ -294,9 +300,10 @@ def t_grep(sf_dir: str):
     first, limit 20 — filter pushed into the scan, top-k without a
     global sort."""
     cfg = default_transcript_config()
-    ds = read_transcripts(_corpus(sf_dir))
-    ds = ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow",
-                        batch_size=None)
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text", "ts"])
+    ds = ds.map_batches(make_parse_batch(cfg, only={"level", "parsed_ts"}),
+                        batch_format="pyarrow", batch_size=None)
 
     lo = np.datetime64("2024-01-05T00:00:00", "us")
     hi = np.datetime64("2024-01-25T00:00:00", "us")
@@ -340,8 +347,10 @@ def t_grep_indexed(sf_dir: str):
     sig = _transcript_sig(sf_dir)
     if not _index_fresh(idx, sig):
         cfg = default_transcript_config()
-        parsed = read_transcripts(_corpus(sf_dir)).map_batches(
-            make_parse_batch(cfg), batch_format="pyarrow", batch_size=None
+        parsed = read_transcripts(
+            _corpus(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"]
+        ).map_batches(make_parse_batch(cfg, only={"level", "parsed_ts"}),
+                      batch_format="pyarrow", batch_size=None
         ).select_columns(["conv_id", "turn_idx", "parsed_ts", "level",
                           "text"])
         build_text_index(parsed, idx, approx_rows=_nrows(_corpus(sf_dir)),
@@ -386,8 +395,10 @@ def t_residual_js(sf_dir: str):
 def t_context_errors(sf_dir: str):
     """J2: turns within +-1 of an ERROR-level turn, same conversation."""
     cfg = default_transcript_config()
-    ds = read_transcripts(_corpus(sf_dir)).map_batches(
-        make_parse_batch(cfg), batch_format="pyarrow")
+    ds = read_transcripts(
+        _corpus(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"]
+    ).map_batches(make_parse_batch(cfg, only={"level"}),
+                  batch_format="pyarrow")
     ds = ds.select_columns(["conv_id", "turn_idx", "level"])
     return window.context_window(ds, match_col="level", match_value="ERROR",
                                  radius=1,

@@ -149,13 +149,19 @@ def make_residual_js(cols: list[str]):
     return body
 
 
-def make_parse_batch(cfg: PipelineConfig):
+def make_parse_batch(cfg: PipelineConfig, only: set[str] | None = None):
     """Build the fused parse stage body for ``map_batches``.
 
     Returned callable is a plain function (stateless task stage); the
     pattern registry is compiled once here at pipeline-build time, then
     shipped in the closure (cheap: strings only).
-    """
+
+    ``only`` prunes the DERIVED outputs computed (projection pushdown
+    into the parse itself): a level-only consumer must not pay the kv
+    regex passes, the timestamp parse and the token count — at sf0.1
+    those are ~3/4 of parse wall time.  Values produced for a given
+    name are identical to the full parse (same kernels).  None =
+    everything (the flagship path)."""
     from ..functions.grok import compile_grok
 
     regex_cols = []
@@ -165,6 +171,9 @@ def make_parse_batch(cfg: PipelineConfig):
             pat = compile_grok(pat)
         regex_cols.append((spec.name, pat))
     bucket_minutes = cfg.bucket_minutes
+
+    def need(name: str) -> bool:
+        return only is None or name in only
 
     def parse_batch(batch: pa.Table) -> pa.Table:
         text = batch["text"]
@@ -180,20 +189,24 @@ def make_parse_batch(cfg: PipelineConfig):
 
         # P3: generic regex/grok registry (level is one of these specs).
         for name, pattern in regex_cols:
+            if not need(name):
+                continue
             if name == "level":
                 batch = batch.append_column("level", parse_level(text, pattern))
             else:
                 batch = batch.append_column(
                     name, extract_regex_column(text, pattern, name))
-        if "level" not in batch.column_names:
+        if need("level") and "level" not in batch.column_names:
             batch = batch.append_column("level", parse_level(text))
 
         # P1: embedded datetime with arrival-time fallback.
-        parsed, present = parse_embedded_ts(text)
-        ok = pc.or_(pc.invert(present), pc.is_valid(parsed))
-        parsed_filled = pc.coalesce(parsed, batch["ts"])
-        batch = batch.append_column("parsed_ts", parsed_filled)
-        batch = batch.append_column("parse_ok", ok)
+        parsed_filled = None
+        if need("parsed_ts") or need("parse_ok") or need("bucket"):
+            parsed, present = parse_embedded_ts(text)
+            ok = pc.or_(pc.invert(present), pc.is_valid(parsed))
+            parsed_filled = pc.coalesce(parsed, batch["ts"])
+            batch = batch.append_column("parsed_ts", parsed_filled)
+            batch = batch.append_column("parse_ok", ok)
 
         # P4: token count from the same tokenizer contract, computed as
         # a direct match-count — building the full list<string> array
@@ -201,15 +214,17 @@ def make_parse_batch(cfg: PipelineConfig):
         # allocation in the hot path.  The materialized token stream
         # (for index building / token_explode consumers) stays
         # available via :func:`tokenize`.
-        n_tokens = pc.count_substring_regex(pc.utf8_lower(text),
-                                            TOKEN_PATTERN)
-        batch = batch.append_column("n_tokens",
-                                    pc.cast(n_tokens, pa.int32()))
+        if need("n_tokens"):
+            n_tokens = pc.count_substring_regex(pc.utf8_lower(text),
+                                                TOKEN_PATTERN)
+            batch = batch.append_column("n_tokens",
+                                        pc.cast(n_tokens, pa.int32()))
 
         # Aggregate bucket (event-time groupby key, not a runtime window).
-        bucket = pc.floor_temporal(parsed_filled, multiple=bucket_minutes,
-                                   unit="minute")
-        batch = batch.append_column("bucket", bucket)
+        if need("bucket"):
+            bucket = pc.floor_temporal(parsed_filled, multiple=bucket_minutes,
+                                       unit="minute")
+            batch = batch.append_column("bucket", bucket)
         return batch
 
     return parse_batch
