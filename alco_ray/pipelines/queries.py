@@ -67,9 +67,14 @@ def _nrows(path) -> int:
 
 
 def _parsed_routed(sf_dir: str) -> "ray.data.Dataset":
+    """Sink-count family input: route needs role; the aggregates need
+    level/bucket/parse_ok — the kv regex passes and the token count
+    are pruned out of the parse."""
     cfg = default_transcript_config()
     ds = read_transcripts(_corpus(sf_dir))
-    return (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow")
+    parse = make_parse_batch(
+        cfg, only={"level", "parsed_ts", "parse_ok", "bucket"})
+    return (ds.map_batches(parse, batch_format="pyarrow")
               .map_batches(make_route_batch(cfg), batch_format="pyarrow"))
 
 
@@ -124,7 +129,7 @@ def t_enriched(sf_dir: str):
         corpus / "_dicts_cache")
     refs = {c: ray.put(t) for c, t in dicts.items()}
     ds = read_transcripts(corpus).map_batches(
-        make_parse_batch(cfg), batch_format="pyarrow")
+        make_parse_batch(cfg, only={"level"}), batch_format="pyarrow")
     # Fixed-size pool: the autoscaler never ramps past 1 actor within
     # a query-sized job (see flagship.build_ingest).
     ds = ds.map_batches(DictEncoder, fn_constructor_kwargs={"dict_refs": refs},
@@ -783,6 +788,68 @@ def t_anti_join(sf_dir: str):
 
 # ------------------------------------------------------------- documents
 
+def d_pack_greedy(sf_dir: str):
+    """Sequence packing (the training-batch layout op): assign every
+    document a pack id from the RUNNING token count over doc_id order
+    against a fixed 512-token budget — contiguous-fill semantics, so a
+    pack is a slice of the virtual token stream.  Built on the
+    distributed ordered scan (stages/scan.py): per-block partials ->
+    driver prefix of block totals -> block-local cumsum + offset; no
+    shuffle, no global sort, O(blocks) driver state."""
+    from ..stages.parse import TOKEN_PATTERN
+    from ..stages.scan import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(pc.utf8_lower(b["text"]),
+                                             TOKEN_PATTERN), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": n})
+
+    counted = ds.map_batches(tok, batch_format="pyarrow")
+    pref = ordered_prefix_sum(counted, "n_tokens", "doc_id",
+                              out_col="tok_offset", exclusive=True)
+
+    def pack(b: pa.Table) -> pa.Table:
+        off = b["tok_offset"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": b["n_tokens"],
+                         "pack_id": pa.array(off // 512, pa.int64())})
+
+    return pref.map_batches(pack, batch_format="pyarrow")
+
+
+def d_redact(sf_dir: str):
+    """Vectorized masking / redaction (the PII-scrub shape): whole-word
+    replace via one RE2 pass per batch (Arrow and DuckDB both speak
+    RE2, so \\b means the same thing on both sides)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(
+            b["text"], pattern=r"\b(key|value|hash)\b",
+            replacement="[X]")
+        return pa.table({"doc_id": b["doc_id"], "redacted": red})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def d_len_hist(sf_dir: str):
+    """Corpus length histogram (100-char buckets): per-batch partials,
+    bounded-key driver fold — the cheap full-corpus profiling pass."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(b["text"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"len_bucket": pa.array(ln // 100, pa.int64())})
+        g = t.group_by(["len_bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["len_bucket", "n_docs"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return agg_stage.fold_partials(p, ["len_bucket"], [("n_docs", "sum")])
+
+
 def d_tf_df(sf_dir: str):
     """Integer-exact TF/DF table over documents (TF-IDF precursor)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1169,4 +1236,7 @@ REGISTRY = {
     "d_token_explode": d_token_explode,
     "d_quality": d_quality,
     "d_dedup_exact_rows": d_dedup_exact_rows,
+    "d_pack_greedy": d_pack_greedy,
+    "d_redact": d_redact,
+    "d_len_hist": d_len_hist,
 }

@@ -1,0 +1,98 @@
+"""Distributed ordered scan (global prefix sum) — the sequence-packing
+primitive.
+
+Ray Data has maps, shuffles and folds but no SCAN: "give every row the
+running total of ``val_col`` over ``order_col`` order".  Training-data
+pipelines need it for sequence packing (assign each document a pack id
+from the running token count against a fixed budget), global offsets,
+and resumable byte layouts.
+
+Shape (no shuffle, no global sort): the input is required to be
+BLOCK-ORDERED on ``order_col`` — blocks cover disjoint key ranges, rows
+inside a block may be unsorted (Parquet shards written by any ordered
+producer satisfy this; the operator VALIDATES it and raises otherwise).
+
+1. materialize the (order, val) projection once so both passes see the
+   same immutable blocks;
+2. pass 1: per-block (min, max, sum) partials -> driver sorts by min,
+   checks ranges are disjoint, prefix-sums the block totals;
+3. pass 2: each block sorts locally, adds its driver-computed offset to
+   a local cumsum.
+
+Driver state is 3 numbers per block — O(blocks), not O(rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def ordered_prefix_sum(ds, val_col: str, order_col: str, *,
+                       out_col: str = "prefix", exclusive: bool = True):
+    """Add ``out_col`` = running sum of ``val_col`` over global
+    ``order_col`` order (exclusive by default: the sum of all STRICTLY
+    EARLIER rows).  Input must be block-ordered on ``order_col``
+    (checked).  Project ``ds`` down to the needed columns first — the
+    projection is materialized once."""
+    import ray
+
+    slim = ds.materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bmin": pa.array([], pa.int64()),
+                             "bmax": pa.array([], pa.int64()),
+                             "bsum": pa.array([], pa.int64())})
+        keys = b[order_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_numpy(zero_copy_only=False)
+        return pa.table({"bmin": [int(keys.min())],
+                         "bmax": [int(keys.max())],
+                         "bsum": [int(vals.sum())]})
+
+    from .aggregate import concat_nonempty
+
+    parts = concat_nonempty(ray.get(
+        slim.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None).to_arrow_refs()))
+    if parts.num_rows == 0 or parts.num_columns == 0:
+        return slim
+    bmin = parts["bmin"].to_numpy(zero_copy_only=False)
+    bmax = parts["bmax"].to_numpy(zero_copy_only=False)
+    bsum = parts["bsum"].to_numpy(zero_copy_only=False)
+    order = np.argsort(bmin, kind="stable")
+    bmin, bmax, bsum = bmin[order], bmax[order], bsum[order]
+    if np.any(bmax[:-1] >= bmin[1:]):
+        i = int(np.flatnonzero(bmax[:-1] >= bmin[1:])[0])
+        raise ValueError(
+            f"ordered_prefix_sum: input is not block-ordered on "
+            f"{order_col!r} — block range [{bmin[i]}, {bmax[i]}] overlaps "
+            f"[{bmin[i + 1]}, {bmax[i + 1]}]; sort/partition the input by "
+            f"{order_col!r} first")
+    offsets = np.concatenate([[0], np.cumsum(bsum)[:-1]])
+    # Keyed by block min: pass 2 re-reads the SAME materialized blocks,
+    # so every batch's min has exactly one entry (checked).
+    off_ref = ray.put((bmin, bmax, offsets))
+
+    def apply(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        mins, maxs, offs = ray.get(off_ref)
+        keys = b[order_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = int(np.searchsorted(mins, int(keys.min())))
+        if j >= len(mins) or mins[j] != keys.min() or maxs[j] != keys.max():
+            raise RuntimeError(
+                "ordered_prefix_sum: block layout changed between "
+                "passes (batch range not found in pass-1 partials)")
+        srt = np.argsort(keys, kind="stable")
+        c = np.cumsum(vals[srt])
+        run = np.empty_like(c)
+        run[srt] = c
+        if exclusive:
+            run = run - vals
+        return b.append_column(
+            out_col, pa.array(run + int(offs[j]), pa.int64()))
+
+    return slim.map_batches(apply, batch_format="pyarrow",
+                            batch_size=None)

@@ -753,3 +753,40 @@ def test_text_index_probe_reads_strict_subset(tmp_path):
     s2 = {}
     miss = grep_probe(idx, "zzzmissing", k=10, stats_out=s2).to_pandas()
     assert len(miss) == 0 and s2["doc_files"] == []
+
+
+def test_ordered_prefix_sum_scan():
+    """Distributed scan: exclusive prefix over block-ordered input
+    equals the serial cumsum; non-block-ordered input raises."""
+    import ray.data
+
+    from alco_ray.stages.scan import ordered_prefix_sum
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    vals = (ids * 7) % 13 + 1
+    t = pa.table({"k": ids, "v": vals})
+    # 8 ordered blocks with unsorted rows INSIDE each block
+    rng = np.random.RandomState(3)
+    blocks = []
+    for i in range(0, n, 64):
+        sl = np.arange(i, min(i + 64, n))
+        rng.shuffle(sl)
+        blocks.append(t.take(sl))
+    ds = ray.data.from_arrow(blocks)
+    out = ordered_prefix_sum(ds, "v", "k", out_col="p").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = np.concatenate([[0], np.cumsum(vals)[:-1]])
+    assert np.array_equal(out["p"].to_numpy(), want)
+    # inclusive variant
+    out2 = ordered_prefix_sum(ds, "v", "k", out_col="p",
+                              exclusive=False).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert np.array_equal(out2["p"].to_numpy(), np.cumsum(vals))
+    # overlapping block ranges must raise, not silently mis-assign
+    import pytest
+
+    bad = ray.data.from_arrow([t.take(np.arange(0, 300)),
+                               t.take(np.arange(200, 500))])
+    with pytest.raises(ValueError, match="not block-ordered"):
+        ordered_prefix_sum(bad, "v", "k")
