@@ -285,6 +285,17 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
                     f"[{st.st_size}, {st.st_mtime_ns}] — shard rewritten "
                     "in place; use a fresh out_root for a replaced corpus")
     pending = [f for f in files if f not in processed]
+    # Signatures captured BEFORE any wave reads its files: a shard a
+    # producer rewrites/appends WHILE a wave is reading it must carry
+    # its pre-read signature in the manifest, so the next resume
+    # detects the change instead of silently dropping the new rows.
+    pending_sigs: dict[str, list] = {}
+    for f in pending:
+        try:
+            st = os.stat(f)
+            pending_sigs[f] = [st.st_size, st.st_mtime_ns]
+        except OSError:
+            pass
     waves = make_waves(pending, wave_size)
     # Orphans of half-committed waves (any wave-id prefix not in the
     # manifest) are deleted up front; content-hashed wave ids mean a
@@ -349,7 +360,9 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
         pq.write_table(partials, partials_dir / f"{wave_id}.parquet")
         promote_staging(staging, out_root, wave_id)
         manifest.commit(wave_id, input_files=wave_files,
-                        metrics=_metrics_from_partials(partials))
+                        metrics=_metrics_from_partials(partials),
+                        input_sigs={f: pending_sigs[f] for f in wave_files
+                                    if f in pending_sigs})
 
     shutil.rmtree(out_root / "_staging", ignore_errors=True)
 

@@ -1190,12 +1190,10 @@ REGISTRY = {
     "t_asof_last_error": t_asof_last_error,
     "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
-    "t_grep": t_grep,
     "t_dead_letter": t_dead_letter,
     "t_jsonl_routed": t_jsonl_routed,
     # events analog (unique operators only in-window)
     "e_median_value": e_median_value,
-    "e_minmax_ts": e_minmax_ts,
     "e_session_stats": e_session_stats,
     # relational coverage
     "q1_pricing": q1_pricing,
@@ -1206,14 +1204,20 @@ REGISTRY = {
     "d_tf_df": d_tf_df,
     "d_token_stats": d_token_stats,
     "d_quality_filter": d_quality_filter,
-    "d_vocab": d_vocab,
     "d_dedup_exact": d_dedup_exact,
     "d_dedup_apply": d_dedup_apply,
     "d_jaccard_pairs": d_jaccard_pairs,
     "d_minhash_lsh": d_minhash_lsh,
     "d_simhash": d_simhash,
     "d_fingerprint": d_fingerprint,
+    "d_pack_greedy": d_pack_greedy,
+    "d_redact": d_redact,
+    "d_len_hist": d_len_hist,
     # ---- position 51+: operators with an in-window sibling ----------
+    # (round-3 swap: t_grep's result set is t_grep_indexed's, same
+    # oracle; d_vocab's token counting is covered by d_tf_df +
+    # d_token_stats; e_minmax_ts min/max-of-ts is covered by
+    # t_per_conv_stats.)
     # (t_parse_metrics/t_jsonl_routed cover sink counts; t_interval_counts
     # covers A1; t_dict_*/t_enriched cover dict encode; t_kv_fields covers
     # field extraction; t_per_conv_stats+q1_pricing cover grouped money
@@ -1236,7 +1240,7 @@ REGISTRY = {
     "d_token_explode": d_token_explode,
     "d_quality": d_quality,
     "d_dedup_exact_rows": d_dedup_exact_rows,
-    "d_pack_greedy": d_pack_greedy,
-    "d_redact": d_redact,
-    "d_len_hist": d_len_hist,
+    "t_grep": t_grep,
+    "d_vocab": d_vocab,
+    "e_minmax_ts": e_minmax_ts,
 }

@@ -375,16 +375,20 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
         from .aggregate import concat_nonempty
 
-        blocks = ray.get(partials.to_arrow_refs())
-        # Checked limit BEFORE the driver-side concat copies anything
-        # (the refs themselves are plasma-backed / zero-copy): a
-        # degenerate boilerplate corpus must raise, not OOM the driver.
-        total = sum(t.num_rows for t in blocks)
-        if total > max_candidate_rows:
-            raise ValueError(
-                f"lsh_candidate_pairs(as_table=True): {total} candidate "
-                f"rows exceed max_candidate_rows={max_candidate_rows}; "
-                "verify in shards (as_table=False keeps them distributed)")
+        # Checked limit enforced INCREMENTALLY: blocks are fetched one
+        # at a time and counted as they arrive, so an over-limit corpus
+        # transfers at most max_candidate_rows + one block to the
+        # driver before raising — not the whole edge list.
+        blocks, total = [], 0
+        for ref in partials.to_arrow_refs():
+            t = ray.get(ref)
+            total += t.num_rows
+            if total > max_candidate_rows:
+                raise ValueError(
+                    f"lsh_candidate_pairs(as_table=True): >{max_candidate_rows} "
+                    f"candidate rows (limit max_candidate_rows); verify in "
+                    "shards (as_table=False keeps them distributed)")
+            blocks.append(t)
         t = concat_nonempty(blocks)
         if t.num_columns == 0:
             return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -670,11 +674,16 @@ def dedup_apply(ds, pairs, *, id_col: str = "doc_id",
     from .aggregate import concat_nonempty
 
     if hasattr(pairs, "to_arrow_refs"):
-        # Enforce the limit on summed block row counts BEFORE the
-        # driver-side concat copies anything (the refs are
-        # plasma-backed / zero-copy until then).
-        blocks = ray.get(pairs.to_arrow_refs())
-        n_edges = sum(t.num_rows for t in blocks)
+        # Enforce the limit INCREMENTALLY while fetching: an over-limit
+        # edge list moves at most max_edges + one block to the driver
+        # before the raise — not the whole thing.
+        blocks, n_edges = [], 0
+        for ref in pairs.to_arrow_refs():
+            t = ray.get(ref)
+            n_edges += t.num_rows
+            if n_edges > max_edges:
+                break
+            blocks.append(t)
         if n_edges <= max_edges:
             pairs = concat_nonempty(blocks)
     else:

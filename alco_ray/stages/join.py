@@ -27,7 +27,7 @@ def _prepared(keys_ds, on: list[str]):
     return keys_ds.select_columns(list(on)).materialize()
 
 
-def _num_partitions(ds, keys, approx_rows: int | None) -> int:
+def _num_partitions(n_left: int, n_right: int) -> int:
     """Data-proportional partition count, CAPPED at ~half the cluster
     CPUs: Dataset.join schedules one aggregator actor per partition,
     and a partition count above what the cluster can start DEADLOCKS
@@ -40,10 +40,9 @@ def _num_partitions(ds, keys, approx_rows: int | None) -> int:
 
     from .window import suggest_key_partitions
 
-    n = approx_rows if approx_rows is not None else ds.count()
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    return min(suggest_key_partitions(max(n, keys.count())),
+    return min(suggest_key_partitions(max(n_left, n_right)),
                max(2, cpus // 2))
 
 
@@ -58,11 +57,14 @@ def semi_join(ds, keys_ds, on: list[str] | str, *,
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     keys = _prepared(keys_ds, right_on)
-    if keys.count() == 0:
+    n_left = approx_rows if approx_rows is not None else ds.count()
+    # ray 2.49 Dataset.join raises on a zero-block side; semi of an
+    # empty key set — or of an empty left — is empty by definition.
+    if keys.count() == 0 or n_left == 0:
         return ds.limit(0)
     return ds.join(keys, "left_semi",
                    num_partitions=num_partitions or
-                   _num_partitions(ds, keys, approx_rows),
+                   _num_partitions(n_left, keys.count()),
                    on=tuple(on), right_on=tuple(right_on))
 
 
@@ -77,9 +79,13 @@ def anti_join(ds, keys_ds, on: list[str] | str, *,
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     keys = _prepared(keys_ds, right_on)
+    n_left = approx_rows if approx_rows is not None else ds.count()
+    # anti of an empty left is empty; of an empty key set, the input.
+    if n_left == 0:
+        return ds.limit(0)
     if keys.count() == 0:
         return ds
     return ds.join(keys, "left_anti",
                    num_partitions=num_partitions or
-                   _num_partitions(ds, keys, approx_rows),
+                   _num_partitions(n_left, keys.count()),
                    on=tuple(on), right_on=tuple(right_on))

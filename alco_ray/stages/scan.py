@@ -56,7 +56,11 @@ def ordered_prefix_sum(ds, val_col: str, order_col: str, *,
         slim.map_batches(partial, batch_format="pyarrow",
                          batch_size=None).to_arrow_refs()))
     if parts.num_rows == 0 or parts.num_columns == 0:
-        return slim
+        # all blocks empty: keep the declared schema (out_col present)
+        return slim.map_batches(
+            lambda b: b.append_column(out_col,
+                                      pa.nulls(b.num_rows, pa.int64())),
+            batch_format="pyarrow", batch_size=None)
     bmin = parts["bmin"].to_numpy(zero_copy_only=False)
     bmax = parts["bmax"].to_numpy(zero_copy_only=False)
     bsum = parts["bsum"].to_numpy(zero_copy_only=False)

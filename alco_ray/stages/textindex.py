@@ -100,6 +100,11 @@ def build_text_index(parsed_ds, index_dir: str | Path, *,
     build = d.parent / f".{d.name}.building.{os.getpid()}"
     build.mkdir(parents=True, exist_ok=True)
 
+    # One parse of the corpus feeds BOTH artifacts: without this, the
+    # postings pass and the docstore pass would each re-execute the
+    # upstream read+parse plan.
+    parsed_ds = parsed_ds.materialize()
+
     post_writer = _make_block_writer(str(build / "postings"), ["bucket"])
     postings = parsed_ds.map_batches(
         lambda b: posting_explode(b, n_buckets, text_col),

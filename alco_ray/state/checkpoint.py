@@ -65,15 +65,22 @@ class CheckpointManifest:
         return out
 
     def commit(self, wave_id: str, *, input_files: list[str],
-               metrics: dict[str, Any]) -> None:
+               metrics: dict[str, Any],
+               input_sigs: dict[str, list] | None = None) -> None:
         """Record a completed wave; atomic via write-temp + os.replace.
 
         Each input file's (size, mtime_ns) is recorded so a resume can
         detect a shard REWRITTEN IN PLACE (same name, new content) —
         silently treating it as already-processed would leave stale
-        committed output and aggregates."""
-        sigs = {}
+        committed output and aggregates.  Pass ``input_sigs`` captured
+        BEFORE the wave read its files (run_flagship does): a shard
+        modified mid-wave then carries its pre-read signature, so the
+        next resume sees the mismatch instead of silently dropping the
+        concurrent append.  Falls back to stat-at-commit if absent."""
+        sigs = dict(input_sigs or {})
         for f in input_files:
+            if f in sigs:
+                continue
             try:
                 st = os.stat(f)
                 sigs[f] = [st.st_size, st.st_mtime_ns]

@@ -790,3 +790,19 @@ def test_ordered_prefix_sum_scan():
                                t.take(np.arange(200, 500))])
     with pytest.raises(ValueError, match="not block-ordered"):
         ordered_prefix_sum(bad, "v", "k")
+
+
+def test_semi_anti_join_empty_left():
+    """An upstream-filtered-to-empty left side must return empty, not
+    crash in ray's join (zero-block side)."""
+    import ray.data
+
+    from alco_ray.stages.join import anti_join, semi_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    empty_left = left.map_batches(lambda b: b.slice(0, 0),
+                                  batch_format="pyarrow")
+    right = ray.data.from_arrow(pa.table({"k": [2, 9]}))
+    assert semi_join(empty_left, right, "k").count() == 0
+    assert anti_join(empty_left, right, "k").count() == 0
