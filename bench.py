@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "d_token_stats", "d_quality", "d_dedup_exact", "d_minhash_lsh",
     "v_knn",
     "d_jaccard_pairs", "d_simhash", "t_rolling_errors", "v_cosine_dup",
+    # round-3 operators (new keys; the shared prefix above stays intact
+    # for cross-round comparison)
+    "t_grep_indexed", "t_semi_join", "q_region_revenue", "d_pack_greedy",
 ]
 
 
