@@ -874,6 +874,75 @@ def d_split_assign(sf_dir: str):
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+def d_stratified_sample(sf_dir: str):
+    """Deterministic STRATIFIED sampling: ~20% of documents per
+    100-char length bucket (per-stratum rate, not global) via the same
+    RNG-free multiplicative id-hash as d_split_assign — stable under
+    any partitioning, no coordination, and the oracle reproduces it
+    exactly.  The per-group-quota shape every training-mix builder
+    needs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = pc.cast(pc.utf8_length(b["text"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # salt the hash with the stratum so strata sample independently
+        h = ((ids * 2654435761) % 4294967296 + (ln // 100) * 97) % 100
+        keep = h < 20
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "len_bucket": pa.array(ln[keep] // 100, pa.int64()),
+        })
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def d_pack_concat(sf_dir: str):
+    """Pack MATERIALIZATION: concatenate each pack's documents (doc_id
+    order, single-space joint) into one training sequence — the step
+    after d_pack_greedy's assignment.  Pack ids come from the
+    distributed scan; packs hash-partition like any derived key, and
+    each partition joins its strings in one vectorized pandas pass."""
+    import pandas as pd
+
+    from ..stages.parse import TOKEN_PATTERN
+    from ..stages.scan import ordered_prefix_sum
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(pc.utf8_lower(b["text"]),
+                                             TOKEN_PATTERN), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "n_tokens": n})
+
+    counted = ds.map_batches(tok, batch_format="pyarrow")
+    pref = ordered_prefix_sum(counted, "n_tokens", "doc_id",
+                              out_col="tok_offset", exclusive=True)
+
+    def pack(b: pa.Table) -> pa.Table:
+        off = b["tok_offset"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "pack_id": pa.array(off // 512, pa.int64())})
+
+    packed = pref.map_batches(pack, batch_format="pyarrow")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        out = (g.groupby("pack_id", sort=False)
+                .agg(seq=("text", " ".join),
+                     n_docs=("doc_id", "size")).reset_index())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["pack_id", "n_docs", "seq"]]
+
+    return partition_by_key(
+        packed, "pack_id",
+        approx_rows=_nrows(_tp(sf_dir, "documents"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
 def d_token_explode(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text.token_explode, batch_format="pyarrow")
@@ -1213,7 +1282,11 @@ REGISTRY = {
     "d_pack_greedy": d_pack_greedy,
     "d_redact": d_redact,
     "d_len_hist": d_len_hist,
-    # ---- position 51+: operators with an in-window sibling ----------
+    # ---- position 51+: operators with an in-window sibling (plus
+    # later-round additions whose base operator is already in-window:
+    # d_stratified_sample composes d_split_assign's hash with
+    # d_len_hist's strata; d_pack_concat composes d_pack_greedy with
+    # the partitioned ordered-string-agg the window family pins) -----
     # (round-3 swap: t_grep's result set is t_grep_indexed's, same
     # oracle; d_vocab's token counting is covered by d_tf_df +
     # d_token_stats; e_minmax_ts min/max-of-ts is covered by
@@ -1243,4 +1316,6 @@ REGISTRY = {
     "t_grep": t_grep,
     "d_vocab": d_vocab,
     "e_minmax_ts": e_minmax_ts,
+    "d_stratified_sample": d_stratified_sample,
+    "d_pack_concat": d_pack_concat,
 }
