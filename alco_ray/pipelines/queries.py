@@ -1214,6 +1214,148 @@ def v_dims(sf_dir: str):
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+def e_approx_users(sf_dir: str):
+    """Mergeable-sketch distinct count (HyperLogLog, p=12): approximate
+    distinct users per event_type.  Rows-only driver check — an
+    approximation has no exact SQL twin; the error bound (<2% at
+    p=12 on this corpus) and merge/partitioning-independence are
+    pinned by pytest.  At 100 TB this replaces the exact
+    distinct-pair shuffle with a 4 KiB-per-group register fold."""
+    import ray.data
+
+    from ..stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return ray.data.from_arrow(hll_distinct(ds, "event_type", "user_id"))
+
+
+def e_range_join(sf_dir: str):
+    """Time-RANGE join (the non-equi-join shape): for every 'error'
+    event, how many OTHER events of the same user fall within ±60 s.
+    Key-hash partitions -> one composite-timeline searchsorted per
+    partition (stages/window.nearby_count) — no self-join blowup."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return window.nearby_count(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        radius_us=60_000_000, flag_col="event_type", flag_value="error",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
+def e_user_rank(sf_dir: str):
+    """GLOBAL ranking (ROW_NUMBER over the whole table, no partition
+    clause): users ordered by total spend desc, user_id asc.  Shape:
+    per-user integer-cents totals (partial + shuffle agg), composite
+    sort key packed into ONE injective int64, then stages/scan.
+    global_rank = range-sort + prefix-count (O(blocks) driver state,
+    no second shuffle)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.scan import global_rank
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"user_id": b["user_id"], "c": cents})
+        g = t.group_by(["user_id"]).aggregate([("c", "sum")])
+        return g.rename_columns(["user_id", "total_cents"])
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("total_cents", alias_name="total_cents"))
+                .materialize())
+    m = totals.aggregate(Max("total_cents"), Max("user_id"))
+    max_cents = int(m["max(total_cents)"])
+    scale = int(m["max(user_id)"]) + 1
+    if (max_cents + 1) * scale >= (1 << 62):
+        raise ValueError("e_user_rank: composite sort key overflow")
+
+    def key(b: pa.Table) -> pa.Table:
+        k = pc.add(pc.multiply(pc.subtract(pa.scalar(max_cents, pa.int64()),
+                                           b["total_cents"]),
+                               pa.scalar(scale, pa.int64())),
+                   b["user_id"])
+        return b.append_column("__key", pc.cast(k, pa.int64()))
+
+    ranked = global_rank(
+        totals.map_batches(key, batch_format="pyarrow"), "__key")
+    return ranked.drop_columns(["__key"])
+
+
+def q_left_join(sf_dir: str):
+    """LEFT OUTER join: every customer with order count and integer-
+    cents spend, ZEROS for order-less customers.  The fact side is
+    pre-aggregated to one row per key BEFORE the join (row
+    multiplication dies in the map-side partial), then Ray's
+    left_outer hash join + null-fill."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"o_custkey": b["o_custkey"], "c": cents})
+        g = t.group_by(["o_custkey"]).aggregate(
+            [([], "count_all"), ("c", "sum")])
+        return g.rename_columns(["o_custkey", "n_orders", "total_cents"])
+
+    oagg = (orders.map_batches(partial, batch_format="pyarrow")
+                  .groupby("o_custkey")
+                  .aggregate(Sum("n_orders", alias_name="n_orders"),
+                             Sum("total_cents", alias_name="total_cents")))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    join_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = cust.join(oagg, "left_outer", num_partitions=join_parts,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_mktsegment": b["c_mktsegment"],
+            "n_orders": pc.coalesce(pc.cast(b["n_orders"], pa.int64()), zero),
+            "total_cents": pc.coalesce(pc.cast(b["total_cents"], pa.int64()),
+                                       zero),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def d_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals: per-doc total /
+    distinct / most-frequent bigram counts (integer-exact; consumers
+    derive the dup- and top-bigram fractions)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text.repetition_stats, batch_format="pyarrow")
+
+
+def d_decontaminate(sf_dir: str):
+    """Eval-set decontamination: benchmark = docs with doc_id % 97 == 0
+    (a deterministic stand-in for a held-out eval corpus); flag every
+    other doc sharing >= 1 distinct token-trigram with it, with the
+    distinct-overlap count.  Shingle semi-join — the benchmark side
+    shuffles, never broadcasts."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 == 0) if want_bench else (ids % 97 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    cand = docs.map_batches(split(False), batch_format="pyarrow")
+    return dedup.decontaminate(
+        cand, bench, k=3,
+        approx_rows=_nrows(_tp(sf_dir, "documents")))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1242,11 +1384,17 @@ REGISTRY = {
     "t_semi_join": t_semi_join,
     "t_anti_join": t_anti_join,
     "q_region_revenue": q_region_revenue,
+    # round-3b additions (never driver-checked -> in-window)
+    "e_approx_users": e_approx_users,
+    "e_range_join": e_range_join,
+    "e_user_rank": e_user_rank,
+    "q_left_join": q_left_join,
+    "d_repetition": d_repetition,
+    "d_decontaminate": d_decontaminate,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_interval_counts": t_interval_counts,
     "t_parse_metrics": t_parse_metrics,
     "t_dict_role": t_dict_role,
-    "t_dict_tool": t_dict_tool,
     "t_enriched": t_enriched,
     "t_ordered_turns": t_ordered_turns,
     "t_per_conv_stats": t_per_conv_stats,
@@ -1254,7 +1402,6 @@ REGISTRY = {
     "t_topk_per_conv": t_topk_per_conv,
     "t_conv_tool_stats": t_conv_tool_stats,
     "t_residual_js": t_residual_js,
-    "t_context_errors": t_context_errors,
     "t_rolling_errors": t_rolling_errors,
     "t_asof_last_error": t_asof_last_error,
     "t_kv_fields": t_kv_fields,
@@ -1266,16 +1413,12 @@ REGISTRY = {
     "e_session_stats": e_session_stats,
     # relational coverage
     "q1_pricing": q1_pricing,
-    "q_mktsegment": q_mktsegment,
     "q_shuffle_join": q_shuffle_join,
     # documents / training-data ops
     "d_split_assign": d_split_assign,
     "d_tf_df": d_tf_df,
-    "d_token_stats": d_token_stats,
     "d_quality_filter": d_quality_filter,
-    "d_dedup_exact": d_dedup_exact,
     "d_dedup_apply": d_dedup_apply,
-    "d_jaccard_pairs": d_jaccard_pairs,
     "d_minhash_lsh": d_minhash_lsh,
     "d_simhash": d_simhash,
     "d_fingerprint": d_fingerprint,
@@ -1298,7 +1441,21 @@ REGISTRY = {
     # sessionize; d_token_stats/d_vocab/d_tf_df cover tokenize;
     # d_quality_filter covers quality; d_dedup_exact+t_dedup_backstop
     # cover exact dedup; q_mktsegment/q_region_revenue cover dim joins;
-    # t_grep_indexed/q_region_revenue cover pruned/filtered reads.
+    # t_grep_indexed/q_region_revenue cover pruned/filtered reads.)
+    # (round-3b swaps: t_dict_tool's dict build is t_dict_role's;
+    # t_context_errors' segmented window kernel is pinned in-window by
+    # t_rolling_errors + t_asof_last_error; q_mktsegment's dim join by
+    # q_region_revenue + q_left_join; d_token_stats' tokenize counts by
+    # d_tf_df + d_repetition; d_jaccard_pairs' shingle+exact-overlap
+    # machinery by d_minhash_lsh's verify chain + d_decontaminate;
+    # d_dedup_exact's key-partitioned first-wins by t_dedup_backstop +
+    # d_dedup_apply.)
+    "t_dict_tool": t_dict_tool,
+    "t_context_errors": t_context_errors,
+    "q_mktsegment": q_mktsegment,
+    "d_token_stats": d_token_stats,
+    "d_jaccard_pairs": d_jaccard_pairs,
+    "d_dedup_exact": d_dedup_exact,
     "t_routed_counts": t_routed_counts,
     "e_interval_counts": e_interval_counts,
     "e_routed_counts": e_routed_counts,

@@ -101,6 +101,46 @@ def shingle_explode(batch: pa.Table, text_col: str = "text",
     })
 
 
+def decontaminate(ds, bench, *, k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", approx_rows: int | None = None,
+                  grams_per_doc: int = 64):
+    """Benchmark decontamination: for every corpus document, the number
+    of DISTINCT k-token shingles it shares with ANY document of the
+    ``bench`` corpus (only contaminated docs are returned — sharing at
+    least one shingle).  The training-data hygiene op: drop or flag
+    training docs that overlap an eval set.
+
+    Shape: distinct shingle hashes per doc on both sides (one
+    vectorized segmented pass, :func:`shingle_explode`), then a keyed
+    SEMI JOIN on the shingle hash — both sides hash-shuffle, so the
+    benchmark may be arbitrarily large (no broadcast) — then a
+    partition-local per-doc count.  Shingle identity is its 61-bit
+    hash (the fingerprint family's negligible-collision trade)."""
+    from .join import semi_join
+    from .window import partition_by_key
+
+    def grams(b: pa.Table) -> pa.Table:
+        return shingle_explode(b, text_col, id_col, k) \
+            .select([id_col, "shingle"])
+
+    cg = ds.map_batches(grams, batch_format="pyarrow")
+    bg = bench.map_batches(grams, batch_format="pyarrow") \
+        .select_columns(["shingle"])
+    n_grams = (approx_rows * grams_per_doc) if approx_rows else None
+    hits = semi_join(cg, bg, "shingle", approx_rows=n_grams)
+
+    def body(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby(id_col, sort=False).size()
+                .rename("n_hit_grams").reset_index())
+        out["n_hit_grams"] = out["n_hit_grams"].astype("int64")
+        return out
+
+    # rows after the semi join are (doc, shingle)-distinct by
+    # construction, so the per-doc size IS the distinct overlap count
+    return partition_by_key(hits, id_col, approx_rows=n_grams) \
+        .groupby("part").map_groups(body, batch_format="pandas")
+
+
 def dedup_exact_rows(ds, key_cols: list[str], order_col: str, *,
                      n_parts: int | None = None,
                      approx_rows: int | None = None):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def ordered_prefix_sum(ds, val_col: str, order_col: str, *,
@@ -100,3 +101,32 @@ def ordered_prefix_sum(ds, val_col: str, order_col: str, *,
 
     return slim.map_batches(apply, batch_format="pyarrow",
                             batch_size=None)
+
+
+def global_rank(ds, order_col: str, *, out_col: str = "rank"):
+    """1-based GLOBAL row number over ascending ``order_col`` order —
+    the distributed ranking operator (ROW_NUMBER() OVER (ORDER BY ...)
+    with no partition clause).  ``order_col`` values must be unique
+    int64 (encode composite sort keys — e.g. (total DESC, id ASC) —
+    into one injective int64 first; the prefix-sum pass validates
+    block disjointness, so a non-injective key that straddles a sort
+    boundary raises rather than mis-ranks).
+
+    Shape: range-partitioning sort on the key, then rank = exclusive
+    prefix COUNT via :func:`ordered_prefix_sum` — per-block partials,
+    O(blocks) driver state, no second shuffle."""
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__one", pa.array(np.ones(b.num_rows, np.int64)))
+
+    ranked = ordered_prefix_sum(
+        ds.map_batches(ones, batch_format="pyarrow").sort(order_col),
+        "__one", order_col, out_col=out_col, exclusive=True)
+
+    def fin(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(out_col)
+        b = b.set_column(i, out_col, pc.add(b[out_col], 1))
+        return b.drop_columns(["__one"])
+
+    return ranked.map_batches(fin, batch_format="pyarrow")

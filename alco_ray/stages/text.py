@@ -44,6 +44,54 @@ def token_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals per document (the quality gate
+    that kills boilerplate/templated text): total bigram count,
+    DISTINCT bigram count, and the frequency of the single most
+    repeated bigram.  Consumers derive the published ratios
+    (dup-bigram fraction = 1 - distinct/total, top-bigram fraction =
+    top/total) — integers only leave this stage so distributed and
+    oracle results compare bit-for-bit.
+
+    Fully vectorized: token SipHashes -> one polynomial combine for
+    every adjacent pair -> per-(row, bigram) run-length counts from a
+    single lexsort.  Bigram identity is its 64-bit hash (the same
+    negligible-collision trade the fingerprint family pins)."""
+    toks = tokenize(batch[text_col], batch.num_rows)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    offs = np.asarray(toks.offsets).astype(np.int64)
+    n = batch.num_rows
+    lens = np.diff(offs)
+    counts = np.maximum(lens - 1, 0)
+    total = int(counts.sum())
+    n_distinct = np.zeros(n, np.int64)
+    top = np.zeros(n, np.int64)
+    if total:
+        h = hash_tokens(flat)
+        with np.errstate(over="ignore"):
+            acc = h[:-1] * _TRIGRAM_B + h[1:]
+        seg_base = np.repeat(offs[:-1], counts)
+        cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum0, counts)
+        bh = acc[seg_base + intra]
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((bh, row))
+        rv, vv = row[order], bh[order]
+        new = np.ones(total, dtype=bool)
+        new[1:] = (vv[1:] != vv[:-1]) | (rv[1:] != rv[:-1])
+        grp_rows = rv[new]
+        grp_counts = np.diff(np.append(np.flatnonzero(new), total))
+        n_distinct = np.bincount(grp_rows, minlength=n)
+        np.maximum.at(top, grp_rows, grp_counts)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_bigrams": pa.array(counts, pa.int64()),
+        "n_distinct_bigrams": pa.array(n_distinct, pa.int64()),
+        "top_bigram_n": pa.array(top, pa.int64()),
+    })
+
+
 def token_explode(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """(id, token) — one row per token occurrence (P4 flattened)."""

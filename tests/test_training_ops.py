@@ -806,3 +806,123 @@ def test_semi_anti_join_empty_left():
     right = ray.data.from_arrow(pa.table({"k": [2, 9]}))
     assert semi_join(empty_left, right, "k").count() == 0
     assert anti_join(empty_left, right, "k").count() == 0
+
+
+# ------------------------------------------------------- round-3b ops
+
+def test_hll_distinct_accuracy_and_independence():
+    """HLL estimate within the p=12 error envelope, identical across
+    partitionings (max-merge is order/partition independent), and
+    register merge = elementwise max."""
+    import ray.data
+
+    from alco_ray.stages.sketch import hll_distinct, hll_partial
+
+    rng = np.random.RandomState(7)
+    a_vals = rng.randint(0, 5000, size=20000)      # ~4900 distinct
+    b_vals = rng.randint(0, 300, size=8000)        # ~300 distinct
+    t = pa.table({
+        "g": pa.array(["a"] * len(a_vals) + ["b"] * len(b_vals)),
+        "v": pa.array(np.concatenate([a_vals, b_vals]), pa.int64()),
+    })
+    exact = {"a": len(np.unique(a_vals)), "b": len(np.unique(b_vals))}
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        res = hll_distinct(ds, "g", "v")
+        outs.append({k: n for k, n in zip(res["g"].to_pylist(),
+                                          res["approx_distinct"].to_pylist())})
+    assert outs[0] == outs[1]          # partitioning-independent
+    for k, n in exact.items():
+        assert abs(outs[0][k] - n) / n < 0.05
+    # merge law: registers of the whole == max of the halves
+    v = a_vals.astype(np.int64)
+    full = hll_partial(v, np.zeros(len(v), np.int64), 1, 12)
+    h1 = hll_partial(v[:9000], np.zeros(9000, np.int64), 1, 12)
+    h2 = hll_partial(v[9000:], np.zeros(len(v) - 9000, np.int64), 1, 12)
+    assert np.array_equal(full, np.maximum(h1, h2))
+
+
+def test_nearby_count_matches_bruteforce():
+    """Range-join count vs an O(n^2) oracle, self excluded, flagged
+    probes only."""
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    n = 400
+    users = rng.randint(0, 12, size=n)
+    ts = rng.randint(0, 10_000, size=n).astype("datetime64[us]")
+    kinds = rng.choice(["error", "click"], size=n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(kinds),
+    })
+    R = 500  # us
+    out = window.nearby_count(
+        ray.data.from_arrow(t).repartition(5), key_col="user_id",
+        ts_col="ts", id_col="event_id", radius_us=R,
+        flag_col="event_type", flag_value="error", n_parts=4) \
+        .to_pandas().set_index("event_id")["n_nearby"].to_dict()
+    tsi = ts.view(np.int64)
+    want = {}
+    for i in range(n):
+        if kinds[i] != "error":
+            continue
+        want[i] = int(np.sum((users == users[i])
+                             & (np.abs(tsi - tsi[i]) <= R))) - 1
+    assert out == want
+
+
+def test_repetition_stats_bruteforce():
+    t = _docs_table()
+    out = text.repetition_stats(t).to_pandas().set_index("doc_id")
+    for row in t.to_pylist():
+        toks = _py_tokens(row["text"])
+        bgs = [tuple(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        got = out.loc[row["doc_id"]]
+        assert got["n_bigrams"] == len(bgs)
+        assert got["n_distinct_bigrams"] == len(set(bgs))
+        top = max((bgs.count(b) for b in set(bgs)), default=0)
+        assert got["top_bigram_n"] == top
+
+
+def test_decontaminate_planted_overlap():
+    """Docs sharing a trigram with the benchmark are flagged with the
+    exact distinct-overlap count; clean docs are absent."""
+    import ray.data
+
+    bench_txt = "alpha beta gamma delta epsilon zeta"
+    corpus = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma something else entirely here",  # 1 shared
+            "one two three four five six seven eight nine",   # clean
+            "x alpha beta gamma delta y",                     # 2 shared
+        ]),
+    })
+    bench = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([bench_txt])})
+    out = dedup.decontaminate(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(bench), k=3) \
+        .to_pandas().set_index("doc_id")["n_hit_grams"].to_dict()
+    assert out == {10: 1, 12: 2}
+
+
+def test_global_rank_matches_argsort():
+    import ray.data
+
+    from alco_ray.stages.scan import global_rank
+
+    rng = np.random.RandomState(13)
+    keys = rng.permutation(5000).astype(np.int64) * 3 + 1
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "payload": pa.array(keys % 17, pa.int64())})
+    out = global_rank(ray.data.from_arrow(t).repartition(6), "k") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # ascending key order == rank order, payload rides along
+    assert np.array_equal(out["rank"].to_numpy(),
+                          np.arange(1, len(keys) + 1))
+    assert np.array_equal(out["payload"].to_numpy(),
+                          (out["k"].to_numpy() % 17))
