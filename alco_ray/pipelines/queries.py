@@ -1326,6 +1326,50 @@ def q_left_join(sf_dir: str):
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS subquery): count orders per priority
+    having at least one returned lineitem — the relational semi-join
+    (stages/join.semi_join, both sides shuffle, no row multiplication
+    from multi-lineitem orders) followed by a bounded-key fold."""
+    import pyarrow.dataset as pads
+
+    from ..stages.join import semi_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"],
+               filter=pads.field("l_returnflag") == "R")
+    hit = semi_join(orders, li, "o_orderkey", right_on="l_orderkey",
+                    approx_rows=_nrows(_tp(sf_dir, "orders")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n_orders"])
+
+    p = hit.map_batches(partial, batch_format="pyarrow")
+    return agg_stage.fold_partials(p, ["o_orderpriority"],
+                                   [("n_orders", "sum")])
+
+
+def d_source_cap(sf_dir: str):
+    """Per-source document cap (the domain-mixing op: no source may
+    contribute more than K docs): deterministic selection by the
+    RNG-free multiplicative id-hash — a SAMPLE per source, not
+    "first K", and stable under any partitioning — via the grouped
+    limit (order.top_k_per_group)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def hashed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return b.append_column("h", pa.array(h.astype(np.int64)))
+
+    capped = order.top_k_per_group(
+        ds.map_batches(hashed, batch_format="pyarrow"),
+        "source", ["h", "doc_id"], 10, descending=False)
+    return capped.drop_columns(["h"])
+
+
 def d_repetition(sf_dir: str):
     """Gopher-style repetition quality signals: per-doc total /
     distinct / most-frequent bigram counts (integer-exact; consumers
@@ -1391,6 +1435,8 @@ REGISTRY = {
     "q_left_join": q_left_join,
     "d_repetition": d_repetition,
     "d_decontaminate": d_decontaminate,
+    "q_order_priority": q_order_priority,
+    "d_source_cap": d_source_cap,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_interval_counts": t_interval_counts,
     "t_parse_metrics": t_parse_metrics,
@@ -1399,7 +1445,6 @@ REGISTRY = {
     "t_ordered_turns": t_ordered_turns,
     "t_per_conv_stats": t_per_conv_stats,
     "t_top_recent": t_top_recent,
-    "t_topk_per_conv": t_topk_per_conv,
     "t_conv_tool_stats": t_conv_tool_stats,
     "t_residual_js": t_residual_js,
     "t_rolling_errors": t_rolling_errors,
@@ -1407,7 +1452,6 @@ REGISTRY = {
     "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
     "t_dead_letter": t_dead_letter,
-    "t_jsonl_routed": t_jsonl_routed,
     # events analog (unique operators only in-window)
     "e_median_value": e_median_value,
     "e_session_stats": e_session_stats,
@@ -1450,6 +1494,11 @@ REGISTRY = {
     # machinery by d_minhash_lsh's verify chain + d_decontaminate;
     # d_dedup_exact's key-partitioned first-wins by t_dedup_backstop +
     # d_dedup_apply.)
+    # (t_topk_per_conv's grouped limit (top_k_per_group) is in-window
+    # via d_source_cap; t_jsonl_routed's sink counts via t_parse_metrics
+    # + t_dead_letter, the JSONL wire decode itself is pytest-covered.)
+    "t_topk_per_conv": t_topk_per_conv,
+    "t_jsonl_routed": t_jsonl_routed,
     "t_dict_tool": t_dict_tool,
     "t_context_errors": t_context_errors,
     "q_mktsegment": q_mktsegment,

@@ -926,3 +926,31 @@ def test_global_rank_matches_argsort():
                           np.arange(1, len(keys) + 1))
     assert np.array_equal(out["payload"].to_numpy(),
                           (out["k"].to_numpy() % 17))
+
+
+def test_source_cap_partition_stable():
+    """Per-group cap: never more than k rows per group, and the SAME
+    surviving ids under different partitionings (hash order, not
+    arrival order)."""
+    import ray.data
+
+    from alco_ray.stages.order import top_k_per_group
+
+    rng = np.random.RandomState(5)
+    n = 600
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array([f"s{i}" for i in rng.randint(0, 7, n)]),
+        "h": pa.array(((np.arange(n).astype(np.uint64)
+                        * np.uint64(2654435761))
+                       % np.uint64(1 << 32)).astype(np.int64)),
+    })
+    picks = []
+    for blocks in (2, 9):
+        out = top_k_per_group(
+            ray.data.from_arrow(t).repartition(blocks),
+            "source", ["h", "doc_id"], 5, descending=False,
+            n_parts=4).to_pandas()
+        assert out.groupby("source").size().max() <= 5
+        picks.append(set(out["doc_id"]))
+    assert picks[0] == picks[1]
