@@ -1400,6 +1400,116 @@ def d_decontaminate(sf_dir: str):
         approx_rows=_nrows(_tp(sf_dir, "documents")))
 
 
+def e_pivot(sf_dir: str):
+    """PIVOT / conditional aggregation: per-user wide event-type
+    counts (one int64 column per type — the report/feature-matrix
+    shape).  Bounded pivot width map-side, unbounded user_id key via
+    Ray hash groupby (stages/aggregate.pivot_counts)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return agg_stage.pivot_counts(
+        ds, "user_id", "event_type",
+        ["click", "view", "purchase", "signup", "error"])
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (multi-level aggregate): finest (returnflag,
+    linestatus) sums plus per-returnflag subtotals plus the grand
+    total from ONE scan of lineitem — coarser levels derived from the
+    finest partial table, never a second pass
+    (stages/aggregate.rollup_sums)."""
+    import ray.data
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_linestatus": b["l_linestatus"],
+                         "qty": qty})
+
+    t = agg_stage.rollup_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                              ["l_returnflag", "l_linestatus"], ["qty"])
+    return ray.data.from_arrow(t.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]))
+
+
+def e_event_gaps(sf_dir: str):
+    """LAG window function: per event, microseconds since the SAME
+    user's previous event ((ts, event_id) order; null for each user's
+    first) — the inter-event-time feature
+    (stages/window.lag_delta, segmented diff per key-hash
+    partition)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return window.lag_delta(ds, key_col="user_id", ts_col="ts",
+                            id_col="event_id",
+                            approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
+def e_user_cumsum(sf_dir: str):
+    """Per-key RUNNING SUM: inclusive cumulative integer-cents spend
+    per user over (ts, event_id) order — the per-group scan
+    (stages/window.grouped_cumsum; the single-global-order variant is
+    stages/scan.ordered_prefix_sum)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return b.append_column("cents", c)
+
+    return window.grouped_cumsum(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        val_col="cents", out_col="cum_cents",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
+def q_full_join(sf_dir: str):
+    """FULL OUTER join: per-user click counts x purchase counts,
+    keeping users that appear on only ONE side (zeros filled).  Both
+    sides pre-aggregated to one row per key before the hash join (row
+    multiplication dies map-side, like q_left_join); Ray's full_outer
+    coalesces the key column itself."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(ev: str, name: str):
+        def partial(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], ev))
+            g = b.group_by(["user_id"]).aggregate([([], "count_all")])
+            return g.rename_columns(["user_id", name])
+        return partial
+
+    clicks = (ds.map_batches(side("click", "n_click"),
+                             batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("n_click", alias_name="n_click")))
+    purch = (ds.map_batches(side("purchase", "n_purchase"),
+                            batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(Sum("n_purchase", alias_name="n_purchase")))
+    join_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = clicks.join(purch, "full_outer", num_partitions=join_parts,
+                    on=("user_id",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_click": pc.coalesce(pc.cast(b["n_click"], pa.int64()), zero),
+            "n_purchase": pc.coalesce(pc.cast(b["n_purchase"], pa.int64()),
+                                      zero),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1437,14 +1547,16 @@ REGISTRY = {
     "d_decontaminate": d_decontaminate,
     "q_order_priority": q_order_priority,
     "d_source_cap": d_source_cap,
+    # round-3c additions (never driver-checked -> in-window)
+    "e_pivot": e_pivot,
+    "q_rollup": q_rollup,
+    "e_event_gaps": e_event_gaps,
+    "e_user_cumsum": e_user_cumsum,
+    "q_full_join": q_full_join,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
-    "t_interval_counts": t_interval_counts,
     "t_parse_metrics": t_parse_metrics,
-    "t_dict_role": t_dict_role,
     "t_enriched": t_enriched,
     "t_ordered_turns": t_ordered_turns,
-    "t_per_conv_stats": t_per_conv_stats,
-    "t_top_recent": t_top_recent,
     "t_conv_tool_stats": t_conv_tool_stats,
     "t_residual_js": t_residual_js,
     "t_rolling_errors": t_rolling_errors,
@@ -1459,7 +1571,6 @@ REGISTRY = {
     "q1_pricing": q1_pricing,
     "q_shuffle_join": q_shuffle_join,
     # documents / training-data ops
-    "d_split_assign": d_split_assign,
     "d_tf_df": d_tf_df,
     "d_quality_filter": d_quality_filter,
     "d_dedup_apply": d_dedup_apply,
@@ -1497,6 +1608,20 @@ REGISTRY = {
     # (t_topk_per_conv's grouped limit (top_k_per_group) is in-window
     # via d_source_cap; t_jsonl_routed's sink counts via t_parse_metrics
     # + t_dead_letter, the JSONL wire decode itself is pytest-covered.)
+    # (round-3c swaps, making room for e_pivot/q_rollup/e_event_gaps/
+    # e_user_cumsum/q_full_join: t_dict_role's dict build is consumed
+    # by in-window t_enriched (ids embedded per row); t_interval_counts'
+    # bounded-key fold is t_parse_metrics' + q_order_priority's and its
+    # events sibling e_interval_counts was already tail; t_per_conv_stats'
+    # salted per-conv aggregate shape is pinned by t_conv_tool_stats;
+    # d_split_assign's multiplicative-hash assignment is d_source_cap's;
+    # t_top_recent's sort-desc-limit recent-k is t_grep_indexed's final
+    # stage and e_topk_value (tail) pins order.top_k itself.)
+    "t_interval_counts": t_interval_counts,
+    "t_dict_role": t_dict_role,
+    "t_per_conv_stats": t_per_conv_stats,
+    "t_top_recent": t_top_recent,
+    "d_split_assign": d_split_assign,
     "t_topk_per_conv": t_topk_per_conv,
     "t_jsonl_routed": t_jsonl_routed,
     "t_dict_tool": t_dict_tool,

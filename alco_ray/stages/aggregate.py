@@ -179,3 +179,77 @@ def quantile_disc(ds, value_col: str, q: float, by: str,
         out_v.append(int(g.loc[cum >= target, "v"].iloc[0]))
     return pa.table({by: pa.array(out_k),
                      "q_value": pa.array(out_v, pa.int64())})
+
+
+def pivot_counts(ds, key: str, col: str, values: list[str],
+                 prefix: str = "n_"):
+    """PIVOT / conditional aggregation: one output row per ``key``,
+    one int64 count column per pivot value of ``col`` (the wide-format
+    report shape — SQL's ``count(*) FILTER (WHERE col = v)`` per v).
+
+    Shape: the pivot width is bounded (it is a SCHEMA, not data), so
+    each block collapses to at most |distinct keys in block| rows of
+    |values| counters map-side; the all-to-all exchange then moves
+    partial counter rows, never events.  The key itself is UNBOUNDED
+    (user_id), so the merge is a Ray hash ``groupby`` — not a driver
+    fold (see :func:`fold_partials` for the bounded-key contract)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    names = [f"{prefix}{v}" for v in values]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {key: b[key]}
+        for v, nm in zip(values, names):
+            cols[nm] = pc.cast(pc.equal(b[col], v), pa.int64())
+        t = pa.table(cols)
+        g = t.group_by([key]).aggregate([(nm, "sum") for nm in names])
+        return g.rename_columns([key] + names)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key)
+              .aggregate(*[Sum(nm, alias_name=nm) for nm in names]))
+
+
+def rollup_sums(ds, keys: list[str], sum_cols: list[str],
+                count_col: str = "n_rows") -> pa.Table:
+    """GROUP BY ROLLUP(keys): the finest level PLUS every prefix
+    subtotal level up to the grand total, rolled-up key columns null —
+    SQL ``GROUP BY ROLLUP (...)`` semantics.
+
+    Scale shape: the INPUT is scanned exactly once — per-block partials
+    at the finest granularity, driver fold (bounded-key contract, same
+    as :func:`fold_partials`) — and every coarser level is derived by
+    re-aggregating the tiny finest TABLE driver-side.  At 100 TB the
+    subtotal levels cost |finest| rows of arithmetic, not another pass
+    over the data."""
+    import pyarrow.compute as pc
+
+    aggs = [(c, "sum") for c in sum_cols] + [(count_col, "sum")]
+    out_names = keys + sum_cols + [count_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [([], "count_all")])
+        return g.rename_columns(out_names)
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    finest = fold_partials(p, keys, [(c, "sum") for c in sum_cols] +
+                           [(count_col, "sum")])
+    levels = [finest]
+    for lvl in range(len(keys) - 1, -1, -1):
+        kept = keys[:lvl]
+        if kept:
+            t = (finest.group_by(kept).aggregate(aggs)
+                 .rename_columns(kept + sum_cols + [count_col]))
+        else:
+            t = pa.table({c: pa.array([int(pc.sum(finest[c]).as_py() or 0)],
+                                      pa.int64())
+                          for c in sum_cols + [count_col]})
+        for k in keys[lvl:]:
+            t = t.append_column(k, pa.nulls(t.num_rows,
+                                            finest.schema.field(k).type))
+        levels.append(t.select(out_names))
+    return pa.concat_tables(levels).sort_by(
+        [(k, "ascending") for k in keys])

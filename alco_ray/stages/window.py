@@ -272,3 +272,71 @@ def nearby_count(ds, *, key_col: str, ts_col: str, id_col: str,
     return _partitioned(ds, key_col, n_parts,
                         approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
+
+
+def lag_delta(ds, *, key_col: str, ts_col: str, id_col: str,
+              out_col: str = "gap_us", n_parts: int | None = None,
+              approx_rows: int | None = None):
+    """LAG window function: for every row, microseconds since the
+    PREVIOUS row of the same key in (ts, id) order — null for each
+    key's first row (SQL ``ts - lag(ts) OVER (PARTITION BY key
+    ORDER BY ts, id)``).  The inter-event-time signal behind retention
+    / bot-detection features.
+
+    Kernel: one lexsort per key-hash partition, one diff; segment
+    starts masked to null via a pandas Int64 (nullable) column so the
+    output schema stays int64, not float."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 out_col: pd.array([], dtype="Int64")})
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((g[id_col].to_numpy(), ts,
+                            g[key_col].to_numpy()))
+        g = g.iloc[order]
+        ts = ts[order]
+        seg_start, _, _ = _segment_bounds(g[key_col].to_numpy())
+        n = len(g)
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        col = pd.array(gap, dtype="Int64")
+        col[np.arange(n) == seg_start] = pd.NA
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             out_col: col})
+
+    return _partitioned(ds, key_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
+        body, batch_format="pandas")
+
+
+def grouped_cumsum(ds, *, key_col: str, ts_col: str, id_col: str,
+                   val_col: str, out_col: str = "cum",
+                   n_parts: int | None = None,
+                   approx_rows: int | None = None):
+    """Per-key RUNNING SUM: inclusive cumulative sum of ``val_col``
+    (int64) over (ts, id) order within each key — SQL ``sum(val) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)``.
+    Unlike stages/scan.ordered_prefix_sum (ONE global order, block-
+    ordered input) this is the per-group variant over arbitrary input:
+    segment-rebased cumsum per key-hash partition."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 out_col: np.array([], np.int64)})
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((g[id_col].to_numpy(), ts,
+                            g[key_col].to_numpy()))
+        g = g.iloc[order]
+        seg_start, _, _ = _segment_bounds(g[key_col].to_numpy())
+        vals = g[val_col].to_numpy().astype(np.int64)
+        c = np.cumsum(vals)
+        run = c - (c[seg_start] - vals[seg_start])
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             out_col: run})
+
+    return _partitioned(ds, key_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
+        body, batch_format="pandas")
