@@ -1510,6 +1510,29 @@ def q_full_join(sf_dir: str):
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def q_asof_join(sf_dir: str):
+    """Two-INPUT as-of join (merge_asof / SQL ASOF LEFT JOIN): every
+    click matched to the same user's most recent purchase at-or-before
+    it (null if none yet).  Tag+union+one key-hash partition pass —
+    stages/window.asof_join; the single-table variant is
+    t_asof_last_error."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def keep(ev: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], ev))
+        return f
+
+    clicks = ds.map_batches(keep("click"), batch_format="pyarrow")
+    purchases = ds.map_batches(keep("purchase"), batch_format="pyarrow")
+    return window.asof_join(
+        clicks, purchases, key_col="user_id", ts_col="ts",
+        left_id_col="event_id", right_val_col="ts",
+        out_col="last_purchase_ts",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1553,6 +1576,7 @@ REGISTRY = {
     "e_event_gaps": e_event_gaps,
     "e_user_cumsum": e_user_cumsum,
     "q_full_join": q_full_join,
+    "q_asof_join": q_asof_join,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
@@ -1560,7 +1584,6 @@ REGISTRY = {
     "t_conv_tool_stats": t_conv_tool_stats,
     "t_residual_js": t_residual_js,
     "t_rolling_errors": t_rolling_errors,
-    "t_asof_last_error": t_asof_last_error,
     "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
     "t_dead_letter": t_dead_letter,
@@ -1609,14 +1632,18 @@ REGISTRY = {
     # via d_source_cap; t_jsonl_routed's sink counts via t_parse_metrics
     # + t_dead_letter, the JSONL wire decode itself is pytest-covered.)
     # (round-3c swaps, making room for e_pivot/q_rollup/e_event_gaps/
-    # e_user_cumsum/q_full_join: t_dict_role's dict build is consumed
+    # e_user_cumsum/q_full_join/q_asof_join: t_dict_role's dict build is consumed
     # by in-window t_enriched (ids embedded per row); t_interval_counts'
     # bounded-key fold is t_parse_metrics' + q_order_priority's and its
     # events sibling e_interval_counts was already tail; t_per_conv_stats'
     # salted per-conv aggregate shape is pinned by t_conv_tool_stats;
     # d_split_assign's multiplicative-hash assignment is d_source_cap's;
     # t_top_recent's sort-desc-limit recent-k is t_grep_indexed's final
-    # stage and e_topk_value (tail) pins order.top_k itself.)
+    # stage and e_topk_value (tail) pins order.top_k itself;
+    # t_asof_last_error's offset-trick as-of kernel is pinned in-window
+    # by the two-input generalization q_asof_join plus pytest's
+    # asof-offset property test.)
+    "t_asof_last_error": t_asof_last_error,
     "t_interval_counts": t_interval_counts,
     "t_dict_role": t_dict_role,
     "t_per_conv_stats": t_per_conv_stats,

@@ -340,3 +340,82 @@ def grouped_cumsum(ds, *, key_col: str, ts_col: str, id_col: str,
     return _partitioned(ds, key_col, n_parts,
                         approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
+              left_id_col: str, right_val_col: str,
+              out_col: str = "asof_val", n_parts: int | None = None,
+              approx_rows: int | None = None):
+    """Two-INPUT as-of join (pandas ``merge_asof`` / SQL ``ASOF LEFT
+    JOIN``): for every left row, the value carried by the right row of
+    the SAME key with the greatest ``ts`` at-or-before the left row's
+    ``ts`` (null if none) — the event-vs-slowly-changing-state lookup
+    (:func:`asof_prior` is the single-table special case).
+
+    Shape: tag each side, project both to one shared schema, union,
+    ONE key-hash partition pass.  Per partition the kernel sorts by
+    (key, ts, side) with right rows FIRST at equal ts (inclusive
+    match), then a segment-reset running max over ROW POSITIONS (the
+    offset trick) answers every probe at once; the matched value is a
+    single vectorized gather.  No per-key loop, no row multiplication,
+    shuffle volume = |L| + |R| exactly once."""
+    import ray.data  # noqa: F401  (Dataset.union)
+
+    def _field_type(ds, col):
+        s = ds.schema()  # ray.data Schema wrapper, not pyarrow
+        return s.types[s.names.index(col)]
+
+    rtype = _field_type(right_ds, right_val_col)
+    ltype = _field_type(left_ds, left_id_col)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return pa.table({key_col: b[key_col], ts_col: b[ts_col],
+                         "__id": b[left_id_col],
+                         "__val": pa.nulls(b.num_rows, rtype),
+                         "__side": pa.array(
+                             np.ones(b.num_rows, np.int8))})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        return pa.table({key_col: b[key_col], ts_col: b[ts_col],
+                         "__id": pa.nulls(b.num_rows, ltype),
+                         "__val": b[right_val_col],
+                         "__side": pa.array(
+                             np.zeros(b.num_rows, np.int8))})
+
+    both = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+            .union(right_ds.map_batches(tag_right,
+                                        batch_format="pyarrow")))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or not (g["__side"] == 1).any():
+            # dtype-preserving empty output (object-dtype empties would
+            # break Arrow schema unification across partitions)
+            return pd.DataFrame({left_id_col: g["__id"].iloc[:0],
+                                 out_col: g["__val"].iloc[:0]})
+        ts = g[ts_col].to_numpy()
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view(np.int64)
+        side = g["__side"].to_numpy()
+        order = np.lexsort((side, ts, g[key_col].to_numpy()))
+        g = g.iloc[order]
+        side = side[order]
+        n = len(g)
+        _, _, seg_id = _segment_bounds(g[key_col].to_numpy())
+        OFF = np.int64(1) << 40  # > any partition's row count
+        if n >= OFF:
+            raise ValueError("asof_join: partition too large; "
+                             "raise n_parts")
+        cand = np.where(side == 0, np.arange(n, dtype=np.int64),
+                        np.int64(-1)) + seg_id * OFF
+        pos = np.maximum.accumulate(cand) - seg_id * OFF
+        left = side == 1
+        lpos = pos[left]
+        vals = g["__val"].iloc[np.maximum(lpos, 0)].reset_index(drop=True)
+        vals[lpos < 0] = None
+        return pd.DataFrame({
+            left_id_col: g["__id"].iloc[left].reset_index(drop=True),
+            out_col: vals})
+
+    return _partitioned(both, key_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
+        body, batch_format="pandas")

@@ -161,3 +161,32 @@ def test_full_outer_join_keeps_both_sides(ev):
                 else int(j.loc[u, "n_click"])) == int(wc.get(u, 0))
         assert (0 if pd.isna(j.loc[u, "n_purchase"])
                 else int(j.loc[u, "n_purchase"])) == int(wp.get(u, 0))
+
+
+def test_asof_join_matches_merge_asof(ev):
+    """Two-input as-of join vs pandas merge_asof (backward, inclusive)
+    — duplicate timestamps within a user exercise the right-rows-first
+    tiebreak; users with no right rows exercise the null path."""
+    from alco_ray.stages.window import asof_join
+
+    df = ev.to_pandas()
+    left = df[df.event_type == "click"]
+    right = df[(df.event_type == "purchase") & (df.user_id < 15)]
+    got = asof_join(
+        _ds(pa.Table.from_pandas(left, preserve_index=False)),
+        _ds(pa.Table.from_pandas(right, preserve_index=False)),
+        key_col="user_id", ts_col="ts", left_id_col="event_id",
+        right_val_col="ts", out_col="m_ts", n_parts=8,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort")[["user_id", "ts"]]
+             .assign(m_ts=lambda d: d["ts"]),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want) == len(left)
+    assert (got["m_ts"].isna().to_numpy() ==
+            want["m_ts"].isna().to_numpy()).all()
+    m = ~got["m_ts"].isna().to_numpy()
+    assert (got["m_ts"].to_numpy()[m] == want["m_ts"].to_numpy()[m]).all()
