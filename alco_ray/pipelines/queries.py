@@ -1533,6 +1533,35 @@ def q_asof_join(sf_dir: str):
         approx_rows=_nrows(_tp(sf_dir, "events")))
 
 
+def d_shuffle_order(sf_dir: str):
+    """Deterministic GLOBAL SHUFFLE for training-data ordering: every
+    doc gets a stable pseudo-random permutation position (1-based),
+    reproducible across runs/partitionings — RNG-free multiplicative
+    id-hash as the sort key (ties broken by doc_id), positions via the
+    distributed range-sort + prefix-count ranking (stages/scan.
+    global_rank), O(blocks) driver state.  At 100 TB this replaces
+    ``random_shuffle`` (full materialized permutation) with one
+    range-partition sort."""
+    from ..stages.scan import global_rank
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    m = ds.aggregate(Max("doc_id"))
+    scale = int(m["max(doc_id)"]) + 1
+    if (np.uint64(1 << 32) * np.uint64(scale)) >= np.uint64(1 << 62):
+        raise ValueError("d_shuffle_order: composite sort key overflow")
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        k = (h * np.uint64(scale) + ids).astype(np.int64)
+        return b.append_column("__key", pa.array(k))
+
+    ranked = global_rank(ds.map_batches(key, batch_format="pyarrow"),
+                         "__key", out_col="pos")
+    return ranked.drop_columns(["__key"])
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1643,6 +1672,10 @@ REGISTRY = {
     # t_asof_last_error's offset-trick as-of kernel is pinned in-window
     # by the two-input generalization q_asof_join plus pytest's
     # asof-offset property test.)
+    # (d_shuffle_order composes two in-window-pinned operators and
+    # nothing else: scan.global_rank (e_user_rank) over the
+    # multiplicative id-hash (d_source_cap).)
+    "d_shuffle_order": d_shuffle_order,
     "t_asof_last_error": t_asof_last_error,
     "t_interval_counts": t_interval_counts,
     "t_dict_role": t_dict_role,
