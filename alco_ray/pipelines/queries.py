@@ -1562,6 +1562,21 @@ def d_shuffle_order(sf_dir: str):
     return ranked.drop_columns(["__key"])
 
 
+def e_unpivot(sf_dir: str):
+    """UNPIVOT / melt (long-format inverse of e_pivot): per-user
+    event-type counts reshaped to (user_id, metric, cnt) rows —
+    per-batch zero-copy column slices, no shuffle beyond the pivot's
+    own (stages/aggregate.melt)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    wide = agg_stage.pivot_counts(
+        ds, "user_id", "event_type",
+        ["click", "view", "purchase", "signup", "error"])
+    return agg_stage.melt(
+        wide, ["user_id"],
+        ["n_click", "n_view", "n_purchase", "n_signup", "n_error"],
+        var_col="metric", val_col="cnt")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1606,6 +1621,7 @@ REGISTRY = {
     "e_user_cumsum": e_user_cumsum,
     "q_full_join": q_full_join,
     "q_asof_join": q_asof_join,
+    "e_unpivot": e_unpivot,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
@@ -1621,7 +1637,6 @@ REGISTRY = {
     "e_session_stats": e_session_stats,
     # relational coverage
     "q1_pricing": q1_pricing,
-    "q_shuffle_join": q_shuffle_join,
     # documents / training-data ops
     "d_tf_df": d_tf_df,
     "d_quality_filter": d_quality_filter,
@@ -1671,7 +1686,9 @@ REGISTRY = {
     # stage and e_topk_value (tail) pins order.top_k itself;
     # t_asof_last_error's offset-trick as-of kernel is pinned in-window
     # by the two-input generalization q_asof_join plus pytest's
-    # asof-offset property test.)
+    # asof-offset property test; q_shuffle_join's large-to-large hash
+    # join is the first stage of in-window q_region_revenue's chain.)
+    "q_shuffle_join": q_shuffle_join,
     # (d_shuffle_order composes two in-window-pinned operators and
     # nothing else: scan.global_rank (e_user_rank) over the
     # multiplicative id-hash (d_source_cap).)

@@ -253,3 +253,24 @@ def rollup_sums(ds, keys: list[str], sum_cols: list[str],
         levels.append(t.select(out_names))
     return pa.concat_tables(levels).sort_by(
         [(k, "ascending") for k in keys])
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_col: str = "variable", val_col: str = "value"):
+    """UNPIVOT / melt (wide -> long reshape, the inverse of
+    :func:`pivot_counts`): each input row becomes |value_cols| rows of
+    (id_cols..., variable-name, value).  Pure per-batch restructuring
+    — zero-copy column slices concatenated per variable, no shuffle,
+    output streams at |value_cols| x input rows."""
+    import pyarrow.compute as pc
+
+    def body(b: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: b[c] for c in id_cols}
+            cols[var_col] = pa.array([vc] * b.num_rows, pa.string())
+            cols[val_col] = pc.cast(b[vc], pa.int64())
+            parts.append(pa.table(cols))
+        return concat_nonempty(parts) if parts else b.select(id_cols)
+
+    return ds.map_batches(body, batch_format="pyarrow")

@@ -190,3 +190,25 @@ def test_asof_join_matches_merge_asof(ev):
             want["m_ts"].isna().to_numpy()).all()
     m = ~got["m_ts"].isna().to_numpy()
     assert (got["m_ts"].to_numpy()[m] == want["m_ts"].to_numpy()[m]).all()
+
+
+def test_melt_roundtrips_pivot(ev):
+    """melt(pivot) reconstructs the original long-format counts."""
+    from alco_ray.stages.aggregate import melt, pivot_counts
+
+    vals = ["click", "view", "purchase", "signup", "error"]
+    wide = pivot_counts(_ds(ev), "user_id", "event_type", vals)
+    long = (melt(wide, ["user_id"], [f"n_{v}" for v in vals],
+                 var_col="metric", val_col="cnt")
+            .to_pandas())
+    df = ev.to_pandas()
+    want = (df.groupby(["user_id", "event_type"]).size()
+            .rename("cnt").reset_index())
+    got_nz = (long[long.cnt > 0]
+              .assign(event_type=lambda d: d["metric"].str[2:])
+              [["user_id", "event_type", "cnt"]]
+              .sort_values(["user_id", "event_type"])
+              .reset_index(drop=True))
+    want = want.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    assert (got_nz["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    assert len(long) == wide.count() * len(vals)
