@@ -1577,6 +1577,63 @@ def e_unpivot(sf_dir: str):
         var_col="metric", val_col="cnt")
 
 
+def q_qty_share(sf_dir: str):
+    """Percent-of-group-total (window aggregate over the UNBOUNDED
+    frame: val / sum(val) OVER (PARTITION BY key)): each lineitem's
+    parts-per-million share of its returnflag's total quantity,
+    integer-exact (floor division).  The group key is BOUNDED, so the
+    totals are one map-side partial fold (agg_stage.fold_partials) and
+    the per-row pass reads them from a broadcast lookup — NO second
+    shuffle of the fact table (vs the naive self-join / window-sort
+    plan)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": b["l_linenumber"],
+                         "l_returnflag": b["l_returnflag"],
+                         "qty": qty})
+
+    slim = ds.map_batches(prep, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_returnflag"]).aggregate([("qty", "sum")])
+        return g.rename_columns(["l_returnflag", "total"])
+
+    totals = agg_stage.fold_partials(
+        slim.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], [("total", "sum")])
+    ref = ray.put(totals)
+
+    def share(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)  # zero-copy plasma read per task
+        idx = pc.index_in(b["l_returnflag"], value_set=
+                          t["l_returnflag"].combine_chunks())
+        tot = pc.take(t["total"].combine_chunks(), idx)
+        ppm = pc.divide(pc.multiply(b["qty"],
+                                    pa.scalar(1_000_000, pa.int64())), tot)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": b["l_linenumber"],
+                         "share_ppm": pc.cast(ppm, pa.int64())})
+
+    return slim.map_batches(share, batch_format="pyarrow")
+
+
+def e_latest_event(sf_dir: str):
+    """Latest-per-key retrieval (SQL arg_max / QUALIFY row_number()=1):
+    each user's most recent event row, ties broken by event_id — the
+    grouped limit k=1 (order.top_k_per_group, per-block prune then one
+    grouped pass; no full sort)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return order.top_k_per_group(ds, "user_id", ["ts", "event_id"], 1,
+                                 descending=True)
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1691,8 +1748,13 @@ REGISTRY = {
     "q_shuffle_join": q_shuffle_join,
     # (d_shuffle_order composes two in-window-pinned operators and
     # nothing else: scan.global_rank (e_user_rank) over the
-    # multiplicative id-hash (d_source_cap).)
+    # multiplicative id-hash (d_source_cap); q_qty_share composes
+    # fold_partials (t_parse_metrics/q_order_priority) with the
+    # broadcast-lookup probe (e_dict_encode's shape, t_enriched);
+    # e_latest_event is order.top_k_per_group k=1 (d_source_cap).)
     "d_shuffle_order": d_shuffle_order,
+    "q_qty_share": q_qty_share,
+    "e_latest_event": e_latest_event,
     "t_asof_last_error": t_asof_last_error,
     "t_interval_counts": t_interval_counts,
     "t_dict_role": t_dict_role,

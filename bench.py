@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     # round-3 operators (new keys; the shared prefix above stays intact
     # for cross-round comparison)
     "t_grep_indexed", "t_semi_join", "q_region_revenue", "d_pack_greedy",
+    # round-3c operators (pivot / rollup / two-input as-of join)
+    "e_pivot", "q_rollup", "q_asof_join",
 ]
 
 
