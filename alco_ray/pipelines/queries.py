@@ -1634,6 +1634,18 @@ def e_latest_event(sf_dir: str):
                                  descending=True)
 
 
+def v_centroid(sf_dir: str):
+    """Vector-column aggregation (the k-means centroid step as an
+    oracle-checked operator): per label, dimension-wise integer-
+    quantized embedding sums + member counts, bit-stable under any
+    partitioning (stages/similarity.label_vector_sums; the IVF index
+    build reuses this shape internally)."""
+    from ..stages.similarity import label_vector_sums
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    return label_vector_sums(ds)
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1679,6 +1691,7 @@ REGISTRY = {
     "q_full_join": q_full_join,
     "q_asof_join": q_asof_join,
     "e_unpivot": e_unpivot,
+    "v_centroid": v_centroid,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
@@ -1691,7 +1704,6 @@ REGISTRY = {
     "t_dead_letter": t_dead_letter,
     # events analog (unique operators only in-window)
     "e_median_value": e_median_value,
-    "e_session_stats": e_session_stats,
     # relational coverage
     "q1_pricing": q1_pricing,
     # documents / training-data ops
@@ -1744,8 +1756,13 @@ REGISTRY = {
     # t_asof_last_error's offset-trick as-of kernel is pinned in-window
     # by the two-input generalization q_asof_join plus pytest's
     # asof-offset property test; q_shuffle_join's large-to-large hash
-    # join is the first stage of in-window q_region_revenue's chain.)
+    # join is the first stage of in-window q_region_revenue's chain;
+    # e_session_stats' gap-cumsum kernel is tail-sibling e_sessionize's
+    # — pytest-pinned — and its salted per-key aggregate shape is
+    # t_conv_tool_stats's, with the key-partition segmented family
+    # pinned in-window by e_range_join/t_rolling_errors.)
     "q_shuffle_join": q_shuffle_join,
+    "e_session_stats": e_session_stats,
     # (d_shuffle_order composes two in-window-pinned operators and
     # nothing else: scan.global_rank (e_user_rank) over the
     # multiplicative id-hash (d_source_cap); q_qty_share composes

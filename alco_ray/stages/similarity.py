@@ -566,3 +566,66 @@ def knn_lsh(ds, query_vec, k: int = 10, *, col: str = "embedding",
         batch_format="pyarrow")
     return knn_brute(pruned.drop_columns(["bucket"]), q, k,
                      col=col, id_col=id_col)
+
+
+def label_vector_sums(ds, *, vec_col: str = "embedding",
+                      label_col: str = "label", scale: int = 1_000_000):
+    """VECTOR-COLUMN AGGREGATION (the k-means centroid step as a
+    first-class operator): per label, the dimension-wise sum of the
+    integer-quantized embedding plus the member count — consumers
+    derive the centroid as s/(scale*n).  Integer-exact (float sums are
+    order-dependent; quantize-then-sum is not), so the result is
+    bit-stable under ANY partitioning.
+
+    Shape: per-block (label, dim) partial sums — a batch collapses to
+    |labels-in-block| x d rows — then the bounded-key driver fold
+    (labels x dims is a SCHEMA-scale table).  Returns a Dataset of
+    (label, dim 1-based, s, n)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from .aggregate import fold_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({label_col: b[label_col],
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        arr = b[vec_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # quantize on the FLAT values with the same double-precision
+        # half-away rounding the oracle uses (np.round is half-even —
+        # wrong tie behavior)
+        q = pc.cast(pc.round(pc.multiply(pc.cast(arr.values, pa.float64()),
+                                         pa.scalar(float(scale))),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        if isinstance(arr, pa.FixedSizeListArray):
+            d = arr.type.list_size
+        else:
+            offs = np.asarray(arr.offsets)
+            d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+            if np.any(np.diff(offs) != d):
+                raise ValueError("label_vector_sums: ragged vectors")
+        mat = q.reshape(-1, d)
+        labels = b[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))
+        return pa.table({
+            label_col: pa.array(lab).cast(b.schema.field(label_col).type),
+            "dim": pa.array(dim),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return ray.data.from_arrow(fold_partials(
+        p, [label_col, "dim"], [("s", "sum"), ("n", "sum")]))

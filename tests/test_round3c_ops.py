@@ -212,3 +212,36 @@ def test_melt_roundtrips_pivot(ev):
     want = want.sort_values(["user_id", "event_type"]).reset_index(drop=True)
     assert (got_nz["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
     assert len(long) == wide.count() * len(vals)
+
+
+def test_label_vector_sums_partition_invariant():
+    """Centroid partials: exact vs numpy brute force, and bit-identical
+    across different block layouts (the integer-quantize-then-sum
+    guarantee float sums can't give)."""
+    from alco_ray.stages.similarity import label_vector_sums
+
+    rng = np.random.RandomState(3)
+    n, d = 300, 8
+    vecs = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, 4, n).astype(np.int32)
+    t = pa.table({
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d),
+        "label": pa.array(labels),
+    })
+    outs = []
+    for blocks in (1, 7):
+        got = (label_vector_sums(_ds(t, blocks))
+               .to_pandas().sort_values(["label", "dim"])
+               .reset_index(drop=True))
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    q = np.floor(np.abs(vecs.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+    q *= np.sign(vecs).astype(np.int64)
+    for lab in range(4):
+        sub = q[labels == lab]
+        want = sub.sum(axis=0)
+        rows = got[got.label == lab].sort_values("dim")
+        assert (rows["s"].to_numpy() == want).all()
+        assert (rows["n"].to_numpy() == len(sub)).all()
