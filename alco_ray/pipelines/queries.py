@@ -1646,6 +1646,37 @@ def v_centroid(sf_dir: str):
     return label_vector_sums(ds)
 
 
+def e_hop_counts(sf_dir: str):
+    """HOPPING (sliding) event-time window counts: 10-minute windows
+    every 5 minutes — each event belongs to TWO overlapping windows,
+    so the map side EXPANDS each block (k shifted copies of the bucket
+    column, concatenated zero-copy) before the partial count; the
+    all-to-all still moves only (type, window) partial rows.  The
+    tumbling special case is interval_counts."""
+    import ray.data
+
+    WIN, HOP = 10, 5  # minutes; k = WIN // HOP shifted copies
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(b["ts"], multiple=HOP, unit="minute")
+        parts = []
+        for k in range(WIN // HOP):
+            ws = pc.subtract(base, pa.scalar(k * HOP * 60_000_000,
+                                             pa.duration("us")))
+            t = pa.table({"event_type": b["event_type"],
+                          "ws": pc.cast(ws, pa.timestamp("us"))})
+            parts.append(t)
+        both = pa.concat_tables(parts)
+        g = both.group_by(["event_type", "ws"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "ws", "cnt"])
+
+    return ray.data.from_arrow(agg_stage.fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "ws"], [("cnt", "sum")]))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1769,9 +1800,13 @@ REGISTRY = {
     # fold_partials (t_parse_metrics/q_order_priority) with the
     # broadcast-lookup probe (e_dict_encode's shape, t_enriched);
     # e_latest_event is order.top_k_per_group k=1 (d_source_cap).)
+    # (e_hop_counts composes the flat window expansion — tail-sibling
+    # d_token_explode's map-side row expansion — with the bounded-key
+    # fold pinned in-window by t_parse_metrics/q_order_priority.)
     "d_shuffle_order": d_shuffle_order,
     "q_qty_share": q_qty_share,
     "e_latest_event": e_latest_event,
+    "e_hop_counts": e_hop_counts,
     "t_asof_last_error": t_asof_last_error,
     "t_interval_counts": t_interval_counts,
     "t_dict_role": t_dict_role,
