@@ -1677,6 +1677,92 @@ def e_hop_counts(sf_dir: str):
         ["event_type", "ws"], [("cnt", "sum")]))
 
 
+def e_value_corr(sf_dir: str):
+    """Distributed Pearson-correlation kernel (corr(value, time) per
+    event type): exact int64 co-moment partials per block, one driver
+    fold — the moments ARE the distributed algorithm (associative
+    merge); r itself is O(groups) driver arithmetic from them
+    (stages/aggregate.corr_from_moments, pytest-checked against numpy).
+    x = whole minutes since the corpus min ts (affine shift keeps
+    n·x² < 2⁶³), y = integer cents."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    base = int(pc.cast(pa.scalar(ds.aggregate(Min("ts"))["min(ts)"]),
+                       pa.int64()).as_py())
+
+    def prep(b: pa.Table) -> pa.Table:
+        mins = pc.divide(pc.subtract(pc.cast(b["ts"], pa.int64()),
+                                     pa.scalar(base, pa.int64())),
+                         pa.scalar(60_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_type": b["event_type"], "x": mins,
+                         "y": cents})
+
+    return agg_stage.corr_moments(
+        ds.map_batches(prep, batch_format="pyarrow"), "x", "y",
+        "event_type")
+
+
+def e_mode_hour(sf_dir: str):
+    """MODE per group (most frequent hour-of-day per event type, ties
+    to the smallest hour — deterministic, unlike SQL ``mode()``):
+    bounded (type × 24) count partials, driver fold + argmax
+    (stages/aggregate.mode_by)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "hour": pc.cast(pc.hour(b["ts"]), pa.int64())})
+
+    return agg_stage.mode_by(ds.map_batches(prep, batch_format="pyarrow"),
+                             "hour", "event_type",
+                             out_cols=("mode_hour", "mode_n"))
+
+
+def e_ntile(sf_dir: str):
+    """NTILE(4) over the global value order (quartile bucket per
+    event): composite (cents, event_id) key packed into one injective
+    int64, range-sort + prefix-count rank, tile = per-row arithmetic
+    from O(1) driver state (stages/scan.ntile) — no second shuffle.
+    Event values are cent-integral, so cents order == value order."""
+    from ray.data.aggregate import Max
+
+    from ..stages.scan import ntile
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    m = ds.aggregate(Max("event_id"))
+    scale = int(m["max(event_id)"]) + 1
+
+    def key(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        if pc.max(cents).as_py() is not None and \
+                (pc.max(cents).as_py() + 1) * scale >= (1 << 62):
+            raise ValueError("e_ntile: composite sort key overflow")
+        k = pc.add(pc.multiply(cents, pa.scalar(scale, pa.int64())),
+                   b["event_id"])
+        return pa.table({"event_id": b["event_id"], "cents": cents,
+                         "__key": k})
+
+    out = ntile(ds.map_batches(key, batch_format="pyarrow"), "__key", 4)
+    return out.drop_columns(["__key"])
+
+
+def e_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type — the exact
+    sibling of the HLL-sketch e_approx_users: per-block distinct-pair
+    collapse map-side, driver distinct-of-distincts + count
+    (stages/aggregate.distinct_count_by; the sketch is the unbounded-
+    cardinality path)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return agg_stage.distinct_count_by(ds, "user_id", "event_type",
+                                       out_col="n_users")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1723,12 +1809,16 @@ REGISTRY = {
     "q_asof_join": q_asof_join,
     "e_unpivot": e_unpivot,
     "v_centroid": v_centroid,
+    # round-3d additions (never driver-checked -> in-window)
+    "e_value_corr": e_value_corr,
+    "e_mode_hour": e_mode_hour,
+    "e_ntile": e_ntile,
+    "e_distinct_users": e_distinct_users,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
     "t_ordered_turns": t_ordered_turns,
     "t_conv_tool_stats": t_conv_tool_stats,
-    "t_residual_js": t_residual_js,
     "t_rolling_errors": t_rolling_errors,
     "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
@@ -1743,11 +1833,19 @@ REGISTRY = {
     "d_dedup_apply": d_dedup_apply,
     "d_minhash_lsh": d_minhash_lsh,
     "d_simhash": d_simhash,
-    "d_fingerprint": d_fingerprint,
     "d_pack_greedy": d_pack_greedy,
-    "d_redact": d_redact,
-    "d_len_hist": d_len_hist,
     # ---- position 51+: operators with an in-window sibling (plus
+    # round-3d swaps, making room for e_value_corr/e_mode_hour/e_ntile/
+    # e_distinct_users (all displaced are r2-green, operators pinned
+    # in-window): d_fingerprint's rolling-hash shingle chain is the
+    # d_minhash_lsh verify pipeline's first stage (pytest pins the
+    # winnowing pick itself); t_residual_js's kept-key JSON re-serialization rides
+    # t_kv_fields' extraction + t_enriched's projection (pytest covers
+    # the re-serialize itself); d_redact's vectorized regex-replace is
+    # the same pc.replace_substring_regex family t_kv_fields pins;
+    # d_len_hist's bucketed counts are e_pivot's conditional-count
+    # partials over a derived bucket key (e_median_value pins the
+    # scaled-histogram fold).
     # later-round additions whose base operator is already in-window:
     # d_stratified_sample composes d_split_assign's hash with
     # d_len_hist's strata; d_pack_concat composes d_pack_greedy with
@@ -1792,6 +1890,10 @@ REGISTRY = {
     # — pytest-pinned — and its salted per-key aggregate shape is
     # t_conv_tool_stats's, with the key-partition segmented family
     # pinned in-window by e_range_join/t_rolling_errors.)
+    "t_residual_js": t_residual_js,
+    "d_redact": d_redact,
+    "d_len_hist": d_len_hist,
+    "d_fingerprint": d_fingerprint,
     "q_shuffle_join": q_shuffle_join,
     "e_session_stats": e_session_stats,
     # (d_shuffle_order composes two in-window-pinned operators and

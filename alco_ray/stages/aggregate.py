@@ -255,6 +255,119 @@ def rollup_sums(ds, keys: list[str], sum_cols: list[str],
         [(k, "ascending") for k in keys])
 
 
+def corr_moments(ds, x_col: str, y_col: str, by: str):
+    """Distributed CORRELATION kernel: exact integer co-moments per
+    bounded group — (n, Σx, Σy, Σxy, Σx², Σy²) — the sufficient
+    statistics for Pearson r, covariance and OLS slope.  The merge of
+    per-block partials IS the distributed algorithm (moment sums are
+    associative+commutative); the final r = (nΣxy − ΣxΣy) /
+    √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is O(groups) driver arithmetic
+    (:func:`corr_from_moments`).
+
+    Inputs must already be int64 (caller integerizes: cents, minutes
+    offset — float sums are order-dependent under distribution and
+    would break bit-for-bit equality).  Exact while n·max(x²) < 2⁶³:
+    shift/scale x,y near zero (corr is affine-invariant), and at
+    10¹²-row groups chunk partials through Python-int folds or switch
+    to Welford-in-double (documented loss of bit-exactness)."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = b[x_col], b[y_col]
+        import pyarrow.compute as pc
+
+        t = pa.table({by: b[by], "sx": x, "sy": y,
+                      "sxy": pc.multiply(x, y),
+                      "sxx": pc.multiply(x, x),
+                      "syy": pc.multiply(y, y)})
+        g = t.group_by([by]).aggregate(
+            [([], "count_all"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")])
+        return g.rename_columns([by, "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return fold_partials(p, [by], [("n", "sum"), ("sx", "sum"),
+                                   ("sy", "sum"), ("sxy", "sum"),
+                                   ("sxx", "sum"), ("syy", "sum")])
+
+
+def corr_from_moments(m: pa.Table) -> list[float | None]:
+    """Pearson r per row of a :func:`corr_moments` table — exact
+    Python-int numerator/denominator, one float division at the end.
+    None where either variance is zero."""
+    import math
+
+    out = []
+    for r in m.to_pylist():
+        n, sx, sy = r["n"], r["sx"], r["sy"]
+        num = n * r["sxy"] - sx * sy
+        den2 = (n * r["sxx"] - sx * sx) * (n * r["syy"] - sy * sy)
+        out.append(num / math.sqrt(den2) if den2 > 0 else None)
+    return out
+
+
+def mode_by(ds, value_col: str, by: str,
+            out_cols: tuple[str, str] = ("mode_value", "mode_n")):
+    """MODE per bounded group: most frequent ``value_col`` value, ties
+    broken by smallest value (deterministic, unlike SQL ``mode()``'s
+    unspecified tie).  Valid while |groups × distinct values| is
+    bounded (level per sink, hour-of-day per type): per-block
+    (group, value) count partials, driver fold, argmax per group.
+    Unbounded value domains need the Ray-groupby two-stage instead."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by], "v": b[value_col]})
+        g = t.group_by([by, "v"]).aggregate([([], "count_all")])
+        return g.rename_columns([by, "v", "n"])
+
+    parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                    .to_arrow_refs())
+    hist = (concat_nonempty(parts).group_by([by, "v"])
+            .aggregate([("n", "sum")])
+            .rename_columns([by, "v", "n"])
+            .sort_by([(by, "ascending"), ("n", "descending"),
+                      ("v", "ascending")]))
+    # first row per group of the (count desc, value asc) sort = the mode
+    import pyarrow.compute as pc
+
+    keys = hist[by]
+    if hist.num_rows == 0:
+        return pa.table({by: keys, out_cols[0]: hist["v"],
+                         out_cols[1]: hist["n"]})
+    prev = keys.slice(0, hist.num_rows - 1)
+    first = pa.chunked_array([pa.array([True]),
+                              pc.invert(pc.equal(keys.slice(1), prev))])
+    picked = hist.filter(first)
+    return pa.table({by: picked[by], out_cols[0]: picked["v"],
+                     out_cols[1]: picked["n"]})
+
+
+def distinct_count_by(ds, value_col: str, by: str,
+                      out_col: str = "n_distinct"):
+    """Exact COUNT(DISTINCT value) per group.  Per-block distinct
+    (group, value) pairs map-side (collapses repeats where they are),
+    driver-side distinct-of-distincts + count.  Valid while the global
+    pair cardinality fits the driver (sinks × levels, types × bounded
+    user sets); at unbounded cardinality use the Ray ``groupby(pair)``
+    two-stage, or the HLL sketch (stages/sketch, e_approx_users) when
+    ±2 % suffices."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by], "v": b[value_col]})
+        return t.group_by([by, "v"]).aggregate([]).rename_columns([by, "v"])
+
+    parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                    .to_arrow_refs())
+    pairs = (concat_nonempty(parts).group_by([by, "v"]).aggregate([])
+             .rename_columns([by, "v"]))
+    out = (pairs.group_by([by]).aggregate([([], "count_all")])
+           .rename_columns([by, out_col])
+           .sort_by([(by, "ascending")]))
+    return out
+
+
 def melt(ds, id_cols: list[str], value_cols: list[str],
          var_col: str = "variable", val_col: str = "value"):
     """UNPIVOT / melt (wide -> long reshape, the inverse of

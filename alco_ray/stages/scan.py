@@ -103,6 +103,34 @@ def ordered_prefix_sum(ds, val_col: str, order_col: str, *,
                             batch_size=None)
 
 
+def ntile(ds, order_col: str, k: int, *, out_col: str = "tile"):
+    """NTILE(k) OVER (ORDER BY order_col) — split the global order into
+    k buckets, the first ``n mod k`` buckets one row larger (SQL
+    semantics).  Same contract as :func:`global_rank`: ``order_col``
+    unique int64 (pack composite keys injectively).
+
+    Shape: one range-partition sort + prefix-count rank, then the tile
+    is pure per-row arithmetic from (rank, n) — n is O(1) driver state
+    from the rank pass's own partials, so NO extra pass or shuffle
+    beyond the rank's."""
+    import ray
+
+    ranked = global_rank(ds, order_col, out_col="__rank").materialize()
+    n = ranked.count()  # footer metadata on the materialized blocks
+    big, rem = (n // k) + 1, n % k
+    cut = rem * big
+    small = max(n // k, 1)
+
+    def fin(b: pa.Table) -> pa.Table:
+        r = b["__rank"].to_numpy(zero_copy_only=False)
+        tile = np.where(r <= cut, (r - 1) // big + 1,
+                        rem + (r - 1 - cut) // small + 1)
+        return b.drop_columns(["__rank"]).append_column(
+            out_col, pa.array(tile.astype(np.int64)))
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
 def global_rank(ds, order_col: str, *, out_col: str = "rank"):
     """1-based GLOBAL row number over ascending ``order_col`` order —
     the distributed ranking operator (ROW_NUMBER() OVER (ORDER BY ...)

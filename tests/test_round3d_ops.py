@@ -1,0 +1,110 @@
+"""Round-3d operators: correlation moments, mode, ntile, exact
+distinct-count.
+
+Each operator is compared against an independent brute force (numpy /
+pandas) on a small randomized multi-block input — the driver's DuckDB
+oracle pins the same semantics at sf0.01; these tests pin them at
+commit time with adversarial layouts (tied mode counts, n % k != 0
+tiles, zero-variance groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _table(seed: int = 11, n: int = 500):
+    rng = np.random.RandomState(seed)
+    return pa.table({
+        "grp": pa.array(rng.choice(["a", "b", "c"], n)),
+        "x": pa.array(rng.randint(0, 1000, n).astype(np.int64)),
+        "y": pa.array(rng.randint(-200, 200, n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+
+
+@pytest.fixture(scope="module")
+def tbl():
+    return _table()
+
+
+def _ds(table, n_blocks: int = 6):
+    import ray.data
+
+    return ray.data.from_arrow(table).repartition(n_blocks)
+
+
+def test_corr_moments_match_numpy(tbl):
+    from alco_ray.stages.aggregate import corr_from_moments, corr_moments
+
+    m = corr_moments(_ds(tbl), "x", "y", "grp")
+    assert m.column_names == ["grp", "n", "sx", "sy", "sxy", "sxx", "syy"]
+    rs = corr_from_moments(m)
+    df = tbl.to_pandas()
+    for row, r in zip(m.to_pylist(), rs):
+        g = df[df["grp"] == row["grp"]]
+        assert row["n"] == len(g)
+        assert row["sx"] == g["x"].sum()
+        assert row["sxy"] == (g["x"] * g["y"]).sum()
+        want = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(r - want) < 1e-9
+
+
+def test_corr_zero_variance_group():
+    from alco_ray.stages.aggregate import corr_from_moments, corr_moments
+
+    t = pa.table({"grp": ["z"] * 4,
+                  "x": pa.array([5, 5, 5, 5], pa.int64()),
+                  "y": pa.array([1, 2, 3, 4], pa.int64())})
+    m = corr_moments(_ds(t, 2), "x", "y", "grp")
+    assert corr_from_moments(m) == [None]
+
+
+def test_mode_by_tiebreak_smallest():
+    from alco_ray.stages.aggregate import mode_by
+
+    # a: 7 twice, 3 twice (tie -> 3); b: unique mode 9
+    t = pa.table({"grp": ["a", "a", "a", "a", "a", "b", "b", "b"],
+                  "v": pa.array([7, 3, 7, 3, 1, 9, 9, 2], pa.int64())})
+    out = mode_by(_ds(t, 3), "v", "grp").to_pydict()
+    assert out["grp"] == ["a", "b"]
+    assert out["mode_value"] == [3, 9]
+    assert out["mode_n"] == [2, 2]
+
+
+def test_mode_by_matches_pandas(tbl):
+    from alco_ray.stages.aggregate import mode_by
+
+    out = mode_by(_ds(tbl), "y", "grp").to_pandas()
+    df = tbl.to_pandas()
+    for _, r in out.iterrows():
+        vc = df[df["grp"] == r["grp"]]["y"].value_counts()
+        top = vc[vc == vc.max()]
+        assert r["mode_n"] == vc.max()
+        assert r["mode_value"] == min(top.index)
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (12, 4), (3, 5), (100, 7)])
+def test_ntile_sql_semantics(n, k):
+    from alco_ray.stages.scan import ntile
+
+    t = pa.table({"key": pa.array(np.random.RandomState(n).permutation(n)
+                                  .astype(np.int64))})
+    out = (ntile(_ds(t, min(4, n)), "key", k)
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    # SQL NTILE: first n%k tiles have n//k+1 rows, rest n//k
+    sizes = [n // k + 1] * (n % k) + [n // k] * (k - n % k)
+    want = np.concatenate([[i + 1] * s for i, s in enumerate(sizes)])
+    assert (out["tile"].to_numpy() == want[: n]).all()
+
+
+def test_distinct_count_by_matches_pandas(tbl):
+    from alco_ray.stages.aggregate import distinct_count_by
+
+    out = distinct_count_by(_ds(tbl), "y", "grp").to_pandas()
+    df = tbl.to_pandas()
+    want = df.groupby("grp")["y"].nunique()
+    assert dict(zip(out["grp"], out["n_distinct"])) == want.to_dict()
