@@ -1763,6 +1763,56 @@ def e_distinct_users(sf_dir: str):
                                        out_col="n_users")
 
 
+def e_cube(sf_dir: str):
+    """GROUP BY CUBE (all 2^k grouping sets — type × weekday spend
+    cross-tab with both margins and the grand total) from ONE scan:
+    finest-granularity partials + driver fold, coarser sets re-derived
+    from the tiny finest table (stages/aggregate.cube_sums).  Weekday
+    is Monday=0 (pa day_of_week == DuckDB isodow-1)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_type": b["event_type"],
+                         "dow": pc.cast(pc.day_of_week(b["ts"]), pa.int64()),
+                         "cents": cents})
+
+    return agg_stage.cube_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                               ["event_type", "dow"], ["cents"])
+
+
+def e_value_quantiles(sf_dir: str):
+    """Multi-quantile in ONE histogram pass (p25/p50/p75 of value per
+    event type, discrete-exact in integer cents): the scan cost is the
+    bounded (group × cent-value) histogram fold; every extra quantile
+    is a driver-side cumulative pick (stages/aggregate.quantiles_disc)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return agg_stage.quantiles_disc(ds, "value", [0.25, 0.5, 0.75],
+                                    "event_type", out_prefix="p")
+
+
+def e_dense_rank(sf_dir: str):
+    """Per-key DENSE_RANK (each event's dense spend rank within its
+    user, ties share a rank): ONE key-hash-partition shuffle +
+    segmented vectorized rank per partition
+    (stages/window.grouped_dense_rank) — no global sort."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"], "cents": cents})
+
+    return window.grouped_dense_rank(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", val_col="cents", id_col="event_id",
+        out_col="drank", approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -1814,17 +1864,16 @@ REGISTRY = {
     "e_mode_hour": e_mode_hour,
     "e_ntile": e_ntile,
     "e_distinct_users": e_distinct_users,
+    "e_cube": e_cube,
+    "e_value_quantiles": e_value_quantiles,
+    "e_dense_rank": e_dense_rank,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
     "t_ordered_turns": t_ordered_turns,
     "t_conv_tool_stats": t_conv_tool_stats,
-    "t_rolling_errors": t_rolling_errors,
     "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
-    "t_dead_letter": t_dead_letter,
-    # events analog (unique operators only in-window)
-    "e_median_value": e_median_value,
     # relational coverage
     "q1_pricing": q1_pricing,
     # documents / training-data ops
@@ -1836,8 +1885,16 @@ REGISTRY = {
     "d_pack_greedy": d_pack_greedy,
     # ---- position 51+: operators with an in-window sibling (plus
     # round-3d swaps, making room for e_value_corr/e_mode_hour/e_ntile/
-    # e_distinct_users (all displaced are r2-green, operators pinned
-    # in-window): d_fingerprint's rolling-hash shingle chain is the
+    # e_distinct_users/e_cube/e_value_quantiles/e_dense_rank (all
+    # displaced are r2-green, operators pinned in-window):
+    # e_median_value's scaled-histogram quantile fold is the single-q
+    # special case of in-window e_value_quantiles (same kernel);
+    # t_dead_letter's unroutable filter is t_anti_join's is_in mask +
+    # t_parse_metrics' _dead_letter sink counts; t_rolling_errors'
+    # segmented radius-window count rides the same partitioned
+    # segment-kernel family as e_event_gaps/e_user_cumsum/e_dense_rank
+    # (the radius sum itself is pytest-pinned);
+    # d_fingerprint's rolling-hash shingle chain is the
     # d_minhash_lsh verify pipeline's first stage (pytest pins the
     # winnowing pick itself); t_residual_js's kept-key JSON re-serialization rides
     # t_kv_fields' extraction + t_enriched's projection (pytest covers
@@ -1894,6 +1951,9 @@ REGISTRY = {
     "d_redact": d_redact,
     "d_len_hist": d_len_hist,
     "d_fingerprint": d_fingerprint,
+    "e_median_value": e_median_value,
+    "t_dead_letter": t_dead_letter,
+    "t_rolling_errors": t_rolling_errors,
     "q_shuffle_join": q_shuffle_join,
     "e_session_stats": e_session_stats,
     # (d_shuffle_order composes two in-window-pinned operators and

@@ -368,6 +368,95 @@ def distinct_count_by(ds, value_col: str, by: str,
     return out
 
 
+def cube_sums(ds, keys: list[str], sum_cols: list[str],
+              count_col: str = "n_rows") -> pa.Table:
+    """GROUP BY CUBE(keys): every subset of the grouping keys (all 2^k
+    grouping sets), absent keys null — the full cross-tab report.
+
+    Same single-scan shape as :func:`rollup_sums`: finest-granularity
+    partials per block + driver fold, then each of the 2^k−1 coarser
+    grouping sets is re-aggregated from the tiny finest TABLE
+    driver-side.  At 100 TB the cube costs one pass over the data plus
+    (2^k−1)·|finest| rows of driver arithmetic — k is a report schema
+    (2–3 keys), never data-sized."""
+    from itertools import combinations
+
+    import pyarrow.compute as pc
+
+    aggs = [(c, "sum") for c in sum_cols] + [(count_col, "sum")]
+    out_names = keys + sum_cols + [count_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [([], "count_all")])
+        return g.rename_columns(out_names)
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    finest = fold_partials(p, keys, [(c, "sum") for c in sum_cols] +
+                           [(count_col, "sum")])
+    levels = [finest]
+    subsets = [list(s) for r in range(len(keys) - 1, -1, -1)
+               for s in combinations(keys, r)]
+    for kept in subsets:
+        if kept:
+            t = (finest.group_by(kept).aggregate(aggs)
+                 .rename_columns(kept + sum_cols + [count_col]))
+        else:
+            t = pa.table({c: pa.array([int(pc.sum(finest[c]).as_py() or 0)],
+                                      pa.int64())
+                          for c in sum_cols + [count_col]})
+        for k in keys:
+            if k not in kept:
+                t = t.append_column(k, pa.nulls(t.num_rows,
+                                                finest.schema.field(k).type))
+        levels.append(t.select(out_names))
+    return pa.concat_tables(levels).sort_by(
+        [(k, "ascending") for k in keys])
+
+
+def quantiles_disc(ds, value_col: str, qs: list[float], by: str,
+                   scale: int = 100,
+                   out_prefix: str = "q") -> pa.Table:
+    """Multi-quantile sibling of :func:`quantile_disc`: ALL requested
+    discrete quantiles from ONE histogram pass (the scan cost is the
+    histogram, not the pick), one column per q named
+    ``{out_prefix}{q*100:g}``.  Same bounded-domain contract."""
+    import math
+
+    import pyarrow.compute as pc
+
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b[value_col], scale),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        t = pa.table({by: b[by], "v": v})
+        g = t.group_by([by, "v"]).aggregate([([], "count_all")])
+        return g.rename_columns([by, "v", "n"])
+
+    parts = ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                    .to_arrow_refs())
+    hist = (concat_nonempty(parts).group_by([by, "v"])
+            .aggregate([("n", "sum")])
+            .rename_columns([by, "v", "n"])
+            .sort_by([(by, "ascending"), ("v", "ascending")])
+            .to_pandas())
+    names = [f"{out_prefix}{q * 100:g}" for q in qs]
+    out_k = []
+    out_q: dict[str, list[int]] = {nm: [] for nm in names}
+    for key, g in hist.groupby(by, sort=True):
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        out_k.append(key)
+        for q, nm in zip(qs, names):
+            target = max(1, math.ceil(q * n))
+            out_q[nm].append(int(g.loc[cum >= target, "v"].iloc[0]))
+    cols = {by: pa.array(out_k)}
+    cols.update({nm: pa.array(out_q[nm], pa.int64()) for nm in names})
+    return pa.table(cols)
+
+
 def melt(ds, id_cols: list[str], value_cols: list[str],
          var_col: str = "variable", val_col: str = "value"):
     """UNPIVOT / melt (wide -> long reshape, the inverse of

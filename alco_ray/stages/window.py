@@ -342,6 +342,43 @@ def grouped_cumsum(ds, *, key_col: str, ts_col: str, id_col: str,
         body, batch_format="pandas")
 
 
+def grouped_dense_rank(ds, *, key_col: str, val_col: str, id_col: str,
+                       out_col: str = "drank", descending: bool = True,
+                       n_parts: int | None = None,
+                       approx_rows: int | None = None):
+    """Per-key DENSE_RANK over ``val_col`` (int64; ties share a rank,
+    no gaps) — SQL ``dense_rank() OVER (PARTITION BY key ORDER BY val
+    DESC)``.  Same key-hash-partitioned segmented kernel as
+    :func:`grouped_cumsum`: one shuffle on the key hash, vectorized
+    rank per partition, never a global sort."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 out_col: np.array([], np.int64)})
+        vals = g[val_col].to_numpy().astype(np.int64)
+        sval = -vals if descending else vals
+        order = np.lexsort((sval, g[key_col].to_numpy()))
+        g = g.iloc[order]
+        sval = sval[order]
+        seg_start, _, _ = _segment_bounds(g[key_col].to_numpy())
+        new_seg = np.zeros(len(g), bool)
+        new_seg[seg_start] = True
+        changed = np.empty(len(g), bool)
+        changed[0] = True
+        changed[1:] = sval[1:] != sval[:-1]
+        bump = (changed & ~new_seg).astype(np.int64)
+        c = np.cumsum(bump)
+        # seg_start is PER-ROW (each row's own segment-start position)
+        rank = c - c[seg_start] + 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             out_col: rank})
+
+    return _partitioned(ds, key_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
+        body, batch_format="pandas")
+
+
 def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
               left_id_col: str, right_val_col: str,
               out_col: str = "asof_val", n_parts: int | None = None,

@@ -101,6 +101,51 @@ def test_ntile_sql_semantics(n, k):
     assert (out["tile"].to_numpy() == want[: n]).all()
 
 
+def test_cube_sums_matches_duckdb(tbl):
+    import duckdb
+
+    from alco_ray.stages.aggregate import cube_sums
+
+    got = (cube_sums(_ds(tbl), ["grp", "x"], ["y"])
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    want = con.execute(
+        "SELECT grp, x, CAST(sum(y) AS BIGINT) AS y, "
+        "CAST(count(*) AS BIGINT) AS n_rows "
+        "FROM t GROUP BY CUBE (grp, x)").df()
+    key = ["grp", "x", "y", "n_rows"]
+    g = got[key].sort_values(key).reset_index(drop=True)
+    w = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_quantiles_disc_matches_single_q(tbl):
+    from alco_ray.stages.aggregate import quantile_disc, quantiles_disc
+
+    t = tbl.append_column(
+        "fv", pa.array(tbl["y"].to_numpy(zero_copy_only=False) / 100.0))
+    multi = quantiles_disc(_ds(t), "fv", [0.25, 0.5, 0.75], "grp",
+                           out_prefix="p")
+    for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+        single = quantile_disc(_ds(t), "fv", q, "grp")
+        assert multi[col].to_pylist() == single["q_value"].to_pylist()
+
+
+def test_grouped_dense_rank_matches_pandas(tbl):
+    from alco_ray.stages.window import grouped_dense_rank
+
+    got = (grouped_dense_rank(_ds(tbl), key_col="grp", val_col="y",
+                              id_col="id", n_parts=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = tbl.to_pandas()
+    want = (df.groupby("grp")["y"].rank(method="dense", ascending=False)
+            .astype(np.int64))
+    df = df.assign(drank=want).sort_values("id").reset_index(drop=True)
+    assert len(got) == len(df)
+    assert (got["drank"].to_numpy() == df["drank"].to_numpy()).all()
+
+
 def test_distinct_count_by_matches_pandas(tbl):
     from alco_ray.stages.aggregate import distinct_count_by
 
