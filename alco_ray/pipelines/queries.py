@@ -729,9 +729,16 @@ def q_region_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey",
                         "l_extendedprice", "l_discount"])
-    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    joined = li.join(orders, "inner", num_partitions=n_parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    # no orders payload survives -> the inner join is a SEMI join, and
+    # the date-filtered key side is selective: the adaptive runtime
+    # filter probes a broadcast key set with ZERO shuffle of lineitem
+    # (falls back to the hash-shuffle semi join past the broadcast
+    # budget — the correct shape when the key side itself is 100 TB).
+    from ..stages.join import runtime_filter_semi_join
+
+    joined = runtime_filter_semi_join(
+        li, orders, "l_orderkey", right_on="o_orderkey",
+        approx_rows=_nrows(_tp(sf_dir, "lineitem")))
 
     def partial(b: pa.Table) -> pa.Table:
         k0, nm0 = ray.get(ref)

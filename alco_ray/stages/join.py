@@ -89,3 +89,52 @@ def anti_join(ds, keys_ds, on: list[str] | str, *,
                    num_partitions=num_partitions or
                    _num_partitions(n_left, keys.count()),
                    on=tuple(on), right_on=tuple(right_on))
+
+
+def runtime_filter_semi_join(ds, keys_ds, on: str, *,
+                             right_on: str | None = None,
+                             broadcast_limit: int = 2_000_000,
+                             num_partitions: int | None = None,
+                             approx_rows: int | None = None):
+    """Size-ADAPTIVE semi join (runtime-filter pushdown): when the
+    distinct key side fits ``broadcast_limit`` rows, the probe is a
+    broadcast ``pc.is_in`` mask inside ``map_batches`` — the fact side
+    is FILTERED IN PLACE with zero shuffle (the classic bloom/IN-list
+    runtime filter every warehouse pushes below its joins; exact here,
+    because a semi join carries no right payload).  Above the limit it
+    falls back to :func:`semi_join`'s hash-shuffle plan, which is the
+    only correct shape for a 10 B-row key side.
+
+    Single-key only: the broadcast probe hinges on one Arrow
+    ``value_set``; multi-key callers use :func:`semi_join` directly.
+    The decision reads just the materialized key side's metadata count
+    before paying for the driver-side distinct."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    right_on = right_on or on
+    keys = _prepared(keys_ds, [right_on])
+    n_keys = keys.count()
+    n_left = approx_rows if approx_rows is not None else ds.count()
+    if n_keys == 0 or n_left == 0:
+        return ds.limit(0)
+    if n_keys > broadcast_limit:
+        return semi_join(ds, keys, on, right_on=right_on,
+                         num_partitions=num_partitions,
+                         approx_rows=n_left)
+    from .aggregate import concat_nonempty
+
+    def distinct(b: pa.Table) -> pa.Table:
+        return pa.table({right_on: pc.unique(b[right_on]).drop_null()})
+
+    parts = ray.get(keys.map_batches(distinct, batch_format="pyarrow")
+                    .to_arrow_refs())
+    vs = pc.unique(concat_nonempty(parts)[right_on].combine_chunks())
+    ref = ray.put(vs)
+
+    def probe(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[on], value_set=ray.get(ref)))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "t_grep_indexed", "t_semi_join", "q_region_revenue", "d_pack_greedy",
     # round-3c operators (pivot / rollup / two-input as-of join)
     "e_pivot", "q_rollup", "q_asof_join",
+    # round-3d operators (correlation moments / CUBE / dense rank)
+    "e_value_corr", "e_cube", "e_dense_rank",
 ]
 
 

@@ -146,6 +146,32 @@ def test_grouped_dense_rank_matches_pandas(tbl):
     assert (got["drank"].to_numpy() == df["drank"].to_numpy()).all()
 
 
+@pytest.mark.parametrize("limit", [2_000_000, 0])
+def test_runtime_filter_semi_join_both_paths(tbl, limit):
+    # limit=0 forces the hash-shuffle fallback; both paths must agree
+    from alco_ray.stages.join import runtime_filter_semi_join
+
+    left = tbl
+    keys = pa.table({"k": pa.array([1, 3, 5, 7, 9] * 3, pa.int64())})
+    got = (runtime_filter_semi_join(_ds(left), _ds(keys, 2), "x",
+                                    right_on="k", broadcast_limit=limit)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = left.to_pandas()
+    want = (df[df["x"].isin([1, 3, 5, 7, 9])]
+            .sort_values("id").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+
+
+def test_runtime_filter_semi_join_empty_keys(tbl):
+    from alco_ray.stages.join import runtime_filter_semi_join
+
+    keys = pa.table({"k": pa.array([], pa.int64())})
+    got = runtime_filter_semi_join(_ds(tbl), _ds(keys, 1), "x",
+                                   right_on="k")
+    assert got.count() == 0
+
+
 def test_distinct_count_by_matches_pandas(tbl):
     from alco_ray.stages.aggregate import distinct_count_by
 
