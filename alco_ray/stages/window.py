@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def default_hash_parts() -> int:
@@ -91,10 +92,136 @@ def _partitioned(ds, key_col: str, n_parts: int | None = None,
     return partition_by_key(ds, key_col, n_parts, approx_rows=approx_rows)
 
 
+def _contested_intervals(lo: list, hi: list) -> tuple[list, list]:
+    """Merged closed intervals of the key domain covered by >= 2 block
+    ranges.  Sweep over ranges sorted by lo: a point in two ranges a,b
+    (lo_a <= lo_b <= p) is caught at b as [lo_b, min(max_hi_so_far,
+    hi_b)]; union + merge of those per-range overlaps is exactly the
+    >=2-coverage region."""
+    order = sorted(range(len(lo)), key=lambda i: (lo[i], hi[i]))
+    out_lo: list = []
+    out_hi: list = []
+    max_hi = None
+    for i in order:
+        if max_hi is not None and lo[i] <= max_hi:
+            s, e = lo[i], min(max_hi, hi[i])
+            if out_lo and s <= out_hi[-1]:
+                out_hi[-1] = max(out_hi[-1], e)
+            else:
+                out_lo.append(s)
+                out_hi.append(e)
+        max_hi = hi[i] if max_hi is None else max(max_hi, hi[i])
+    return out_lo, out_hi
+
+
+def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
+                    boundary_limit: int = 4_000_000):
+    """Run a multi-group pandas kernel per key group with shuffle
+    ELISION where the block layout allows it.
+
+    Per-key kernels only need each key's rows together — a global
+    hash shuffle is overkill when the corpus is written in key order
+    (our transcript shards are conv-contiguous; Ray read tasks keep
+    file order).  Plan, driven by O(blocks) driver state (per-block
+    min/max key partials over the materialized input):
+
+    1. blocks cover pairwise-disjoint key ranges -> pure block-local
+       apply, zero shuffle;
+    2. ranges overlap only near block edges (the written-in-key-order
+       case) -> STITCH: rows whose key falls in a CONTESTED interval
+       (covered by >= 2 block ranges — the only keys that can span
+       blocks) are pulled to one driver-side apply, everything else
+       runs block-local; the contested remainder is O(blocks x group
+       size) by construction;
+    3. contested rows exceed ``boundary_limit`` (interleaved layout,
+       e.g. the events table) -> classic key-hash partition shuffle +
+       per-partition apply.
+
+    ``body`` must handle frames holding MANY whole groups (all kernels
+    here lexsort + segment) and be pure per group — it runs once per
+    block in plan 1/2 and once per partition in plan 3."""
+    import ray
+    import ray.data
+
+    from .aggregate import concat_nonempty
+
+    mat = ds.materialize()
+
+    def mm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bmin": pa.array([], pa.string()),
+                             "bmax": pa.array([], pa.string())})
+        m = pc.min_max(b[key_col])
+        typ = b.schema.field(key_col).type
+        return pa.table({"bmin": pa.array([m["min"].as_py()], typ),
+                         "bmax": pa.array([m["max"].as_py()], typ)})
+
+    parts = concat_nonempty(ray.get(
+        mat.map_batches(mm, batch_format="pyarrow", batch_size=None)
+           .to_arrow_refs()))
+    if parts.num_rows == 0 or parts.num_columns == 0:
+        return mat.map_batches(body, batch_format="pandas",
+                               batch_size=None)
+    c_lo, c_hi = _contested_intervals(parts["bmin"].to_pylist(),
+                                      parts["bmax"].to_pylist())
+    if not c_lo:  # plan 1: fully disjoint ranges
+        return mat.map_batches(body, batch_format="pandas",
+                               batch_size=None)
+
+    los = np.array(c_lo, dtype=object)
+    his = np.array(c_hi, dtype=object)
+
+    def contested_mask(keys: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(los, keys, side="right") - 1
+        in_iv = pos >= 0
+        safe_pos = np.where(in_iv, pos, 0)
+        return in_iv & (keys <= his[safe_pos])
+
+    def count_contested(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col].to_numpy(zero_copy_only=False),
+                       dtype=object)
+        return pa.table({"n": pa.array([int(contested_mask(k).sum())],
+                                       pa.int64())})
+
+    n_contested = int(pc.sum(concat_nonempty(ray.get(
+        mat.map_batches(count_contested, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs()))["n"]).as_py()
+        or 0)
+    if n_contested > boundary_limit:  # plan 3: interleaved layout
+        return _partitioned(mat, key_col, n_parts,
+                            approx_rows=approx_rows).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+    # plan 2: block-local safe rows + one driver-side contested apply
+    def safe_body(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.asarray(g[key_col].to_numpy(), dtype=object)
+        return body(g.iloc[~contested_mask(k)])
+
+    safe_out = mat.map_batches(safe_body, batch_format="pandas",
+                               batch_size=None)
+
+    def pick_contested(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col].to_numpy(zero_copy_only=False),
+                       dtype=object)
+        return b.filter(pa.array(contested_mask(k)))
+
+    boundary = concat_nonempty(ray.get(
+        mat.map_batches(pick_contested, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs()))
+    if boundary.num_rows == 0 or boundary.num_columns == 0:
+        return safe_out
+    b_out = body(boundary.to_pandas())
+    return safe_out.union(ray.data.from_pandas(
+        b_out.reset_index(drop=True)))
+
+
 def _segment_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row (segment_start, segment_end) positions for a sorted key
     column: one vectorized change-point pass."""
     n = len(keys)
+    if n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
     change = np.empty(n, dtype=bool)
     change[0] = True
     change[1:] = keys[1:] != keys[:-1]
@@ -133,9 +260,7 @@ def rolling_count(ds, *, flag_col: str, flag_value, radius: int = 2,
         out[out_col] = _windowed_flag_sum(flag, seg_start, seg_end, radius)
         return out
 
-    return _partitioned(ds, conv_col, n_parts,
-                        approx_rows=approx_rows).groupby("part").map_groups(
-        body, batch_format="pandas")
+    return _grouped_kernel(ds, conv_col, body, n_parts, approx_rows)
 
 
 def asof_prior(ds, *, flag_col: str, flag_value,
@@ -163,9 +288,7 @@ def asof_prior(ds, *, flag_col: str, flag_value,
         out[out_col] = run - seg_id * OFF
         return out
 
-    return _partitioned(ds, conv_col, n_parts,
-                        approx_rows=approx_rows).groupby("part").map_groups(
-        body, batch_format="pandas")
+    return _grouped_kernel(ds, conv_col, body, n_parts, approx_rows)
 
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
@@ -220,9 +343,7 @@ def context_window(ds, *, match_col: str, match_value, radius: int = 1,
         w = _windowed_flag_sum(flag, seg_start, seg_end, radius)
         return g.loc[w > 0, cols]
 
-    return _partitioned(ds, conv_col, n_parts,
-                        approx_rows=approx_rows).groupby("part").map_groups(
-        body, batch_format="pandas")
+    return _grouped_kernel(ds, conv_col, body, n_parts, approx_rows)
 
 
 def nearby_count(ds, *, key_col: str, ts_col: str, id_col: str,

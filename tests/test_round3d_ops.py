@@ -172,6 +172,48 @@ def test_runtime_filter_semi_join_empty_keys(tbl):
     assert got.count() == 0
 
 
+def test_contested_intervals_sweep():
+    from alco_ray.stages.window import _contested_intervals
+
+    # disjoint -> none
+    assert _contested_intervals(["a", "m"], ["f", "z"]) == ([], [])
+    # shared edge -> single-point interval
+    assert _contested_intervals(["a", "f"], ["f", "z"]) == (["f"], ["f"])
+    # nested + chained overlaps merge
+    lo, hi = _contested_intervals([1, 2, 4, 10], [5, 6, 7, 12])
+    assert (lo, hi) == ([2], [6])
+
+
+def test_grouped_kernel_stitches_spanning_groups():
+    # groups deliberately split across blocks: block boundaries land
+    # mid-group, so the contested driver pass must reassemble them
+    import ray.data
+
+    from alco_ray.stages.window import rolling_count
+
+    n = 300
+    conv = np.repeat([f"c{i:03d}" for i in range(30)], 10)
+    t = pa.table({
+        "conv_id": pa.array(conv),
+        "turn_idx": pa.array(np.tile(np.arange(10, dtype=np.int64), 30)),
+        "level": pa.array(np.where(np.arange(n) % 7 == 0, "ERROR", "INFO")),
+    })
+    # 7 blocks of 43ish rows -> every block boundary splits a conv
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = (rolling_count(ds, flag_col="level", flag_value="ERROR",
+                         radius=2)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    df = t.to_pandas()
+    flag = (df["level"] == "ERROR").astype(int)
+    want = (flag.groupby(df["conv_id"]).transform(
+        lambda s: s.rolling(5, center=True, min_periods=1).sum())
+        .astype(np.int64))
+    assert len(got) == n
+    assert (got["w_count"].to_numpy() ==
+            want.to_numpy()).all()
+
+
 def test_distinct_count_by_matches_pandas(tbl):
     from alco_ray.stages.aggregate import distinct_count_by
 
