@@ -337,10 +337,13 @@ def run_flagship(input_dir: str | Path, out_root: str | Path,
         # deadlock against its own next wave's actor startup while old
         # actors wind down.  (A 1/4 reserve measured strictly worse:
         # parquet reads are cheap relative to parse.)
-        # ...and don't start more actors than the wave can feed (~100k
+        # ...and don't start more actors than the wave can feed (~50k
         # rows each): pool startup is the dominant cost of a small run.
+        # (Measured at sf0.1/657k rows on 32 CPUs: 6 actors 7.9 s, 12
+        # actors 7.3 s, 20 actors 7.3 s — feed-starved pools leave the
+        # pipeline read-bound, oversized ones just pay startup.)
         n_act = encoder_concurrency or max(
-            1, min(cpus - max(1, cpus // 8), max(1, n_rows // 100_000)))
+            1, min(cpus - max(1, cpus // 8), max(1, n_rows // 50_000)))
         if isinstance(n_act, tuple):
             pool = n_act
         else:

@@ -1949,11 +1949,15 @@ REGISTRY = {
     # t_asof_last_error's offset-trick as-of kernel is pinned in-window
     # by the two-input generalization q_asof_join plus pytest's
     # asof-offset property test; q_shuffle_join's large-to-large hash
-    # join is the first stage of in-window q_region_revenue's chain;
+    # join machinery (Dataset.join + the deadlock-safe partition cap)
+    # is pinned in-window by t_semi_join/q_left_join/q_full_join
+    # (round-3d: q_region_revenue now takes the runtime-filter
+    # broadcast path, so it no longer pins the shuffle join);
     # e_session_stats' gap-cumsum kernel is tail-sibling e_sessionize's
     # — pytest-pinned — and its salted per-key aggregate shape is
     # t_conv_tool_stats's, with the key-partition segmented family
-    # pinned in-window by e_range_join/t_rolling_errors.)
+    # pinned in-window by e_range_join + the stitched/partitioned
+    # window kernels (e_event_gaps, e_user_cumsum, e_dense_rank).)
     "t_residual_js": t_residual_js,
     "d_redact": d_redact,
     "d_len_hist": d_len_hist,
