@@ -31,7 +31,7 @@ from .. import fixtures
 from ..sources import read_transcripts
 from ..specs import default_transcript_config
 from ..stages import aggregate as agg_stage
-from ..stages import dedup, multimodal, order, similarity, text, window
+from ..stages import dedup, graph, multimodal, order, similarity, text, window
 from ..stages.dict_encode import DictEncoder, build_dict_table
 from ..stages.parse import make_parse_batch
 from ..stages.route import make_route_batch
@@ -1078,6 +1078,43 @@ def d_fingerprint(sf_dir: str):
     return text.fingerprint_dups(ds.union(planted))
 
 
+def d_components(sf_dir: str):
+    """Near-dup clustering at UNBOUNDED edge scale: SimHash pair graph
+    -> distributed connected components (hash-partitioned min-label
+    propagation with pointer jumping, stages/graph.py) — the scale
+    sibling of d_dedup_apply's checked driver-side fold.  The corpus
+    is unioned with two rekeyed copies of its first 60 docs (same
+    UNION ALL in the oracle) so multi-node components exist at every
+    scale; the exact pair set is persisted as a sidecar the oracle's
+    recursive-CTE closure consumes."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rekey(off):
+        def body(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.less(b["doc_id"], 60))
+            return b.set_column(
+                b.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(b["doc_id"], pa.scalar(off, pa.int64())))
+        return body
+
+    u = ds.union(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(rekey(1_000_000), batch_format="pyarrow"),
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(rekey(2_000_000), batch_format="pyarrow"))
+    pairs = dedup.simhash_near_pairs(u, max_hamming=7)
+    pt = agg_stage.concat_nonempty(
+        ray.get(pairs.to_arrow_refs())).select(["doc_a", "doc_b"])
+    _write_sidecar(
+        pt.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]),
+        sf_dir, "cc_pairs.parquet")
+    comps = graph.connected_components(ray.data.from_arrow(pt))
+    return comps.map_batches(
+        lambda b: pa.table({"doc_id": b["node"],
+                            "component": b["component"]}),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def d_lang_id(sf_dir: str):
     """Language-ID eval over the deterministic labeled multilingual
     fixture (accuracy 100% by construction, validated at generation) —
@@ -1870,10 +1907,11 @@ REGISTRY = {
     "e_value_corr": e_value_corr,
     "e_mode_hour": e_mode_hour,
     "e_ntile": e_ntile,
-    "e_distinct_users": e_distinct_users,
     "e_cube": e_cube,
     "e_value_quantiles": e_value_quantiles,
     "e_dense_rank": e_dense_rank,
+    # round-3e additions (never driver-checked -> in-window)
+    "d_components": d_components,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
@@ -1958,6 +1996,10 @@ REGISTRY = {
     # t_conv_tool_stats's, with the key-partition segmented family
     # pinned in-window by e_range_join + the stitched/partitioned
     # window kernels (e_event_gaps, e_user_cumsum, e_dense_rank).)
+    # (round-3e swap: e_distinct_users' per-group COUNT DISTINCT fold
+    # is pinned in-window by t_conv_tool_stats — same
+    # per_group_distinct machinery — making room for d_components.)
+    "e_distinct_users": e_distinct_users,
     "t_residual_js": t_residual_js,
     "d_redact": d_redact,
     "d_len_hist": d_len_hist,
