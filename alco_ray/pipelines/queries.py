@@ -758,6 +758,73 @@ def q_region_revenue(sf_dir: str):
         p, ["r_name"], [("n_items", "sum"), ("revenue_cents", "sum")])
 
 
+def q_ship_priority(sf_dir: str):
+    """Q3-like shipping-priority chain (customer x orders x lineitem,
+    both date-filtered AT THE READ): segment customers reduce orders
+    via the adaptive runtime-filter semi join, the two fact sides meet
+    in a hash-shuffle inner join (o_orderdate payload must survive, so
+    a semi join can't apply), per-order revenue folds in a key-hash
+    partitioned pandas stage (unbounded key cardinality — NOT a
+    driver fold), and only the distributed top-10 reaches the driver."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    cutoff = datetime.datetime(1997, 1, 1)
+    cust = pq.read_table(_tp(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_keys = pa.table({"c_custkey": pc.cast(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+        ["c_custkey"], pa.int64()).combine_chunks()})
+
+    from ..stages.join import runtime_filter_semi_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=pads.field("o_orderdate") < cutoff)
+    orders = runtime_filter_semi_join(
+        orders, ray.data.from_arrow(seg_keys), "o_custkey",
+        right_on="c_custkey",
+        approx_rows=_nrows(_tp(sf_dir, "orders")))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=pads.field("l_shipdate") > cutoff)
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(orders.drop_columns(["o_custkey"]), "inner",
+                     num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = (pa.table({"l_orderkey": b["l_orderkey"],
+                       "o_orderdate": b["o_orderdate"], "c": cents})
+             .group_by(["l_orderkey", "o_orderdate"])
+             .aggregate([("c", "sum")]))
+        return g.rename_columns(["l_orderkey", "o_orderdate", "c"])
+
+    import pandas as pd
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("l_orderkey", as_index=False).agg(
+            o_orderdate=("o_orderdate", "max"),
+            revenue_cents=("c", "sum"))
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    p = joined.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    per_order = (window.partition_by_key(
+        p, "l_orderkey", approx_rows=_nrows(_tp(sf_dir, "lineitem")))
+        .groupby("part").map_groups(fold, batch_format="pandas"))
+    return order.top_k(per_order,
+                       ["revenue_cents", "o_orderdate", "l_orderkey"], 10,
+                       descending=[True, False, False])
+
+
 def _error_conv_keys(sf_dir: str):
     """Derived (unbounded) key set: conv_ids with >= 1 ERROR turn."""
     def err_keys(b: pa.Table) -> pa.Table:
@@ -1896,7 +1963,6 @@ REGISTRY = {
     "d_source_cap": d_source_cap,
     # round-3c additions (never driver-checked -> in-window)
     "e_pivot": e_pivot,
-    "q_rollup": q_rollup,
     "e_event_gaps": e_event_gaps,
     "e_user_cumsum": e_user_cumsum,
     "q_full_join": q_full_join,
@@ -1912,6 +1978,7 @@ REGISTRY = {
     "e_dense_rank": e_dense_rank,
     # round-3e additions (never driver-checked -> in-window)
     "d_components": d_components,
+    "q_ship_priority": q_ship_priority,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
@@ -1996,10 +2063,15 @@ REGISTRY = {
     # t_conv_tool_stats's, with the key-partition segmented family
     # pinned in-window by e_range_join + the stitched/partitioned
     # window kernels (e_event_gaps, e_user_cumsum, e_dense_rank).)
-    # (round-3e swap: e_distinct_users' per-group COUNT DISTINCT fold
+    # (round-3e swaps: e_distinct_users' per-group COUNT DISTINCT fold
     # is pinned in-window by t_conv_tool_stats — same
-    # per_group_distinct machinery — making room for d_components.)
+    # per_group_distinct machinery — making room for d_components;
+    # q_rollup's prefix grouping sets are a strict subset of in-window
+    # e_cube's (identical single-scan partial + driver-refold code in
+    # aggregate.rollup_sums/cube_sums) — making room for
+    # q_ship_priority.)
     "e_distinct_users": e_distinct_users,
+    "q_rollup": q_rollup,
     "t_residual_js": t_residual_js,
     "d_redact": d_redact,
     "d_len_hist": d_len_hist,
