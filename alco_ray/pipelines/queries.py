@@ -930,6 +930,35 @@ def d_tf_df(sf_dir: str):
     return text.tf_df(ds)
 
 
+def d_ngram_top(sf_dir: str):
+    """Top-20 corpus bigrams by frequency (collocation / LM
+    co-occurrence primitive): per-batch vectorized adjacent-token
+    partial counts -> gram-hash partition fold (unbounded gram domain)
+    -> distributed top-k merge (count desc, gram asc tie-break); only
+    blocks x k survivor rows reach the driver
+    (stages/text.ngram_counts + stages/order.top_k)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = text.ngram_counts(
+        ds, n=2, approx_docs=_nrows(_tp(sf_dir, "documents")))
+    return order.top_k(counts, ["cnt", "gram"], 20,
+                       descending=[True, False])
+
+
+def d_heavy_tokens(sf_dir: str):
+    """EXACT frequent tokens via a two-pass Misra-Gries sketch
+    (stages/sketch.heavy_hitters): every token whose corpus count
+    exceeds total_tokens // 65, with its exact count.  Pass 1's
+    shuffle payload is <= 64 counters per block regardless of batch
+    size (the mergeable-summary bound); pass 2 broadcasts the <= 64
+    candidates and re-counts only them — exact output, sketch-bounded
+    memory, nothing unbounded reaches the driver."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(text.token_explode, batch_format="pyarrow")
+    return ray.data.from_arrow(heavy_hitters(toks, "token", k=64))
+
+
 def d_split_assign(sf_dir: str):
     """Deterministic train/val/test split assignment (the eval-split
     primitive every training pipeline needs): multiplicative-hash the
@@ -1979,6 +2008,9 @@ REGISTRY = {
     # round-3e additions (never driver-checked -> in-window)
     "d_components": d_components,
     "q_ship_priority": q_ship_priority,
+    # round-3f additions (never driver-checked -> in-window)
+    "d_ngram_top": d_ngram_top,
+    "d_heavy_tokens": d_heavy_tokens,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
@@ -1989,11 +2021,9 @@ REGISTRY = {
     # relational coverage
     "q1_pricing": q1_pricing,
     # documents / training-data ops
-    "d_tf_df": d_tf_df,
     "d_quality_filter": d_quality_filter,
     "d_dedup_apply": d_dedup_apply,
     "d_minhash_lsh": d_minhash_lsh,
-    "d_simhash": d_simhash,
     "d_pack_greedy": d_pack_greedy,
     # ---- position 51+: operators with an in-window sibling (plus
     # round-3d swaps, making room for e_value_corr/e_mode_hour/e_ntile/
@@ -2070,6 +2100,17 @@ REGISTRY = {
     # e_cube's (identical single-scan partial + driver-refold code in
     # aggregate.rollup_sums/cube_sums) — making room for
     # q_ship_priority.)
+    # (round-3f swaps: d_tf_df's per-batch token-count partials +
+    # token-hash partition fold are pinned in-window by d_ngram_top —
+    # the identical partial->gram-hash-fold machinery over the strictly
+    # larger adjacent-pair domain; tf/df values themselves stay
+    # pytest-pinned and r2-green.  d_simhash's banded near-dup bucketing
+    # + sidecar-oracle chain is pinned in-window by d_minhash_lsh (the
+    # same band->bucket-groupby->exact-verify machinery over a different
+    # hash family); the pigeonhole recall bound itself is pytest-pinned
+    # (test_training_ops) and d_simhash was r2-green.)
+    "d_tf_df": d_tf_df,
+    "d_simhash": d_simhash,
     "e_distinct_users": e_distinct_users,
     "q_rollup": q_rollup,
     "t_residual_js": t_residual_js,

