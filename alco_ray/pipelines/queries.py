@@ -825,6 +825,38 @@ def q_ship_priority(sf_dir: str):
                        descending=[True, False, False])
 
 
+def t_role_transitions(sf_dir: str):
+    """First-order Markov transition matrix of consecutive ROLES
+    within each conversation (turn_idx order) — the conversational-
+    flow analytic (who-speaks-after-whom) over the transcript corpus.
+    Rides the boundary-stitched grouped kernel
+    (stages/window.transition_counts): zero shuffle on conv-contiguous
+    shards, pre-aggregated (from, to, cnt) partials, bounded-domain
+    driver fold."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "role"])
+    t = window.transition_counts(
+        ds, key_col="conv_id", order_col="turn_idx", val_col="role",
+        from_col="from_role", to_col="to_role", out_col="n",
+        approx_rows=_nrows(_corpus(sf_dir)))
+    return ray.data.from_arrow(t)
+
+
+def e_first_last(sf_dir: str):
+    """Per-user FIRST and LAST event type in (ts, event_id) order plus
+    event count — the distributed arg_min/arg_max (funnel entry/exit
+    feature).  Map-side reduce to one row per (batch, user), then a
+    user-hash partition fold (stages/window.first_last_by); the event
+    stream itself never shuffles."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return window.first_last_by(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        val_col="event_type", first_col="first_type",
+        last_col="last_type", n_col="n_events",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 def _error_conv_keys(sf_dir: str):
     """Derived (unbounded) key set: conv_ids with >= 1 ERROR turn."""
     def err_keys(b: pa.Table) -> pa.Table:
@@ -2011,6 +2043,8 @@ REGISTRY = {
     # round-3f additions (never driver-checked -> in-window)
     "d_ngram_top": d_ngram_top,
     "d_heavy_tokens": d_heavy_tokens,
+    "t_role_transitions": t_role_transitions,
+    "e_first_last": e_first_last,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
@@ -2018,11 +2052,8 @@ REGISTRY = {
     "t_conv_tool_stats": t_conv_tool_stats,
     "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
-    # relational coverage
-    "q1_pricing": q1_pricing,
     # documents / training-data ops
     "d_quality_filter": d_quality_filter,
-    "d_dedup_apply": d_dedup_apply,
     "d_minhash_lsh": d_minhash_lsh,
     "d_pack_greedy": d_pack_greedy,
     # ---- position 51+: operators with an in-window sibling (plus
@@ -2108,9 +2139,18 @@ REGISTRY = {
     # + sidecar-oracle chain is pinned in-window by d_minhash_lsh (the
     # same band->bucket-groupby->exact-verify machinery over a different
     # hash family); the pigeonhole recall bound itself is pytest-pinned
-    # (test_training_ops) and d_simhash was r2-green.)
+    # (test_training_ops) and d_simhash was r2-green.  q1_pricing's
+    # bounded-key integer-cents fold is pinned in-window by
+    # q_order_priority (the same fold_partials shape over orders) and
+    # e_cube (the same grouped money-sum partials, superset grouping
+    # sets).  d_dedup_apply's chain decomposes into in-window pins:
+    # pair gen = d_minhash_lsh's verify chain, components =
+    # d_components (the same graph machinery, unbounded variant),
+    # broadcast drop-list anti-join = t_anti_join's is_in shape.)
     "d_tf_df": d_tf_df,
     "d_simhash": d_simhash,
+    "q1_pricing": q1_pricing,
+    "d_dedup_apply": d_dedup_apply,
     "e_distinct_users": e_distinct_users,
     "q_rollup": q_rollup,
     "t_residual_js": t_residual_js,

@@ -577,3 +577,117 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
     return _partitioned(both, key_col, n_parts,
                         approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
+
+
+def transition_counts(ds, *, key_col: str, order_col: str, val_col: str,
+                      from_col: str = "from_val", to_col: str = "to_val",
+                      out_col: str = "n", n_parts: int | None = None,
+                      approx_rows: int | None = None) -> pa.Table:
+    """First-order Markov TRANSITION counts: for every pair of
+    CONSECUTIVE rows of the same key in ``order_col`` order, count
+    (previous value -> value) — the conversational-flow / user-journey
+    matrix (SQL ``lag(val) OVER (PARTITION BY key ORDER BY ord)`` then
+    ``GROUP BY from, to``).
+
+    The pairing runs in the boundary-stitched grouped kernel
+    (:func:`_grouped_kernel`: zero shuffle on key-contiguous shards,
+    key-hash partition shuffle otherwise); each kernel call emits
+    PRE-AGGREGATED (from, to, cnt) partials, so the driver fold is
+    num_kernel_calls x |value domain|^2 rows — correct ONLY for
+    bounded value domains (roles, levels, event types; for unbounded
+    values the partials would feed ``partition_by_key`` instead)."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({from_col: np.array([], object),
+                                 to_col: np.array([], object),
+                                 "cnt": np.array([], np.int64)})
+        order = np.lexsort((g[order_col].to_numpy(), g[key_col].to_numpy()))
+        vals = g[val_col].to_numpy()[order]
+        keys = g[key_col].to_numpy()[order]
+        seg_start, _, _ = _segment_bounds(keys)
+        n = len(vals)
+        not_first = np.arange(n) != seg_start
+        d = pd.DataFrame({from_col: vals[np.arange(n) - 1][not_first],
+                          to_col: vals[not_first]})
+        out = d.groupby([from_col, to_col], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    from .aggregate import fold_partials
+
+    kern = _grouped_kernel(ds, key_col, body, n_parts, approx_rows)
+    t = fold_partials(kern, [from_col, to_col], [("cnt", "sum")])
+    return t.rename_columns([from_col, to_col, out_col])
+
+
+def first_last_by(ds, *, key_col: str, ts_col: str, id_col: str,
+                  val_col: str, first_col: str = "first_val",
+                  last_col: str = "last_val", n_col: str = "n",
+                  n_parts: int | None = None,
+                  approx_rows: int | None = None):
+    """Per-key FIRST and LAST value in (ts, id) order plus row count —
+    the distributed arg_min/arg_max (SQL ``min_by(val, (ts, id))`` /
+    ``max_by``), the entry/exit-event feature of funnel analytics.
+
+    Shape: a map-side reduce collapses each batch to at most ONE row
+    per key seen (its batch-local argmin/argmax/count — 8 fixed-width
+    columns), then a key-hash partition fold re-reduces; shuffle
+    volume is per-batch distinct keys, never the event stream.  Both
+    reduce levels are the same vectorized sort + drop_duplicates —
+    no per-key Python."""
+    def partial(pb: pa.Table) -> pd.DataFrame:
+        g = pb.select([key_col, ts_col, id_col, val_col]).to_pandas()
+        if len(g) == 0:
+            # dtypes derive from the (empty) input so all blocks agree
+            return pd.DataFrame({
+                key_col: g[key_col],
+                "f_ts": g[ts_col].to_numpy().astype("datetime64[us]"),
+                "f_id": g[id_col].to_numpy().astype(np.int64),
+                "f_val": g[val_col],
+                "l_ts": g[ts_col].to_numpy().astype("datetime64[us]"),
+                "l_id": g[id_col].to_numpy().astype(np.int64),
+                "l_val": g[val_col],
+                "cnt": np.array([], np.int64)})
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((g[id_col].to_numpy(), ts,
+                            g[key_col].to_numpy()))
+        g = g.iloc[order]
+        first = g.drop_duplicates(subset=[key_col], keep="first")
+        last = g.drop_duplicates(subset=[key_col], keep="last")
+        cnt = g.groupby(key_col, sort=False, as_index=False).size()
+        out = pd.DataFrame({
+            key_col: first[key_col].to_numpy(),
+            "f_ts": first[ts_col].to_numpy().astype("datetime64[us]"),
+            "f_id": first[id_col].to_numpy().astype(np.int64),
+            "f_val": first[val_col].to_numpy(),
+            "l_ts": last[ts_col].to_numpy().astype("datetime64[us]"),
+            "l_id": last[id_col].to_numpy().astype(np.int64),
+            "l_val": last[val_col].to_numpy(),
+            "cnt": cnt["size"].to_numpy().astype(np.int64),
+        })
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    parts = partition_by_key(partials, key_col, n_parts,
+                             approx_rows=approx_rows)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: g[key_col],
+                                 first_col: g["f_val"],
+                                 last_col: g["l_val"],
+                                 n_col: np.array([], np.int64)})
+        a = g.sort_values([key_col, "f_ts", "f_id"], kind="mergesort")
+        first = a.drop_duplicates(subset=[key_col], keep="first")
+        b2 = g.sort_values([key_col, "l_ts", "l_id"], kind="mergesort")
+        last = b2.drop_duplicates(subset=[key_col], keep="last")
+        cnt = g.groupby(key_col, as_index=False)["cnt"].sum()
+        out = first[[key_col, "f_val"]].merge(
+            last[[key_col, "l_val"]], on=key_col).merge(cnt, on=key_col)
+        out.columns = [key_col, first_col, last_col, n_col]
+        out[n_col] = out[n_col].astype("int64")
+        return out
+
+    return parts.groupby("part").map_groups(fold, batch_format="pandas")

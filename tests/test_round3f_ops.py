@@ -124,3 +124,75 @@ def test_heavy_hitters_divisor_guard():
     t = pa.table({"token": pa.array(["a", "b"], pa.string())})
     with pytest.raises(ValueError):
         heavy_hitters(_ds(t, 1), "token", k=4, divisor=99)
+
+
+# ------------------------------------------------- transitions / first-last
+
+
+def _events(seed: int = 9, n: int = 400, n_users: int = 12):
+    rng = np.random.RandomState(seed)
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.randint(0, 10**9, n).astype("timedelta64[us]"))
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.randint(0, n_users, n).astype(np.int64)),
+        "ts": pa.array(ts),
+        "event_type": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+    })
+
+
+def test_transition_counts_match_pandas():
+    from alco_ray.stages.window import transition_counts
+
+    t = _events()
+    got = transition_counts(_ds(t, 7), key_col="user_id",
+                            order_col="event_id", val_col="event_type")
+    df = t.to_pandas().sort_values(["user_id", "event_id"])
+    df["frm"] = df.groupby("user_id")["event_type"].shift(1)
+    want = (df.dropna(subset=["frm"])
+              .groupby(["frm", "event_type"]).size().to_dict())
+    got_d = {(r["from_val"], r["to_val"]): r["n"] for r in got.to_pylist()}
+    assert got_d == want
+
+
+def test_transition_counts_single_row_keys():
+    from alco_ray.stages.window import transition_counts
+
+    t = pa.table({"k": pa.array(["x", "y", "z"]),
+                  "o": pa.array([0, 0, 0], pa.int64()),
+                  "v": pa.array(["p", "q", "r"])})
+    got = transition_counts(_ds(t, 3), key_col="k", order_col="o",
+                            val_col="v")
+    assert got.num_rows == 0
+
+
+def test_first_last_by_matches_pandas():
+    from alco_ray.stages.window import first_last_by
+
+    t = _events(seed=21)
+    out = first_last_by(_ds(t, 7), key_col="user_id", ts_col="ts",
+                        id_col="event_id", val_col="event_type",
+                        first_col="first_type", last_col="last_type",
+                        n_col="n_events")
+    got = {r["user_id"]: (r["first_type"], r["last_type"], r["n_events"])
+           for r in out.take_all()}
+    df = t.to_pandas().sort_values(["ts", "event_id"])
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        want[uid] = (g["event_type"].iloc[0], g["event_type"].iloc[-1],
+                     len(g))
+    assert got == want
+
+
+def test_first_last_by_ties_on_ts():
+    from alco_ray.stages.window import first_last_by
+
+    ts = np.repeat(np.datetime64("2024-01-01", "us"), 4)
+    t = pa.table({"event_id": pa.array([3, 1, 2, 0], pa.int64()),
+                  "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                  "ts": pa.array(ts),
+                  "event_type": pa.array(["d", "b", "c", "a"])})
+    out = first_last_by(_ds(t, 2), key_col="user_id", ts_col="ts",
+                        id_col="event_id", val_col="event_type").take_all()
+    assert out == [{"user_id": 7, "first_val": "a", "last_val": "d",
+                    "n": 4}]
