@@ -825,6 +825,121 @@ def q_ship_priority(sf_dir: str):
                        descending=[True, False, False])
 
 
+def q_cust_dist(sf_dir: str):
+    """Q13-like customer order-count DISTRIBUTION (the left-join +
+    double-aggregate shape): orders per customer, then customers per
+    order count.  The per-customer count shuffles once on custkey
+    (unbounded keys -> Dataset.groupby of map-side partials); the
+    distribution itself has a bounded domain (order counts), so it
+    driver-folds.  Customers with ZERO orders never join-scan: their
+    row is total customers (Parquet footer metadata) minus customers
+    seen in orders — valid under TPC-H FK integrity (every o_custkey
+    exists in customer)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n_orders", alias_name="c_count")))
+
+    def dist_partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"c_count": pc.cast(b["c_count"], pa.int64())})
+             .group_by(["c_count"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["c_count", "custdist"])
+
+    t = agg_stage.fold_partials(
+        per_cust.map_batches(dist_partial, batch_format="pyarrow"),
+        ["c_count"], [("custdist", "sum")])
+    n_cust = _nrows(_tp(sf_dir, "customer"))
+    zero = n_cust - int(pc.sum(t["custdist"]).as_py() or 0)
+    if zero > 0:
+        t = pa.concat_tables([t, pa.table(
+            {"c_count": pa.array([0], pa.int64()),
+             "custdist": pa.array([zero], pa.int64())})])
+    return t
+
+
+def q_big_orders(sf_dir: str):
+    """Q18-like large-volume orders (HAVING + join-back): per-order
+    quantity sums fold in key-hash partitions (unbounded orderkey
+    domain), the HAVING sum_qty > 300 filter applies INSIDE each
+    partition (so only the selective survivor set leaves the fold),
+    and the survivors join back to orders adaptively — broadcast probe
+    below a row budget (zero shuffle of orders), hash-shuffle join
+    above it (the correct shape when even the filtered side is
+    huge)."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        g = (pa.table({"l_orderkey": b["l_orderkey"], "q": q})
+             .group_by(["l_orderkey"]).aggregate([("q", "sum")]))
+        return g.rename_columns(["l_orderkey", "sum_qty"])
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        out = out[out["sum_qty"] > 300]
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+        return out
+
+    p = li.map_batches(qty_partial, batch_format="pyarrow")
+    big = (window.partition_by_key(
+        p, "l_orderkey", approx_rows=_nrows(_tp(sf_dir, "lineitem")))
+        .groupby("part").map_groups(fold, batch_format="pandas"))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "total_cents": c})
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    bt = agg_stage.concat_nonempty(ray.get(big.to_arrow_refs()))
+    if bt.num_rows == 0 or bt.num_columns == 0:
+        return ray.data.from_arrow(pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "total_cents": pa.array([], pa.int64()),
+             "sum_qty": pa.array([], pa.int64())}))
+    if bt.num_rows <= 2_000_000:  # broadcast-probe path
+        keys = pc.cast(bt["l_orderkey"], pa.int64()).combine_chunks()
+        sums = bt["sum_qty"].combine_chunks()
+        ref = ray.put((keys, sums))
+
+        def probe(b: pa.Table) -> pa.Table:
+            k0, s0 = ray.get(ref)
+            idx = pc.index_in(b["o_orderkey"], value_set=k0)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            return b.append_column("sum_qty",
+                                   pc.take(s0, idx.filter(hit)))
+
+        return orders.map_batches(probe, batch_format="pyarrow")
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = orders.join(big, "inner", num_partitions=n_parts,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_orderdate", "total_cents",
+                         "sum_qty"])
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
 def t_role_transitions(sf_dir: str):
     """First-order Markov transition matrix of consecutive ROLES
     within each conversation (turn_idx order) — the conversational-
@@ -2045,15 +2160,15 @@ REGISTRY = {
     "d_heavy_tokens": d_heavy_tokens,
     "t_role_transitions": t_role_transitions,
     "e_first_last": e_first_last,
+    "q_cust_dist": q_cust_dist,
+    "q_big_orders": q_big_orders,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
     "t_ordered_turns": t_ordered_turns,
     "t_conv_tool_stats": t_conv_tool_stats,
-    "t_kv_fields": t_kv_fields,
     "t_dedup_backstop": t_dedup_backstop,
     # documents / training-data ops
-    "d_quality_filter": d_quality_filter,
     "d_minhash_lsh": d_minhash_lsh,
     "d_pack_greedy": d_pack_greedy,
     # ---- position 51+: operators with an in-window sibling (plus
@@ -2147,10 +2262,22 @@ REGISTRY = {
     # pair gen = d_minhash_lsh's verify chain, components =
     # d_components (the same graph machinery, unbounded variant),
     # broadcast drop-list anti-join = t_anti_join's is_in shape.)
+    # (t_kv_fields — r1+r2 driver-green twice — moves tail to make room
+    # for q_cust_dist: its kv/grok extraction partial is consumed
+    # verbatim by tail-siblings t_residual_js and e_json_k (both
+    # r2-green), the compiled-pattern registry (T2) is pytest-pinned,
+    # and the make_parse_batch machinery stays in-window via
+    # t_parse_metrics.  d_quality_filter — r2-green — moves tail for
+    # q_big_orders: the quality-score formula is pytest-pinned
+    # (test_training_ops) and its vectorized utf8/count kernel family
+    # is in-window via d_heavy_tokens/d_ngram_top's tokenize path;
+    # tail-sibling d_quality pins the score columns themselves.)
     "d_tf_df": d_tf_df,
     "d_simhash": d_simhash,
     "q1_pricing": q1_pricing,
     "d_dedup_apply": d_dedup_apply,
+    "t_kv_fields": t_kv_fields,
+    "d_quality_filter": d_quality_filter,
     "e_distinct_users": e_distinct_users,
     "q_rollup": q_rollup,
     "t_residual_js": t_residual_js,
