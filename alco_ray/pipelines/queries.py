@@ -923,6 +923,41 @@ def q_returns_topk(sf_dir: str):
     })
 
 
+def e_retention(sf_dir: str):
+    """Weekly COHORT RETENTION matrix: users bucketed by the week of
+    their first event (epoch-week integers — no locale/ISO-week
+    ambiguity), counted DISTINCT per (cohort week, week offset) cell.
+    ONE user-hash partition pass does everything — each user's rows
+    are co-located, so the per-partition kernel derives the cohort
+    (transform-min), the offsets, and the per-user distinct cells
+    map-side; only bounded (cohort, offset, partial count) rows reach
+    the driver fold.  The event stream shuffles exactly once."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def body(g: "pd.DataFrame") -> "pd.DataFrame":
+        wk = (g["ts"].to_numpy().astype("datetime64[us]")
+              .view(np.int64) // 604_800_000_000)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "wk": wk})
+        df["cohort"] = df.groupby("user_id")["wk"].transform("min")
+        df["week_offset"] = df["wk"] - df["cohort"]
+        cells = df[["user_id", "cohort", "week_offset"]] \
+            .drop_duplicates()
+        out = (cells.groupby(["cohort", "week_offset"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        return out.astype({"cohort": "int64", "week_offset": "int64",
+                           "n_users": "int64"})
+
+    parts = window.partition_by_key(
+        ds, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+    return agg_stage.fold_partials(parts, ["cohort", "week_offset"],
+                                   [("n_users", "sum")])
+
+
 def q_cust_dist(sf_dir: str):
     """Q13-like customer order-count DISTRIBUTION (the left-join +
     double-aggregate shape): orders per customer, then customers per
@@ -2261,10 +2296,10 @@ REGISTRY = {
     "q_big_orders": q_big_orders,
     "e_funnel": e_funnel,
     "q_returns_topk": q_returns_topk,
+    "e_retention": e_retention,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     "t_enriched": t_enriched,
-    "t_conv_tool_stats": t_conv_tool_stats,
     "t_dedup_backstop": t_dedup_backstop,
     # documents / training-data ops
     "d_minhash_lsh": d_minhash_lsh,
@@ -2389,6 +2424,13 @@ REGISTRY = {
     # in-window via e_user_rank.)
     "e_approx_users": e_approx_users,
     "t_ordered_turns": t_ordered_turns,
+    # (t_conv_tool_stats — r2-green — moves tail for e_retention: its
+    # per-group distinct-collapse + fold machinery is pinned in-window
+    # by e_retention itself (per-user distinct cells collapsed
+    # map-side inside the same partition_by_key kernel family), and
+    # the salted per-key aggregate shape stays pytest-pinned with
+    # tail-siblings t_per_conv_stats / e_distinct_users r2-green.)
+    "t_conv_tool_stats": t_conv_tool_stats,
     "e_distinct_users": e_distinct_users,
     "q_rollup": q_rollup,
     "t_residual_js": t_residual_js,
