@@ -869,12 +869,11 @@ def q_returns_topk(sf_dir: str):
     predicate pushes to the lineitem read, per-order cents
     pre-aggregate map-side, the fact-to-fact join with orders shuffles
     once (custkey payload must survive), per-customer revenue folds in
-    a Ray hash groupby (unbounded keys), and only the distributed
-    top-20 reaches the driver — customer NAMES then come from a
-    pruned, key-filtered dimension read for just those 20 keys (a
-    100-TB customer table never broadcasts)."""
-    from ray.data.aggregate import Sum
-
+    custkey-hash partitions (unbounded keys -> partitioned-pandas
+    fold, the measured-faster shape over Ray's aggregate shuffle), and
+    only the distributed top-20 reaches the driver — customer NAMES
+    then come from a pruned, key-filtered dimension read for just
+    those 20 keys (a 100-TB customer table never broadcasts)."""
     import pyarrow.dataset as pads
 
     li = _read(sf_dir, "lineitem",
@@ -902,10 +901,18 @@ def q_returns_topk(sf_dir: str):
              .group_by(["c_custkey"]).aggregate([("c", "sum")]))
         return g.rename_columns(["c_custkey", "revenue_cents"])
 
-    per_cust = (j.map_batches(cust_partial, batch_format="pyarrow")
-                .groupby("c_custkey")
-                .aggregate(Sum("revenue_cents",
-                               alias_name="revenue_cents")))
+    import pandas as pd
+
+    def cust_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("c_custkey", as_index=False)["revenue_cents"] \
+            .sum()
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    per_cust = (window.partition_by_key(
+        j.map_batches(cust_partial, batch_format="pyarrow"),
+        "c_custkey", approx_rows=_nrows(_tp(sf_dir, "customer")))
+        .groupby("part").map_groups(cust_fold, batch_format="pandas"))
     top = order.top_k(per_cust, ["revenue_cents", "c_custkey"], 20,
                       descending=[True, False])
     tt = agg_stage.concat_nonempty(ray.get(top.to_arrow_refs()))
@@ -961,14 +968,18 @@ def e_retention(sf_dir: str):
 def q_cust_dist(sf_dir: str):
     """Q13-like customer order-count DISTRIBUTION (the left-join +
     double-aggregate shape): orders per customer, then customers per
-    order count.  The per-customer count shuffles once on custkey
-    (unbounded keys -> Dataset.groupby of map-side partials); the
-    distribution itself has a bounded domain (order counts), so it
-    driver-folds.  Customers with ZERO orders never join-scan: their
-    row is total customers (Parquet footer metadata) minus customers
-    seen in orders — valid under TPC-H FK integrity (every o_custkey
-    exists in customer)."""
-    from ray.data.aggregate import Sum
+    order count.  The per-customer count shuffles map-side partials
+    once on the custkey hash; the SAME partition fold that totals each
+    customer also collapses to the (c_count, custdist) distribution
+    partial — a custkey lives in exactly one partition, so its total
+    is partition-local and only bounded-domain distribution rows reach
+    the driver fold (no Ray groupby: the partitioned-pandas fold is
+    the measured-faster shape for unbounded keys in this repo).
+    Customers with ZERO orders never join-scan: their row is total
+    customers (Parquet footer metadata) minus customers seen in
+    orders — valid under TPC-H FK integrity (every o_custkey exists
+    in customer)."""
+    import pandas as pd
 
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
 
@@ -976,18 +987,19 @@ def q_cust_dist(sf_dir: str):
         g = b.group_by(["o_custkey"]).aggregate([([], "count_all")])
         return g.rename_columns(["o_custkey", "n_orders"])
 
-    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("n_orders", alias_name="c_count")))
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        per_c = g.groupby("o_custkey")["n_orders"].sum()
+        dist = per_c.value_counts()
+        return pd.DataFrame({
+            "c_count": dist.index.to_numpy().astype(np.int64),
+            "custdist": dist.to_numpy().astype(np.int64)})
 
-    def dist_partial(b: pa.Table) -> pa.Table:
-        g = (pa.table({"c_count": pc.cast(b["c_count"], pa.int64())})
-             .group_by(["c_count"]).aggregate([([], "count_all")]))
-        return g.rename_columns(["c_count", "custdist"])
-
-    t = agg_stage.fold_partials(
-        per_cust.map_batches(dist_partial, batch_format="pyarrow"),
-        ["c_count"], [("custdist", "sum")])
+    p = orders.map_batches(partial, batch_format="pyarrow")
+    parts = (window.partition_by_key(
+        p, "o_custkey", approx_rows=_nrows(_tp(sf_dir, "orders")))
+        .groupby("part").map_groups(fold, batch_format="pandas"))
+    t = agg_stage.fold_partials(parts, ["c_count"],
+                                [("custdist", "sum")])
     n_cust = _nrows(_tp(sf_dir, "customer"))
     zero = n_cust - int(pc.sum(t["custdist"]).as_py() or 0)
     if zero > 0:

@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "e_pivot", "q_rollup", "q_asof_join",
     # round-3d operators (correlation moments / CUBE / dense rank)
     "e_value_corr", "e_cube", "e_dense_rank",
+    # round-3f operators (n-gram counts, MG heavy hitters, transitions,
+    # first/last-by-key, Q18 having+join-back, cohort retention)
+    "d_ngram_top", "d_heavy_tokens", "t_role_transitions",
+    "e_first_last", "q_big_orders", "e_retention",
 ]
 
 
