@@ -177,17 +177,21 @@ def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
         safe_pos = np.where(in_iv, pos, 0)
         return in_iv & (keys <= his[safe_pos])
 
-    def count_contested(b: pa.Table) -> pa.Table:
+    # One fused pass extracts the contested rows INTO THE OBJECT STORE
+    # (spillable — the boundary_limit guards only the driver-side
+    # ray.get below); its post-materialize count() is free metadata.
+    # This replaces the former separate count pass: each eager pass
+    # over `mat` costs ~1-2 s of fixed task-dispatch latency
+    # regardless of data size, and plan 2 is taken precisely when the
+    # contested volume is small.
+    def pick_contested(b: pa.Table) -> pa.Table:
         k = np.asarray(b[key_col].to_numpy(zero_copy_only=False),
                        dtype=object)
-        return pa.table({"n": pa.array([int(contested_mask(k).sum())],
-                                       pa.int64())})
+        return b.filter(pa.array(contested_mask(k)))
 
-    n_contested = int(pc.sum(concat_nonempty(ray.get(
-        mat.map_batches(count_contested, batch_format="pyarrow",
-                        batch_size=None).to_arrow_refs()))["n"]).as_py()
-        or 0)
-    if n_contested > boundary_limit:  # plan 3: interleaved layout
+    picked = mat.map_batches(pick_contested, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    if picked.count() > boundary_limit:  # plan 3: interleaved layout
         return _partitioned(mat, key_col, n_parts,
                             approx_rows=approx_rows).groupby(
             "part").map_groups(body, batch_format="pandas")
@@ -200,14 +204,7 @@ def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
     safe_out = mat.map_batches(safe_body, batch_format="pandas",
                                batch_size=None)
 
-    def pick_contested(b: pa.Table) -> pa.Table:
-        k = np.asarray(b[key_col].to_numpy(zero_copy_only=False),
-                       dtype=object)
-        return b.filter(pa.array(contested_mask(k)))
-
-    boundary = concat_nonempty(ray.get(
-        mat.map_batches(pick_contested, batch_format="pyarrow",
-                        batch_size=None).to_arrow_refs()))
+    boundary = concat_nonempty(ray.get(picked.to_arrow_refs()))
     if boundary.num_rows == 0 or boundary.num_columns == 0:
         return safe_out
     b_out = body(boundary.to_pandas())
