@@ -340,3 +340,35 @@ def ensure_jsonl_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     except OSError:
         shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a race
     return out_dir
+
+
+def ensure_csv_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """CSV mirror of a Parquet corpus (the flat-file drop-folder wire
+    format legacy producers emit): one ``<shard>.csv`` per Parquet
+    shard, ``ts`` as full-precision ISO-8601, text safely quoted.
+    Idempotent + atomic with the same staged rename-swap and
+    source-stamp invalidation as the JSONL mirror."""
+    src = ensure_corpus(tag, root=root)
+    src_stamp = (src / "_COMPLETE").read_text()
+    out_dir = Path(root) / f"{tag}_csv"
+    done = out_dir / "_COMPLETE"
+    if done.exists() and done.read_text() == src_stamp:
+        return out_dir
+    import shutil
+
+    tmp_dir = out_dir.with_name(out_dir.name + f".tmp.{os.getpid()}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    tmp_dir.mkdir(parents=True, exist_ok=True)
+    for p in sorted(src.glob("*.parquet")):
+        t = pq.read_table(p)
+        iso = _format_iso(t["ts"].combine_chunks().cast(pa.int64())
+                          .to_numpy(zero_copy_only=False))
+        df = t.drop_columns(["ts"]).append_column("ts", iso).to_pandas()
+        df.to_csv(tmp_dir / f"{p.stem}.csv", index=False)
+    (tmp_dir / "_COMPLETE").write_text(src_stamp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a race
+    return out_dir

@@ -1085,6 +1085,23 @@ def q_big_orders(sf_dir: str):
     return j.map_batches(project, batch_format="pyarrow")
 
 
+def t_csv_routed(sf_dir: str):
+    """S1/S2 wire-format parity #2: the SAME corpus delivered as CSV
+    shards (flat-file drop folder) must route identically — the oracle
+    reads the Parquet corpus, the engine the CSV mirror, and the
+    routed counts must hash-match (exercises empty-field->null tool
+    handling and the shared ISO-ts normalization)."""
+    from ..sources import read_csv_transcripts
+
+    tag = fixtures.corpus_for_sf(sf_dir).name
+    cd = fixtures.ensure_csv_corpus(tag)
+    cfg = default_transcript_config()
+    ds = read_csv_transcripts(cd)
+    routed = (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow")
+                .map_batches(make_route_batch(cfg), batch_format="pyarrow"))
+    return agg_stage.routed_counts(routed)
+
+
 def t_role_transitions(sf_dir: str):
     """First-order Markov transition matrix of consecutive ROLES
     within each conversation (turn_idx order) — the conversational-
@@ -2475,6 +2492,10 @@ REGISTRY = {
     "d_split_assign": d_split_assign,
     "t_topk_per_conv": t_topk_per_conv,
     "t_jsonl_routed": t_jsonl_routed,
+    # (t_csv_routed follows t_jsonl_routed's precedent: sink counts are
+    # in-window via t_parse_metrics, the CSV wire decode itself is
+    # pytest-covered bit-for-bit against the Parquet source.)
+    "t_csv_routed": t_csv_routed,
     "t_dict_tool": t_dict_tool,
     "t_context_errors": t_context_errors,
     "q_mktsegment": q_mktsegment,

@@ -58,40 +58,60 @@ def read_jsonl_transcripts(paths: list[str] | str,
     strings -> timestamp[us], ``turn_idx`` -> int32, columns ordered to
     the canonical transcript schema — downstream stages can't tell the
     source apart."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     if isinstance(paths, (str, Path)):
         paths = sorted(str(p) for p in Path(paths).glob("*.jsonl")
                        if not p.name.startswith("_"))
-
-    def normalize(b: pa.Table) -> pa.Table:
-        ts = b["ts"]
-        if pa.types.is_string(ts.type):
-            # Arrow strptime has no %f: parse the seconds part, then
-            # add the (zero-padded) fractional micros explicitly.
-            base = pc.strptime(pc.utf8_slice_codeunits(ts, 0, 19),
-                               format="%Y-%m-%dT%H:%M:%S", unit="us",
-                               error_is_null=True)
-            frac = pc.utf8_trim(pc.utf8_slice_codeunits(ts, 19, 26), ".Z")
-            frac = pc.utf8_rpad(pc.if_else(pc.equal(frac, ""),
-                                           pa.scalar("0"), frac), 6, "0")
-            ts = pc.add(base, pc.cast(pc.cast(frac, pa.int64()),
-                                      pa.duration("us")))
-        else:
-            ts = pc.cast(ts, pa.timestamp("us"))
-        cols = {
-            "conv_id": pc.cast(b["conv_id"], pa.string()),
-            "turn_idx": pc.cast(b["turn_idx"], pa.int32()),
-            "role": pc.cast(b["role"], pa.string()),
-            "text": pc.cast(b["text"], pa.string()),
-            "tool": pc.cast(b["tool"], pa.string()),
-            "ts": ts,
-        }
-        return pa.table(cols)
-
     ds = ray.data.read_json(paths)
-    return ds.map_batches(normalize, batch_format="pyarrow")
+    return ds.map_batches(normalize_wire_batch, batch_format="pyarrow")
+
+
+def normalize_wire_batch(b: "pa.Table") -> "pa.Table":
+    """Shared wire-format normalization (JSONL / CSV sources): ISO
+    ``ts`` strings -> timestamp[us], ``turn_idx`` -> int32, columns
+    ordered to the canonical transcript schema — downstream stages
+    can't tell the source apart."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts = b["ts"]
+    if pa.types.is_string(ts.type):
+        # Arrow strptime has no %f: parse the seconds part, then
+        # add the (zero-padded) fractional micros explicitly.
+        base = pc.strptime(pc.utf8_slice_codeunits(ts, 0, 19),
+                           format="%Y-%m-%dT%H:%M:%S", unit="us",
+                           error_is_null=True)
+        frac = pc.utf8_trim(pc.utf8_slice_codeunits(ts, 19, 26), ".Z")
+        frac = pc.utf8_rpad(pc.if_else(pc.equal(frac, ""),
+                                       pa.scalar("0"), frac), 6, "0")
+        ts = pc.add(base, pc.cast(pc.cast(frac, pa.int64()),
+                                  pa.duration("us")))
+    else:
+        ts = pc.cast(ts, pa.timestamp("us"))
+    cols = {
+        "conv_id": pc.cast(b["conv_id"], pa.string()),
+        "turn_idx": pc.cast(b["turn_idx"], pa.int32()),
+        "role": pc.cast(b["role"], pa.string()),
+        "text": pc.cast(b["text"], pa.string()),
+        "tool": pc.cast(b["tool"], pa.string()),
+        "ts": ts,
+    }
+    return pa.table(cols)
+
+
+def read_csv_transcripts(paths: list[str] | str) -> "ray.data.Dataset":
+    """S1/S2 for the flat-file drop-folder wire format: CSV shards
+    must ingest identically to Parquet/JSONL ones.  ``read_csv`` with
+    ``strings_can_be_null`` (an empty field IS a null tool, matching
+    the Parquet schema) + the shared normalization batch op."""
+    from pyarrow import csv as pacsv
+
+    if isinstance(paths, (str, Path)):
+        paths = sorted(str(p) for p in Path(paths).glob("*.csv")
+                       if not p.name.startswith("_"))
+    ds = ray.data.read_csv(
+        paths,
+        convert_options=pacsv.ConvertOptions(strings_can_be_null=True))
+    return ds.map_batches(normalize_wire_batch, batch_format="pyarrow")
 
 
 def routed_output_files(out_root: str | Path) -> list[str]:

@@ -141,6 +141,23 @@ def test_jsonl_source_matches_parquet(t_small_dir):
     assert a.equals(b)
 
 
+def test_csv_source_matches_parquet(t_small_dir):
+    """The CSV mirror must ingest bit-for-bit identically to the
+    Parquet corpus — including empty fields round-tripping to the null
+    ``tool`` the Parquet schema carries."""
+    from alco_ray.sources import read_csv_transcripts, read_transcripts
+
+    tag = Path(t_small_dir).name
+    cd = fixtures.ensure_csv_corpus(tag)
+    a = read_csv_transcripts(cd).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = read_transcripts(t_small_dir).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert b["tool"].isna().any()  # nulls present -> parity is real
+    assert a.equals(b)
+
+
 def test_compaction_leaves_uncommitted_wave_orphans(tmp_path):
     """compact_partitions must not absorb orphan files of a
     half-committed wave: they stay identifiable by wave-id prefix so
