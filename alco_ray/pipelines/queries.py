@@ -1849,6 +1849,29 @@ def d_decontaminate(sf_dir: str):
         approx_rows=_nrows(_tp(sf_dir, "documents")))
 
 
+def d_decontaminate_bloom(sf_dir: str):
+    """d_decontaminate through the BLOOM-prefiltered plan
+    (stages/dedup.decontaminate_bloom): the benchmark shingle set
+    compresses to a broadcast 512 KiB word array, non-candidate grams
+    drop map-side, and the exact semi join re-verifies the sliver —
+    IDENTICAL output (and oracle) to the exact plan, the cheaper shape
+    when contamination is rare."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 == 0) if want_bench else (ids % 97 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    cand = docs.map_batches(split(False), batch_format="pyarrow")
+    return dedup.decontaminate_bloom(
+        cand, bench, k=3,
+        approx_rows=_nrows(_tp(sf_dir, "documents")))
+
+
 def e_pivot(sf_dir: str):
     """PIVOT / conditional aggregation: per-user wide event-type
     counts (one int64 column per type — the report/feature-matrix
@@ -2494,8 +2517,13 @@ REGISTRY = {
     "t_jsonl_routed": t_jsonl_routed,
     # (t_csv_routed follows t_jsonl_routed's precedent: sink counts are
     # in-window via t_parse_metrics, the CSV wire decode itself is
-    # pytest-covered bit-for-bit against the Parquet source.)
+    # pytest-covered bit-for-bit against the Parquet source.
+    # d_decontaminate_bloom shares d_decontaminate's oracle VERBATIM —
+    # the exact plan is in-window; the bloom prefilter is pinned by
+    # pytest: no-false-negative law + plan-equality on planted
+    # overlap.)
     "t_csv_routed": t_csv_routed,
+    "d_decontaminate_bloom": d_decontaminate_bloom,
     "t_dict_tool": t_dict_tool,
     "t_context_errors": t_context_errors,
     "q_mktsegment": q_mktsegment,

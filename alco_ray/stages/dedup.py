@@ -141,6 +141,60 @@ def decontaminate(ds, bench, *, k: int = 3, text_col: str = "text",
         .groupby("part").map_groups(body, batch_format="pandas")
 
 
+def decontaminate_bloom(ds, bench, *, k: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        approx_rows: int | None = None,
+                        grams_per_doc: int = 64, bloom_bits: int = 1 << 22,
+                        bloom_k: int = 6):
+    """:func:`decontaminate` with a BLOOM-FILTER prefilter — the
+    100-TB-corpus shape: the benchmark's shingle set compresses to a
+    fixed ``bloom_bits/8``-byte word array (mergeable OR-fold,
+    broadcast once via ``ray.put``), and the corpus-side probe drops
+    every non-candidate (doc, shingle) row MAP-SIDE, so the exact
+    shingle semi join that follows shuffles only the surviving sliver
+    instead of the whole corpus gram stream.  Bloom false positives
+    cannot leak into the output — the exact semi join re-verifies
+    every candidate — so the result is IDENTICAL to
+    :func:`decontaminate` (same oracle), just cheaper when overlap is
+    rare (the training-data common case)."""
+    import ray
+
+    from .join import semi_join
+    from .sketch import bloom_from_dataset, bloom_probe
+    from .window import partition_by_key
+
+    def grams(b: pa.Table) -> pa.Table:
+        return shingle_explode(b, text_col, id_col, k) \
+            .select([id_col, "shingle"])
+
+    bg = bench.map_batches(grams, batch_format="pyarrow") \
+        .select_columns(["shingle"])
+    bg = bg.materialize()  # consumed twice: bloom build + exact verify
+    words = bloom_from_dataset(bg, "shingle", m_bits=bloom_bits,
+                               k=bloom_k)
+    wref = ray.put(words)
+
+    def probe(b: pa.Table) -> pa.Table:
+        g = shingle_explode(b, text_col, id_col, k) \
+            .select([id_col, "shingle"])
+        h = g["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = bloom_probe(h, ray.get(wref), bloom_bits, bloom_k)
+        return g.filter(pa.array(keep))
+
+    cg = ds.map_batches(probe, batch_format="pyarrow")
+    n_grams = (approx_rows * grams_per_doc) if approx_rows else None
+    hits = semi_join(cg, bg, "shingle", approx_rows=n_grams)
+
+    def body(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby(id_col, sort=False).size()
+                .rename("n_hit_grams").reset_index())
+        out["n_hit_grams"] = out["n_hit_grams"].astype("int64")
+        return out
+
+    return partition_by_key(hits, id_col, approx_rows=n_grams) \
+        .groupby("part").map_groups(body, batch_format="pandas")
+
+
 def dedup_exact_rows(ds, key_cols: list[str], order_col: str, *,
                      n_parts: int | None = None,
                      approx_rows: int | None = None):

@@ -222,3 +222,73 @@ def heavy_hitters(ds, col: str, *, k: int = 64,
     keep = folded.filter(pc.greater(folded["cnt_sum"], threshold))
     out = keep.rename_columns([col, "cnt"])
     return out.take(pc.sort_indices(out, sort_keys=[(col, "ascending")]))
+
+
+# -------------------------------------------------------------------- Bloom
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: pos_i = (h1 + i*h2)
+    mod m.  ``h`` is uint64; h2 forced odd so the probe sequence walks
+    the whole (power-of-two) table."""
+    h = h.astype(np.uint64, copy=False)
+    m = np.uint64(m_bits)
+    h1 = h % m
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)) % m
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % m).astype(np.int64)
+
+
+def bloom_words(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """uint64 word array (m_bits/64 words) with the k probe bits of
+    every hash set — one vectorized ``bitwise_or.at``, no loop over
+    values.  Mergeable by elementwise OR (commutative, associative,
+    idempotent: partitioning/retry independent, like HLL registers)."""
+    words = np.zeros(m_bits // 64, np.uint64)
+    if len(hashes):
+        pos = _bloom_positions(hashes, m_bits, k).ravel()
+        np.bitwise_or.at(words, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64)
+                                          & np.uint64(63)))
+    return words
+
+
+def bloom_probe(hashes: np.ndarray, words: np.ndarray, m_bits: int,
+                k: int) -> np.ndarray:
+    """Bool mask: True where ALL k probe bits are set (possible
+    member; false positives at the configured rate, NEVER false
+    negatives)."""
+    if len(hashes) == 0:
+        return np.zeros(0, bool)
+    pos = _bloom_positions(hashes, m_bits, k)
+    bits = (words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) \
+        & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def bloom_from_dataset(ds, col: str, *, m_bits: int,
+                       k: int = 6) -> np.ndarray:
+    """Distributed Bloom build over an int64 hash column: per-batch
+    word-array partials (a fixed ``m_bits/8`` bytes each, O(1) in the
+    batch) OR-fold driver-side — the same mergeable-sketch shape as
+    the HLL fold.  ``m_bits`` must be a power of two."""
+    import ray
+
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits {m_bits} must be a power of two")
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"w": pa.array([bloom_words(h, m_bits, k)
+                                        .tobytes()], pa.binary())})
+
+    from .aggregate import concat_nonempty
+
+    parts = concat_nonempty(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs()))
+    words = np.zeros(m_bits // 64, np.uint64)
+    if parts.num_rows and parts.num_columns:
+        for blob in parts["w"].to_pylist():
+            words |= np.frombuffer(blob, np.uint64)
+    return words

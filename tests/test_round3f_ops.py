@@ -196,3 +196,55 @@ def test_first_last_by_ties_on_ts():
                         id_col="event_id", val_col="event_type").take_all()
     assert out == [{"user_id": 7, "first_val": "a", "last_val": "d",
                     "n": 4}]
+
+
+# --------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from alco_ray.stages.sketch import bloom_probe, bloom_words
+
+    rng = np.random.RandomState(17)
+    members = rng.randint(0, 2**63, 5000).astype(np.uint64)
+    others = rng.randint(0, 2**63, 20000).astype(np.uint64)
+    others = others[~np.isin(others, members)]
+    m_bits, k = 1 << 17, 6
+    w = bloom_words(members, m_bits, k)
+    assert bloom_probe(members, w, m_bits, k).all()  # never-FN law
+    fp = bloom_probe(others, w, m_bits, k).mean()
+    assert fp < 0.02, fp  # ~m/n=26 bits/key, k=6 -> well under 2%
+
+
+def test_bloom_merge_is_elementwise_or():
+    from alco_ray.stages.sketch import bloom_words
+
+    rng = np.random.RandomState(23)
+    a = rng.randint(0, 2**63, 100).astype(np.uint64)
+    b = rng.randint(0, 2**63, 100).astype(np.uint64)
+    m_bits, k = 1 << 12, 4
+    assert (bloom_words(np.concatenate([a, b]), m_bits, k)
+            == (bloom_words(a, m_bits, k) | bloom_words(b, m_bits, k))).all()
+
+
+def test_decontaminate_bloom_equals_exact_plan():
+    from alco_ray.stages.dedup import decontaminate, decontaminate_bloom
+
+    rng = np.random.RandomState(31)
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(80)]
+    texts[7] = texts[3]  # planted exact overlap with the bench side
+    texts[11] = " ".join(texts[5].split()[:6]) + " zz qq"
+    t = pa.table({"doc_id": pa.array(np.arange(80, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    bench = pa.table({"doc_id": pa.array([3, 5], pa.int64()),
+                      "text": pa.array([texts[3], texts[5]])})
+    cand = t.filter(pa.array(~np.isin(np.arange(80), [3, 5])))
+    exact = {r["doc_id"]: r["n_hit_grams"]
+             for r in decontaminate(_ds(cand, 5), _ds(bench, 1),
+                                    k=3).take_all()}
+    bloom = {r["doc_id"]: r["n_hit_grams"]
+             for r in decontaminate_bloom(_ds(cand, 5), _ds(bench, 1),
+                                          k=3,
+                                          bloom_bits=1 << 14).take_all()}
+    assert exact == bloom
+    assert exact[7] > 0
