@@ -366,6 +366,29 @@ def t_grep_indexed(sf_dir: str):
         ts_max=np.datetime64("2024-01-25T00:00:00", "us"), k=20)
 
 
+def t_grep_and(sf_dir: str):
+    """Multi-term AND search on the SAME persisted inverted index
+    (Sphinx MATCH('a b') implicit-AND): turns containing BOTH
+    'shuffle' and 'stream' as whole tokens — per-term pruned posting
+    buckets, one (conv, turn)-hash intersection pass, top-k, docstore
+    fetch (stages/textindex.match_all_probe)."""
+    from ..stages.textindex import build_text_index, match_all_probe
+
+    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "text_index"
+    sig = _transcript_sig(sf_dir)
+    if not _index_fresh(idx, sig):
+        cfg = default_transcript_config()
+        parsed = read_transcripts(
+            _corpus(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"]
+        ).map_batches(make_parse_batch(cfg, only={"level", "parsed_ts"}),
+                      batch_format="pyarrow", batch_size=None
+        ).select_columns(["conv_id", "turn_idx", "parsed_ts", "level",
+                          "text"])
+        build_text_index(parsed, idx, approx_rows=_nrows(_corpus(sf_dir)),
+                         extra_meta={"corpus_sig": sig})
+    return match_all_probe(idx, ["shuffle", "stream"], k=20)
+
+
 def t_dead_letter(sf_dir: str):
     """J3 end-to-end: a config whose route table omits the tool role —
     unroutable rows land in the dead-letter sink."""
@@ -2522,8 +2545,13 @@ REGISTRY = {
     # the exact plan is in-window; the bloom prefilter is pinned by
     # pytest: no-false-negative law + plan-equality on planted
     # overlap.)
+    # t_grep_and: the posting-bucket probe + docstore fetch machinery
+    # is in-window via t_grep_indexed; the term-intersection kernel is
+    # pytest-pinned (planted multi-term turns) and the oracle
+    # construction (LIKE-AND) is t_grep's, substring-safety checked.)
     "t_csv_routed": t_csv_routed,
     "d_decontaminate_bloom": d_decontaminate_bloom,
+    "t_grep_and": t_grep_and,
     "t_dict_tool": t_dict_tool,
     "t_context_errors": t_context_errors,
     "q_mktsegment": q_mktsegment,

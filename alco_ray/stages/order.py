@@ -155,7 +155,10 @@ def top_k(ds, keys: list[str], k: int, descending=True):
         # missing-sort-key crash.
         sch = ds.schema(fetch_if_missing=True)
         base = getattr(sch, "base_schema", None) if sch else None
-        if base is None:
+        if base is None or not hasattr(base, "empty_table"):
+            # pandas-block upstream: no Arrow schema to recover —
+            # return the 0-row table as-is (callers treat 0 rows
+            # uniformly)
             return ray.data.from_arrow(merged)
         merged = base.empty_table()
     idx = pc.sort_indices(merged, sort_keys=order)

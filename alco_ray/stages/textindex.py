@@ -178,9 +178,19 @@ def grep_probe(index_dir: str | Path, term: str, *, level: str | None = None,
                  descending=[True, False, False]).to_pandas()
     if not len(topk):
         return ray.data.from_arrow(empty)
+    return _fetch_texts(d, text_col, topk, empty, stats_out)
 
-    # Text fetch: only the matched rows' day partitions (k rows ->
-    # a handful of days), joined driver-side.
+
+def _fetch_texts(d: Path, text_col: str, topk, empty: pa.Table,
+                 stats_out: dict | None):
+    """Text fetch for a driver-side top-k frame: read only the matched
+    rows' docstore day partitions (k rows -> a handful of days), join
+    driver-side."""
+    import ray
+    import ray.data
+
+    from .aggregate import concat_nonempty
+
     days = sorted(set(topk["parsed_ts"].dt.strftime("%Y-%m-%d")))
     dfiles = sorted(str(p) for day in days
                     for p in (d / "docs" / f"date={day}").glob("*.parquet"))
@@ -192,10 +202,6 @@ def grep_probe(index_dir: str | Path, term: str, *, level: str | None = None,
         return b.filter(pc.is_in(b["conv_id"], value_set=convs)) \
             .select(["conv_id", "turn_idx", text_col])
 
-    import ray
-
-    from .aggregate import concat_nonempty
-
     docs = ray.data.read_parquet(dfiles) \
         .map_batches(fetch, batch_format="pyarrow", batch_size=None)
     dt = concat_nonempty(ray.get(docs.to_arrow_refs()))
@@ -203,3 +209,87 @@ def grep_probe(index_dir: str | Path, term: str, *, level: str | None = None,
                      how="left")
     return ray.data.from_arrow(pa.Table.from_pandas(
         out, preserve_index=False).cast(empty.schema))
+
+
+def match_all_probe(index_dir: str | Path, terms: list[str], *,
+                    level: str | None = None, ts_min=None, ts_max=None,
+                    k: int = 20, stats_out: dict | None = None):
+    """Multi-term AND probe (Sphinx ``MATCH('a b')`` implicit-AND
+    semantics): rows whose tokenized text contains EVERY term.  Reads
+    one posting bucket directory PER DISTINCT TERM (still pruned — the
+    untouched buckets never load), then intersects on (conv_id,
+    turn_idx) with one key-hash partition pass: per partition a turn's
+    distinct-term count equals ``len(terms)`` iff all terms hit.  The
+    posting rows for the queried terms are the only thing that
+    shuffles; top-k + docstore fetch as in :func:`grep_probe`."""
+    import pandas as pd
+    import ray.data
+
+    from .order import top_k
+    from .window import partition_by_key
+
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    terms_l = sorted({t.lower() for t in terms})
+    n_terms = len(terms_l)
+    buckets = sorted({int(b) for b in _bucket_of(
+        np.array(terms_l, dtype=object), meta["n_buckets"])})
+    pfiles = sorted(str(p) for b in buckets
+                    for p in (d / "postings" / f"bucket={b}")
+                    .glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["posting_files"] = pfiles
+        stats_out["doc_files"] = []
+    text_col = meta["text_col"]
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "parsed_ts": pa.array([], pa.timestamp("us")),
+                      text_col: pa.array([], pa.string())})
+    if not pfiles:
+        return ray.data.from_arrow(empty)
+    term_set = pa.array(terms_l, pa.string())
+
+    def match(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["token"], value_set=term_set)
+        if level is not None:
+            keep = pc.and_(keep, pc.equal(b["level"], level))
+        if ts_min is not None:
+            keep = pc.and_(keep, pc.greater_equal(b["parsed_ts"],
+                                                  pa.scalar(ts_min)))
+        if ts_max is not None:
+            keep = pc.and_(keep, pc.less(b["parsed_ts"],
+                                         pa.scalar(ts_max)))
+        return b.filter(keep).select(
+            ["conv_id", "turn_idx", "parsed_ts", "token"])
+
+    hits = ray.data.read_parquet(pfiles) \
+        .map_batches(match, batch_format="pyarrow", batch_size=None)
+
+    def intersect(g: "pd.DataFrame") -> pa.Table:
+        # posting rows are (turn, token)-distinct by construction, so
+        # the per-turn row count IS the distinct-term count.  Output
+        # is an EXPLICITLY typed Arrow table: empty pandas frames with
+        # object columns lose their schema in block conversion.
+        cnt = g.groupby(["conv_id", "turn_idx"])["token"] \
+            .transform("size")
+        full = g.iloc[(cnt.to_numpy() == n_terms)
+                      & (g["token"] == terms_l[0]).to_numpy()]
+        return pa.table({
+            "conv_id": pa.array(full["conv_id"].to_numpy(), pa.string()),
+            "turn_idx": pa.array(
+                full["turn_idx"].to_numpy().astype(np.int32)),
+            "parsed_ts": pa.array(
+                full["parsed_ts"].to_numpy().astype("datetime64[us]")),
+        })
+
+    import pyarrow.parquet as pq_
+
+    approx = sum(pq_.read_metadata(f).num_rows for f in pfiles)
+    inter = partition_by_key(hits, ["conv_id", "turn_idx"],
+                             approx_rows=approx) \
+        .groupby("part").map_groups(intersect, batch_format="pandas")
+    topk = top_k(inter, ["parsed_ts", "conv_id", "turn_idx"], k,
+                 descending=[True, False, False]).to_pandas()
+    if not len(topk):
+        return ray.data.from_arrow(empty)
+    return _fetch_texts(d, text_col, topk, empty, stats_out)

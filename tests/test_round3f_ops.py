@@ -11,6 +11,7 @@ single-token documents, all-counters-cancelled MG batches).
 from __future__ import annotations
 
 from collections import Counter
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -248,3 +249,50 @@ def test_decontaminate_bloom_equals_exact_plan():
                                           bloom_bits=1 << 14).take_all()}
     assert exact == bloom
     assert exact[7] > 0
+
+
+# --------------------------------------------------------- match_all probe
+
+
+def test_match_all_probe_intersects_terms(tmp_path):
+    import ray.data
+
+    from alco_ray.stages.textindex import build_text_index, match_all_probe
+
+    n = 300
+    rng = np.random.RandomState(13)
+    ts = (np.datetime64("2024-02-01T00:00:00", "us")
+          + rng.randint(0, 10, n).astype("timedelta64[D]").astype(
+              "timedelta64[us]")
+          + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]"))
+    words = np.array(["alpha", "bravo", "charlie", "delta"])
+    text = np.array([" ".join(rng.choice(words, 3)) for _ in range(n)],
+                    dtype=object)
+    # plant rows holding BOTH needles, plus rows holding only one
+    for i in (5, 50, 123):
+        text[i] = "alpha needleA filler needleB"
+    for i in (7, 90):
+        text[i] = "needleA only here"
+    parsed = pa.table({
+        "conv_id": pa.array([f"c{i % 17}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        "parsed_ts": pa.array(ts),
+        "level": pa.array(rng.choice(np.array(["INFO", "ERROR"]), n),
+                          pa.string()),
+        "text": pa.array(list(text), pa.string()),
+    })
+    idx = tmp_path / "tidx2"
+    build_text_index(ray.data.from_arrow(parsed), idx, n_buckets=64,
+                     approx_rows=n)
+    stats = {}
+    got = match_all_probe(idx, ["needlea", "needleb"], k=100,
+                          stats_out=stats).to_pandas()
+    assert sorted(got["turn_idx"]) == [5, 50, 123]
+    # pruned: at most one bucket dir per distinct term
+    dirs = {str(Path(f).parent) for f in stats["posting_files"]}
+    assert 1 <= len(dirs) <= 2
+    # absent combination: clean empty, no doc reads
+    s2 = {}
+    miss = match_all_probe(idx, ["needlea", "zzznope"], k=10,
+                           stats_out=s2).to_pandas()
+    assert len(miss) == 0 and s2["doc_files"] == []
