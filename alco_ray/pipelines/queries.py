@@ -389,6 +389,31 @@ def t_grep_and(sf_dir: str):
     return match_all_probe(idx, ["shuffle", "stream"], k=20)
 
 
+def t_grep_phrase(sf_dir: str):
+    """PHRASE search on the persisted index (Sphinx MATCH('"a b"')
+    exact adjacency): turns where 'shuffle' is IMMEDIATELY followed by
+    'stream' — the v2 positional postings make adjacency a
+    shifted-position intersection (stages/textindex.phrase_probe).
+    Oracle substring LIKE '%shuffle stream%' is equivalent on this
+    corpus: words are single-space separated and neither term is a
+    substring of any other token."""
+    from ..stages.textindex import build_text_index, phrase_probe
+
+    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "text_index"
+    sig = _transcript_sig(sf_dir)
+    if not _index_fresh(idx, sig):
+        cfg = default_transcript_config()
+        parsed = read_transcripts(
+            _corpus(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"]
+        ).map_batches(make_parse_batch(cfg, only={"level", "parsed_ts"}),
+                      batch_format="pyarrow", batch_size=None
+        ).select_columns(["conv_id", "turn_idx", "parsed_ts", "level",
+                          "text"])
+        build_text_index(parsed, idx, approx_rows=_nrows(_corpus(sf_dir)),
+                         extra_meta={"corpus_sig": sig})
+    return phrase_probe(idx, ["shuffle", "stream"], k=20)
+
+
 def t_dead_letter(sf_dir: str):
     """J3 end-to-end: a config whose route table omits the tool role —
     unroutable rows land in the dead-letter sink."""
@@ -1617,7 +1642,9 @@ def _index_fresh(idx: Path, sig: str) -> bool:
     meta = idx / "meta.json"
     if not meta.exists():
         return False
-    return json.loads(meta.read_text()).get("corpus_sig") == sig
+    m = json.loads(meta.read_text())
+    # version gate: v1 indexes lack positional postings (phrase probe)
+    return m.get("corpus_sig") == sig and m.get("version", 1) >= 2
 
 
 def v_knn_lsh(sf_dir: str):
@@ -2549,9 +2576,13 @@ REGISTRY = {
     # is in-window via t_grep_indexed; the term-intersection kernel is
     # pytest-pinned (planted multi-term turns) and the oracle
     # construction (LIKE-AND) is t_grep's, substring-safety checked.)
+    # t_grep_phrase: same tail rationale as t_grep_and — probe + fetch
+    # machinery in-window via t_grep_indexed; the positional-adjacency
+    # kernel is pytest-pinned (planted adjacent/non-adjacent turns).)
     "t_csv_routed": t_csv_routed,
     "d_decontaminate_bloom": d_decontaminate_bloom,
     "t_grep_and": t_grep_and,
+    "t_grep_phrase": t_grep_phrase,
     "t_dict_tool": t_dict_tool,
     "t_context_errors": t_context_errors,
     "q_mktsegment": q_mktsegment,

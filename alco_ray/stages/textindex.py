@@ -48,28 +48,37 @@ def _bucket_of(tokens: np.ndarray, n_buckets: int) -> np.ndarray:
 
 def posting_explode(batch: pa.Table, n_buckets: int,
                     text_col: str = "text") -> pa.Table:
-    """One posting row per (turn, DISTINCT token): vectorized tokenize
-    -> per-row first-occurrence dedup (lexsort + adjacent-duplicate
-    drop) -> bucket id.  No per-row Python."""
+    """One posting row per (turn, DISTINCT token) with the token's
+    in-turn POSITIONS as a list column (format v2 — phrase search
+    needs adjacency): vectorized tokenize -> per-row first-occurrence
+    dedup (lexsort + adjacent-duplicate drop, positions gathered from
+    the same sort) -> bucket id.  No per-row Python."""
     toks = tokenize(batch[text_col], batch.num_rows)
     flat = toks.values.to_numpy(zero_copy_only=False)
     offs = np.asarray(toks.offsets).astype(np.int64)
     rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
                      np.diff(offs))
     if len(flat):
+        pos_in_row = np.arange(len(flat), dtype=np.int64) - offs[rows]
         h = hash_tokens(flat)
-        srt = np.lexsort((h, rows))
+        srt = np.lexsort((pos_in_row, h, rows))
         rs, hs = rows[srt], h[srt]
         first = np.ones(len(srt), dtype=bool)
         first[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
         keep = srt[first]
+        starts = np.flatnonzero(first)
+        plist = pa.ListArray.from_arrays(
+            pa.array(np.append(starts, len(srt)).astype(np.int32)),
+            pa.array(pos_in_row[srt].astype(np.int32)))
     else:
         keep = np.zeros(0, dtype=np.int64)
+        plist = pa.array([], pa.list_(pa.int32()))
     kept_tokens = flat[keep]
     kept_rows = rows[keep]
     cols = {
         "bucket": pa.array(_bucket_of(kept_tokens, n_buckets)),
         "token": pa.array(kept_tokens, pa.string()),
+        "positions": plist,
     }
     for c in POSTING_COLS:
         cols[c] = batch[c].take(pa.array(kept_rows))
@@ -124,7 +133,8 @@ def build_text_index(parsed_ds, index_dir: str | Path, *,
     parsed_ds.map_batches(docstore, batch_format="pyarrow") \
         .map_batches(doc_writer, batch_format="pyarrow").materialize()
 
-    meta = {"kind": "text_inverted", "n_buckets": n_buckets,
+    meta = {"kind": "text_inverted", "version": 2,
+            "n_buckets": n_buckets,
             "text_col": text_col, **(extra_meta or {})}
     (build / "meta.json").write_text(json.dumps(meta))
     _swap_in_index(build, d)
@@ -274,6 +284,101 @@ def match_all_probe(index_dir: str | Path, terms: list[str], *,
             .transform("size")
         full = g.iloc[(cnt.to_numpy() == n_terms)
                       & (g["token"] == terms_l[0]).to_numpy()]
+        return pa.table({
+            "conv_id": pa.array(full["conv_id"].to_numpy(), pa.string()),
+            "turn_idx": pa.array(
+                full["turn_idx"].to_numpy().astype(np.int32)),
+            "parsed_ts": pa.array(
+                full["parsed_ts"].to_numpy().astype("datetime64[us]")),
+        })
+
+    import pyarrow.parquet as pq_
+
+    approx = sum(pq_.read_metadata(f).num_rows for f in pfiles)
+    inter = partition_by_key(hits, ["conv_id", "turn_idx"],
+                             approx_rows=approx) \
+        .groupby("part").map_groups(intersect, batch_format="pandas")
+    topk = top_k(inter, ["parsed_ts", "conv_id", "turn_idx"], k,
+                 descending=[True, False, False]).to_pandas()
+    if not len(topk):
+        return ray.data.from_arrow(empty)
+    return _fetch_texts(d, text_col, topk, empty, stats_out)
+
+
+def phrase_probe(index_dir: str | Path, phrase: list[str], *,
+                 k: int = 20, stats_out: dict | None = None):
+    """PHRASE search (Sphinx ``MATCH('"a b"')`` exact-adjacency
+    semantics): turns where the terms appear CONSECUTIVELY in token
+    order.  Same pruned per-term posting buckets as
+    :func:`match_all_probe`; the intersection kernel rides the v2
+    positional postings — each term's positions shift left by its
+    phrase rank, and a turn matches iff some shifted position is
+    shared by ALL ranks (per-(turn, position) distinct-rank count ==
+    phrase length).  Repeated phrase terms are handled per rank."""
+    import pandas as pd
+    import ray.data
+
+    from .order import top_k
+    from .window import partition_by_key
+
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    if meta.get("version", 1) < 2:
+        raise ValueError("phrase_probe needs a v2 (positional) index — "
+                         "rebuild with build_text_index")
+    ranks = [t.lower() for t in phrase]
+    n_ranks = len(ranks)
+    buckets = sorted({int(b) for b in _bucket_of(
+        np.array(sorted(set(ranks)), dtype=object), meta["n_buckets"])})
+    pfiles = sorted(str(p) for b in buckets
+                    for p in (d / "postings" / f"bucket={b}")
+                    .glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["posting_files"] = pfiles
+        stats_out["doc_files"] = []
+    text_col = meta["text_col"]
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "parsed_ts": pa.array([], pa.timestamp("us")),
+                      text_col: pa.array([], pa.string())})
+    if not pfiles:
+        return ray.data.from_arrow(empty)
+    term_set = pa.array(sorted(set(ranks)), pa.string())
+
+    def match(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["token"], value_set=term_set)
+        return b.filter(keep).select(
+            ["conv_id", "turn_idx", "parsed_ts", "token", "positions"])
+
+    hits = ray.data.read_parquet(pfiles) \
+        .map_batches(match, batch_format="pyarrow", batch_size=None)
+
+    def intersect(g: "pd.DataFrame") -> pa.Table:
+        frames = []
+        for r, term in enumerate(ranks):
+            sel = g[g["token"] == term]
+            if not len(sel):
+                continue
+            lens = sel["positions"].map(len).to_numpy()
+            adj = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in sel["positions"]]
+            ) - r if lens.sum() else np.array([], np.int64)
+            frames.append(pd.DataFrame({
+                "conv_id": np.repeat(sel["conv_id"].to_numpy(), lens),
+                "turn_idx": np.repeat(sel["turn_idx"].to_numpy(), lens),
+                "parsed_ts": np.repeat(sel["parsed_ts"].to_numpy(), lens),
+                "adj": adj, "rank": r}))
+        if not frames:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "parsed_ts": pa.array([], pa.timestamp("us"))})
+        df = pd.concat(frames, ignore_index=True)
+        cnt = df.groupby(["conv_id", "turn_idx", "adj"])["rank"] \
+            .transform("size")
+        full = df.iloc[(cnt.to_numpy() == n_ranks)
+                       & (df["rank"] == 0).to_numpy()] \
+            .drop_duplicates(subset=["conv_id", "turn_idx"])
         return pa.table({
             "conv_id": pa.array(full["conv_id"].to_numpy(), pa.string()),
             "turn_idx": pa.array(

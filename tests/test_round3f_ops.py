@@ -296,3 +296,39 @@ def test_match_all_probe_intersects_terms(tmp_path):
     miss = match_all_probe(idx, ["needlea", "zzznope"], k=10,
                            stats_out=s2).to_pandas()
     assert len(miss) == 0 and s2["doc_files"] == []
+
+
+def test_phrase_probe_exact_adjacency(tmp_path):
+    import ray.data
+
+    from alco_ray.stages.textindex import build_text_index, phrase_probe
+
+    n = 200
+    rng = np.random.RandomState(19)
+    ts = (np.datetime64("2024-03-01T00:00:00", "us")
+          + rng.randint(0, 5, n).astype("timedelta64[D]").astype(
+              "timedelta64[us]")
+          + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]"))
+    words = np.array(["alpha", "bravo", "charlie"])
+    text = np.array([" ".join(rng.choice(words, 4)) for _ in range(n)],
+                    dtype=object)
+    text[3] = "pad aa bb pad"          # adjacent -> hit
+    text[9] = "aa pad bb"              # both present, NOT adjacent
+    text[15] = "bb aa"                 # reversed order -> no hit
+    text[21] = "aa aa bb"              # repeated first term -> hit
+    parsed = pa.table({
+        "conv_id": pa.array([f"c{i % 11}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        "parsed_ts": pa.array(ts),
+        "level": pa.array(rng.choice(np.array(["INFO", "ERROR"]), n),
+                          pa.string()),
+        "text": pa.array(list(text), pa.string()),
+    })
+    idx = tmp_path / "tidx3"
+    build_text_index(ray.data.from_arrow(parsed), idx, n_buckets=64,
+                     approx_rows=n)
+    got = phrase_probe(idx, ["aa", "bb"], k=100).to_pandas()
+    assert sorted(got["turn_idx"]) == [3, 21]
+    # repeated-term phrase: 'aa aa' matches only the doubled turn
+    got2 = phrase_probe(idx, ["aa", "aa"], k=100).to_pandas()
+    assert sorted(got2["turn_idx"]) == [21]
