@@ -1991,6 +1991,28 @@ def e_user_cumsum(sf_dir: str):
         approx_rows=_nrows(_tp(sf_dir, "events")))
 
 
+def e_rolling_spend(sf_dir: str):
+    """Bounded-frame RUNNING SUM: per event, the user's spend (integer
+    cents) over the current + 2 preceding events in (ts, event_id)
+    order — SQL ROWS BETWEEN 2 PRECEDING AND CURRENT ROW, the
+    trailing-window burst feature (stages/window.grouped_rolling_sum:
+    one lexsort + cumsum + clamped gather per key-hash partition)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return b.append_column("cents", c)
+
+    return window.grouped_rolling_sum(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        val_col="cents", frame=3, out_col="roll_cents",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 def q_full_join(sf_dir: str):
     """FULL OUTER join: per-user click counts x purchase counts,
     keeping users that appear on only ONE side (zeros filled).  Both
@@ -2579,10 +2601,15 @@ REGISTRY = {
     # t_grep_phrase: same tail rationale as t_grep_and — probe + fetch
     # machinery in-window via t_grep_indexed; the positional-adjacency
     # kernel is pytest-pinned (planted adjacent/non-adjacent turns).)
+    # e_rolling_spend: the segment-clamped cumsum-difference kernel is
+    # the bounded-frame sibling of in-window e_user_cumsum (identical
+    # partition/lexsort/cumsum machinery, one extra clamped gather,
+    # pytest-pinned vs pandas rolling).)
     "t_csv_routed": t_csv_routed,
     "d_decontaminate_bloom": d_decontaminate_bloom,
     "t_grep_and": t_grep_and,
     "t_grep_phrase": t_grep_phrase,
+    "e_rolling_spend": e_rolling_spend,
     "t_dict_tool": t_dict_tool,
     "t_context_errors": t_context_errors,
     "q_mktsegment": q_mktsegment,

@@ -688,3 +688,40 @@ def first_last_by(ds, *, key_col: str, ts_col: str, id_col: str,
         return out
 
     return parts.groupby("part").map_groups(fold, batch_format="pandas")
+
+
+def grouped_rolling_sum(ds, *, key_col: str, ts_col: str, id_col: str,
+                        val_col: str, frame: int = 3,
+                        out_col: str = "roll", n_parts: int | None = None,
+                        approx_rows: int | None = None):
+    """Per-key BOUNDED-FRAME running sum: sum of ``val_col`` over the
+    current row and the ``frame - 1`` preceding rows of the same key
+    in (ts, id) order — SQL ``sum(val) OVER (PARTITION BY key ORDER BY
+    ts, id ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``, the
+    trailing-window feature (recent spend, burst detection).
+
+    Kernel: one lexsort per key-hash partition, one cumsum, one
+    clamped gather — the frame lower bound is ``max(segment start,
+    i - frame + 1)`` so windows never cross keys.  No per-row loop."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 out_col: np.array([], np.int64)})
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((g[id_col].to_numpy(), ts,
+                            g[key_col].to_numpy()))
+        g = g.iloc[order]
+        seg_start, _, _ = _segment_bounds(g[key_col].to_numpy())
+        vals = g[val_col].to_numpy().astype(np.int64)
+        c = np.cumsum(vals)
+        n = len(g)
+        lo = np.maximum(seg_start, np.arange(n, dtype=np.int64)
+                        - frame + 1)
+        roll = c - (c[lo] - vals[lo])
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             out_col: roll})
+
+    return _partitioned(ds, key_col, n_parts,
+                        approx_rows=approx_rows).groupby("part").map_groups(
+        body, batch_format="pandas")

@@ -332,3 +332,27 @@ def test_phrase_probe_exact_adjacency(tmp_path):
     # repeated-term phrase: 'aa aa' matches only the doubled turn
     got2 = phrase_probe(idx, ["aa", "aa"], k=100).to_pandas()
     assert sorted(got2["turn_idx"]) == [21]
+
+
+def test_grouped_rolling_sum_matches_pandas():
+    from alco_ray.stages.window import grouped_rolling_sum
+
+    t = _events(seed=29)
+
+    def cents(b):
+        import pyarrow.compute as pc2
+        return b.append_column(
+            "v", pc2.cast(b["event_id"], pa.int64()))
+
+    ds = _ds(t, 7).map_batches(cents, batch_format="pyarrow")
+    out = grouped_rolling_sum(ds, key_col="user_id", ts_col="ts",
+                              id_col="event_id", val_col="v", frame=3)
+    got = {r["event_id"]: r["roll"] for r in out.take_all()}
+    df = t.to_pandas()
+    df["v"] = df["event_id"].astype("int64")
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["want"] = (df.groupby("user_id")["v"]
+                  .rolling(3, min_periods=1).sum()
+                  .reset_index(level=0, drop=True).astype("int64"))
+    want = dict(zip(df["event_id"], df["want"]))
+    assert got == want
