@@ -1625,6 +1625,22 @@ def v_knn(sf_dir: str):
     return res.select_columns(["vec_id", "rank"])
 
 
+def v_knn_multi(sf_dir: str):
+    """Batched exact top-k (stages/similarity.knn_brute_multi): the
+    three probe vectors (vec_id < 3) score the whole corpus in ONE
+    matmul per block — the decontamination/hard-negative retrieval
+    shape.  Per query, identical semantics to v_knn."""
+    qt = pq.read_table(_tp(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 3)])
+    qt = qt.sort_by("vec_id")
+    qmat = np.array([np.asarray(v, dtype=np.float64)
+                     for v in qt["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.knn_brute_multi(
+        ds, qmat, qt["vec_id"].to_numpy(), k=10)
+
+
 def _corpus_sig(sf_dir: str, table: str) -> str:
     """Source-file identity (path, size, mtime) — a persisted index
     built from a different corpus state must be rebuilt, not served."""
@@ -2357,6 +2373,290 @@ def e_dense_rank(sf_dir: str):
         out_col="drank", approx_rows=_nrows(_tp(sf_dir, "events")))
 
 
+def _dim_keyset(sf_dir: str, table: str, key_col: str, filter_col: str,
+                filter_val: str) -> pa.Array:
+    """Driver-side key set of a FILTERED dimension read (pruned to two
+    columns + a row filter) — the broadcast side of a runtime-filter
+    probe.  Correct only for dimension tables (bounded relative to the
+    fact side); fact-sized key sets must use stages.join.semi_join."""
+    ds = _read(sf_dir, table, columns=[key_col, filter_col])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return pa.table({key_col: b.filter(
+            pc.equal(b[filter_col], filter_val))[key_col]})
+
+    t = agg_stage.concat_nonempty(
+        ray.get(ds.map_batches(keep, batch_format="pyarrow")
+                .to_arrow_refs()))
+    return t[key_col].combine_chunks()
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14-style conditional-aggregation ratio (promo revenue vs
+    total revenue per ship month): the promo part-key set is a pruned
+    filtered dimension read broadcast ONCE (ray.put), each lineitem
+    batch computes integer revenue units (cents × (100 − discount
+    basis points), exact int64) and folds (month, promo, total)
+    partials locally — the global fold is over the bounded month
+    domain, so no fact-side shuffle exists at any scale.  The ratio is
+    left to the consumer (two exact integers hash better than one
+    float)."""
+    promo = _dim_keyset(sf_dir, "part", "p_partkey", "p_type", "PROMO")
+    ref = ray.put(promo)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(b["l_discount"], 100),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        units = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                               bp))
+        month = pc.add(pc.multiply(pc.cast(pc.year(b["l_shipdate"]),
+                                           pa.int64()),
+                                   pa.scalar(100, pa.int64())),
+                       pc.cast(pc.month(b["l_shipdate"]), pa.int64()))
+        is_promo = pc.is_in(b["l_partkey"], value_set=ray.get(ref))
+        pu = pc.if_else(is_promo, units, pa.scalar(0, pa.int64()))
+        return (pa.table({"ship_month": month, "promo_units": pu,
+                          "total_units": units})
+                .group_by(["ship_month"])
+                .aggregate([("promo_units", "sum"), ("total_units", "sum")])
+                .rename_columns(["ship_month", "promo_units",
+                                 "total_units"]))
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    out = agg_stage.fold_partials(p, ["ship_month"],
+                                  [("promo_units", "sum"),
+                                   ("total_units", "sum")])
+    return ray.data.from_arrow(out)
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15-style argmax-of-aggregate (the supplier(s) with
+    maximum lineitem revenue): per-suppkey revenue partials fold in
+    key-hash partitions (suppkey domain is unbounded, so no driver
+    fold of the full per-key table), each partition emits ONLY its
+    local maxima rows (every suppkey lives wholly in one partition),
+    and the driver folds n_partitions tiny candidate rows to the
+    global max — then the winning keys broadcast back over a pruned
+    supplier read for the name.  Two scans of nothing: the argmax
+    never materializes the per-supplier aggregate."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(b["l_discount"], 100),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        units = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                               bp))
+        return (pa.table({"l_suppkey": b["l_suppkey"], "units": units})
+                .group_by(["l_suppkey"]).aggregate([("units", "sum")])
+                .rename_columns(["l_suppkey", "units"]))
+
+    def local_argmax(g: "pd.DataFrame") -> "pd.DataFrame":
+        s = g.groupby("l_suppkey", as_index=False)["units"].sum()
+        return s[s["units"] == s["units"].max()]
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    cand = (window.partition_by_key(
+        p, "l_suppkey", approx_rows=_nrows(_tp(sf_dir, "lineitem")))
+        .groupby("part").map_groups(local_argmax, batch_format="pandas"))
+    ct = agg_stage.concat_nonempty(ray.get(cand.to_arrow_refs()))
+    if ct.num_rows == 0 or ct.num_columns == 0:
+        return ray.data.from_arrow(pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "total_units": pa.array([], pa.int64())}))
+    gmax = pc.max(ct["units"]).as_py()
+    win = ct.filter(pc.equal(ct["units"], gmax))
+    keys = win["l_suppkey"].combine_chunks()
+    ref = ray.put((keys, win["units"].combine_chunks()))
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        k0, u0 = ray.get(ref)
+        idx = pc.index_in(b["s_suppkey"], value_set=k0)
+        hit = pc.is_valid(idx)
+        b = b.filter(hit)
+        return b.append_column("total_units", pc.take(u0, idx.filter(hit)))
+
+    return sup.map_batches(probe, batch_format="pyarrow")
+
+
+def q_avg_qty_joinback(sf_dir: str):
+    """TPC-H Q17-style correlated-scalar join-back (revenue of
+    small-quantity orders for one brand's parts): the brand key set is
+    a filtered dimension broadcast (runtime filter — lineitem never
+    shuffles), per-partkey (sum_qty, count) folds driver-side (bounded
+    by the brand subset of the part dimension), broadcasts back, and
+    the avg comparison is the integer cross-multiply
+    5·qty·cnt < sum_qty — 'qty < 0.2·avg(qty)' with zero FP.  Output
+    is one exact row (total_cents, n_rows)."""
+    brand = _dim_keyset(sf_dir, "part", "p_partkey", "p_brand", "Brand#4")
+    bref = ray.put(brand)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def narrowed(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=ray.get(bref)))
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"l_partkey": b["l_partkey"], "q": q,
+                         "cents": cents})
+
+    nds = li.map_batches(narrowed, batch_format="pyarrow")
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        return (pa.table({"l_partkey": b["l_partkey"], "sq": b["q"],
+                          "one": pa.array(np.ones(b.num_rows, np.int64))})
+                .group_by(["l_partkey"])
+                .aggregate([("sq", "sum"), ("one", "sum")])
+                .rename_columns(["l_partkey", "sq", "cnt"]))
+
+    stats = agg_stage.fold_partials(
+        nds.map_batches(stat_partial, batch_format="pyarrow"),
+        ["l_partkey"], [("sq", "sum"), ("cnt", "sum")])
+    sref = ray.put((stats["l_partkey"].combine_chunks(),
+                    stats["sq"].combine_chunks(),
+                    stats["cnt"].combine_chunks()))
+
+    def winnow(b: pa.Table) -> pa.Table:
+        k0, sq0, c0 = ray.get(sref)
+        idx = pc.index_in(b["l_partkey"], value_set=k0)
+        sq = pc.take(sq0, idx)
+        cnt = pc.take(c0, idx)
+        lhs = pc.multiply(pc.multiply(b["q"], pa.scalar(5, pa.int64())),
+                          cnt)
+        keep = pc.less(lhs, sq)
+        kept = b.filter(keep)
+        return pa.table({
+            "total_cents": pa.array([pc.sum(kept["cents"]).as_py() or 0],
+                                    pa.int64()),
+            "n_rows": pa.array([kept.num_rows], pa.int64())})
+
+    parts = ray.get(nds.map_batches(winnow, batch_format="pyarrow")
+                    .to_arrow_refs())
+    t = agg_stage.concat_nonempty(parts)
+    return ray.data.from_arrow(pa.table({
+        "total_cents": pa.array([pc.sum(t["total_cents"]).as_py() or 0],
+                                pa.int64()),
+        "n_rows": pa.array([pc.sum(t["n_rows"]).as_py() or 0],
+                           pa.int64())}))
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H Q22-style global-scalar + anti-join analytic (positive-
+    balance customers above the average positive balance who never
+    placed a HIGH-VALUE order — o_totalprice > $400k; this corpus has
+    no order-less customers, so the literal Q22 predicate is vacuous —
+    counted per nation): the global average is two int64 scalars
+    folded from per-block partials, the comparison is the integer
+    cross-multiply cents·N > S (no FP division), the no-big-order
+    filter is stages.join.anti_join — hash-shuffle against the
+    UNBOUNDED filtered-orders key side (the right side never
+    broadcasts) — and the final per-nation fold is over the bounded
+    nation domain."""
+    from ..stages.join import anti_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "c_nationkey": pc.cast(b["c_nationkey"],
+                                                pa.int64()),
+                         "cents": cents})
+
+    cds = cust.map_batches(cents_tbl, batch_format="pyarrow")
+
+    def scalar_partial(b: pa.Table) -> pa.Table:
+        pos = b.filter(pc.greater(b["cents"], 0))
+        return pa.table({"s": pa.array([pc.sum(pos["cents"]).as_py() or 0],
+                                       pa.int64()),
+                         "n": pa.array([pos.num_rows], pa.int64())})
+
+    sp = agg_stage.concat_nonempty(
+        ray.get(cds.map_batches(scalar_partial, batch_format="pyarrow")
+                .to_arrow_refs()))
+    s_tot = pc.sum(sp["s"]).as_py() or 0
+    n_tot = pc.sum(sp["n"]).as_py() or 0
+
+    def above_avg(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b["cents"], 0),
+                       pc.greater(pc.multiply(b["cents"],
+                                              pa.scalar(n_tot, pa.int64())),
+                                  pa.scalar(s_tot, pa.int64())))
+        return b.filter(keep)
+
+    rich = cds.map_batches(above_avg, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def big_orders(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["o_totalprice"], 400_000.0)
+        return pa.table({"o_custkey": b.filter(keep)["o_custkey"]})
+
+    big = orders.map_batches(big_orders, batch_format="pyarrow")
+    idle = anti_join(rich, big, "c_custkey", right_on="o_custkey",
+                     approx_rows=_nrows(_tp(sf_dir, "customer")))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        return (pa.table({"c_nationkey": b["c_nationkey"],
+                          "one": pa.array(np.ones(b.num_rows, np.int64)),
+                          "cents": b["cents"]})
+                .group_by(["c_nationkey"])
+                .aggregate([("one", "sum"), ("cents", "sum")])
+                .rename_columns(["c_nationkey", "n_cust", "total_cents"]))
+
+    out = agg_stage.fold_partials(
+        idle.map_batches(nation_partial, batch_format="pyarrow"),
+        ["c_nationkey"], [("n_cust", "sum"), ("total_cents", "sum")],
+        empty_schema=pa.schema([("c_nationkey", pa.int64()),
+                                ("n_cust", pa.int64()),
+                                ("total_cents", pa.int64())]))
+    # returned as pa.Table: ray.data.from_arrow drops the schema of a
+    # zero-row table on to_pandas, and this result CAN be legitimately
+    # empty (every above-average customer ordered at least once).
+    return out
+
+
+def v_range_search(sf_dir: str):
+    """Radius cosine search (stages/similarity.range_search): every
+    vector within cosine ≥ 0.25 of the query — the fixed-floor dual of
+    v_knn's fixed-count retrieval.  One broadcast, one matmul per
+    block, zero shuffle."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.range_search(ds, _query_vec(sf_dir), 0.25)
+
+
+def d_chunk(sf_dir: str):
+    """Context-window chunking (stages/text.chunk_documents): each doc
+    split into consecutive 64-token windows with exact text
+    reassembly — the doc→training-row expansion stage.  Stateless
+    map, no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.chunk_documents(b, chunk_size=64),
+        batch_format="pyarrow")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -2421,10 +2721,24 @@ REGISTRY = {
     "e_funnel": e_funnel,
     "q_returns_topk": q_returns_topk,
     "e_retention": e_retention,
+    # round-3g additions (never driver-checked -> in-window): the two
+    # genuinely NEW operators this round.  The four TPC-H composition
+    # queries added alongside (q_promo_share/q_top_supplier/
+    # q_avg_qty_joinback/q_idle_customers) ride tail pins — every
+    # kernel they compose is already in-window (see tail comments).
+    # Displaced to make room: t_enriched + t_dedup_backstop, both
+    # r1+r2 driver-green TWICE (the strongest history in the registry);
+    # t_enriched's broadcast dict-probe shape is pinned in-window by
+    # q_region_revenue's runtime-filter probe (same index_in/is_in
+    # broadcast machinery) with the dict build pytest-pinned and
+    # tail-siblings t_dict_role/e_dict_encode r2-green;
+    # t_dedup_backstop's key-partitioned first-wins dedup is
+    # tail-sibling d_dedup_exact's machinery (r2-green) with the dedup
+    # family pinned in-window by d_minhash_lsh's exact-verify chain.
+    "v_range_search": v_range_search,
+    "d_chunk": d_chunk,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
-    "t_enriched": t_enriched,
-    "t_dedup_backstop": t_dedup_backstop,
     # documents / training-data ops
     "d_minhash_lsh": d_minhash_lsh,
     "d_pack_greedy": d_pack_greedy,
@@ -2635,4 +2949,31 @@ REGISTRY = {
     "e_minmax_ts": e_minmax_ts,
     "d_stratified_sample": d_stratified_sample,
     "d_pack_concat": d_pack_concat,
+    # (round-3g tail placements.  t_enriched / t_dedup_backstop:
+    # displaced from the window, rationale at the round-3g comment
+    # above.  The four TPC-H composition queries are tail because
+    # every kernel they compose is in-window: q_promo_share =
+    # _dim_keyset runtime-filter broadcast (q_region_revenue) +
+    # bounded-key fold_partials (q_order_priority, t_parse_metrics);
+    # q_top_supplier = per-key partials + partition_by_key local fold
+    # (the e_user_cumsum/e_dense_rank partitioned-kernel family) with
+    # the argmax-emission law pytest-pinned (planted-tie test);
+    # q_avg_qty_joinback = the same runtime-filter broadcast twice
+    # (dim keyset out, per-key stats back) — both probe shapes are
+    # q_region_revenue's — with the integer cross-multiply avg
+    # comparison pytest-pinned; q_idle_customers = global-scalar fold
+    # (t_parse_metrics' partial family) + stages.join.anti_join
+    # (t_anti_join in-window pins the operator against an unbounded
+    # right side via the same hash-shuffle machinery).)
+    "t_enriched": t_enriched,
+    "t_dedup_backstop": t_dedup_backstop,
+    "q_promo_share": q_promo_share,
+    "q_top_supplier": q_top_supplier,
+    "q_avg_qty_joinback": q_avg_qty_joinback,
+    "q_idle_customers": q_idle_customers,
+    # (v_knn_multi: per-query semantics, tie-break and block-local
+    # top-k merge are in-window v_knn's code path generalized to a
+    # query MATRIX; the batched matmul + grouped-rank merge is
+    # pytest-pinned against per-query knn_brute on multi-block input.)
+    "v_knn_multi": v_knn_multi,
 }

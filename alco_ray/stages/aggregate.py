@@ -37,7 +37,7 @@ def concat_nonempty(parts: list[pa.Table]) -> pa.Table:
 
 
 def fold_partials(partial_ds, keys: list[str], aggs: list[tuple[str, str]],
-                  ) -> pa.Table:
+                  empty_schema: pa.Schema | None = None) -> pa.Table:
     """Collect per-block partial-aggregate tables and merge driver-side.
 
     Correct ONLY for bounded-key aggregates (sinks x levels x buckets,
@@ -46,11 +46,18 @@ def fold_partials(partial_ds, keys: list[str], aggs: list[tuple[str, str]],
     sort/hash shuffle for that is pure fixed overhead (measured: Ray's
     groupby costs seconds of latency regardless of data size, while
     this fold is milliseconds).  Unbounded-key aggregates must keep
-    ``Dataset.groupby`` — see e_user_stats / per_conv_turn_stats."""
+    ``Dataset.groupby`` — see e_user_stats / per_conv_turn_stats.
+
+    ``empty_schema``: PRE-aggregation schema to assume when the
+    upstream produced no blocks at all (a fully-filtered input can
+    surface zero partials, not zero-row partials); without it that
+    case raises, because the key/agg types are unknowable here."""
     import ray
 
     parts = ray.get(partial_ds.to_arrow_refs())
     merged = concat_nonempty(parts)
+    if merged.num_columns == 0 and empty_schema is not None:
+        merged = empty_schema.empty_table()
     out_names = keys + [c for c, _ in aggs]
     out = (merged.group_by(keys).aggregate(aggs)
            .rename_columns(out_names)

@@ -92,6 +92,108 @@ def knn_brute(ds, query_vec, k: int = 10, *, col: str = "embedding",
     return ray.data.from_arrow(out)
 
 
+def knn_brute_multi(ds, query_mat, qids, k: int = 10, *,
+                    col: str = "embedding", id_col: str = "vec_id"):
+    """Batched exact cosine top-k — ONE matmul per block scores ALL
+    queries at once (the retrieval shape of eval-set decontamination
+    and hard-negative mining: thousands of probe vectors against the
+    full corpus).  Returns Dataset(qid, vec_id, rank), k rows per
+    query, tie-break (-sim, vec_id) — identical to :func:`knn_brute`
+    per query.
+
+    Scale shape: the (q, d) normalized query matrix broadcasts once
+    via ``ray.put``; each block pays one (n, d)x(d, q) float64 matmul
+    and emits q x k local-survivor rows, so the driver merge holds
+    num_blocks x q x k tiny rows — never the corpus.  The only Python
+    loop is over QUERIES within a block (selection per score column),
+    not rows."""
+    import ray
+    import ray.data
+
+    q = np.asarray(query_mat, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    if qid_arr.shape[0] != qn.shape[0]:
+        raise ValueError("qids must align with query_mat rows")
+    qref = ray.put((qn, qid_arr))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        qmat, qv = ray.get(qref)
+        m = _matrix(batch, col)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = (m / norms) @ qmat.T  # (n, q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        sel = np.empty((qmat.shape[0], kk), dtype=np.int64)
+        for j in range(qmat.shape[0]):
+            sel[j] = np.lexsort((ids, -sims[:, j]))[:kk]
+        return pa.table({
+            "qid": pa.array(np.repeat(qv, kk), pa.int64()),
+            id_col: pa.array(ids[sel.ravel()]),
+            "sim": pa.array(sims[sel.ravel(),
+                                 np.repeat(np.arange(qmat.shape[0]), kk)],
+                            pa.float64()),
+        })
+
+    local = ds.map_batches(local_top, batch_format="pyarrow",
+                           batch_size=None)
+    from .aggregate import concat_nonempty
+    merged = concat_nonempty(ray.get(local.to_arrow_refs()))
+    if merged.num_columns == 0:
+        return ray.data.from_arrow(pa.table({
+            "qid": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+    qcol = merged["qid"].to_numpy(zero_copy_only=False)
+    icol = merged[id_col].to_numpy(zero_copy_only=False)
+    scol = merged["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((icol, -scol, qcol))
+    qs = qcol[order]
+    new_grp = np.ones(len(qs), dtype=bool)
+    new_grp[1:] = qs[1:] != qs[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(new_grp, np.arange(len(qs)), 0))
+    rank = np.arange(len(qs)) - grp_start
+    keep = order[rank < k]
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(qcol[keep], pa.int64()),
+        id_col: pa.array(icol[keep]),
+        "rank": pa.array(rank[rank < k] + 1, pa.int64()),
+    }))
+
+
+def range_search(ds, query_vec, tau: float, *, col: str = "embedding",
+                 id_col: str = "vec_id"):
+    """Radius (range) cosine search: every vector with
+    ``cos(v, query) >= tau`` — the retrieval dual of top-k (fixed
+    similarity floor instead of fixed result count; the shape used for
+    'pull everything near this eval example' decontamination sweeps).
+
+    Pure streaming filter: the normalized query broadcasts once via
+    ``ray.put``, each block does one float64 matmul and keeps only the
+    in-radius rows — no shuffle, no driver materialization, result size
+    proportional to the true neighborhood.  At 100 TB this is a single
+    map over the corpus; compose with the LSH/IVF bucket indexes when
+    the radius is tight enough to prune reads."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    qref = ray.put(q)
+
+    def in_radius(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _matrix(batch, col)
+        sims = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        keep = sims >= tau
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        return pa.table({id_col: ids.filter(pa.array(keep))})
+
+    return ds.map_batches(in_radius, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def ivf_centroids(ds, n_centroids: int = 16, iters: int = 5, *,
                   col: str = "embedding", seed: int = 123) -> np.ndarray:
     """Distributed k-means (IVF coarse quantizer) over unit-normalized

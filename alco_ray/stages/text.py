@@ -103,6 +103,55 @@ def token_explode(batch: pa.Table, text_col: str = "text",
     return pa.table({id_col: ids, "token": pc.list_flatten(toks)})
 
 
+def chunk_documents(batch: pa.Table, chunk_size: int = 64,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Context-window chunking: split each document into consecutive
+    ``chunk_size``-token windows (last window may be short; empty docs
+    emit nothing).  The pretraining prep step that turns variable-
+    length documents into model-context rows — the inverse of
+    pack_greedy, which merges short docs UP to a budget.
+
+    Fully vectorized and embarrassingly parallel: one tokenize pass,
+    then the chunk list-array is rebuilt directly over the flat token
+    buffer with numpy-computed offsets (chunks tile each document's
+    token range exactly, so the boundaries ARE the offsets — no
+    per-chunk gather, no Python loop), and ``pc.binary_join`` emits
+    the chunk text.  Stateless per batch: at 100 TB this runs as a
+    plain map with zero shuffle."""
+    toks = tokenize(batch[text_col], batch.num_rows)
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    n_tok = np.diff(offs)
+    n_chunks = -(-n_tok // chunk_size)  # ceil; 0 for empty docs
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], batch[id_col].type),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+    doc_idx = np.repeat(np.arange(batch.num_rows), n_chunks)
+    first_chunk = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_idx = np.arange(total, dtype=np.int64) - first_chunk[doc_idx]
+    start = offs[doc_idx] + chunk_idx * chunk_size
+    end = np.minimum(start + chunk_size, offs[doc_idx + 1])
+    # consecutive chunks tile the flat token array (end[i] == start[i+1]
+    # within a doc and across docs, empty docs contributing nothing), so
+    # the list array is just (starts + final end) over the same buffer.
+    bounds = np.concatenate([start, end[-1:]])
+    lists = pa.ListArray.from_arrays(
+        pa.array(bounds, pa.int64()).cast(pa.int32()), toks.values)
+    ids = batch[id_col].combine_chunks() if isinstance(
+        batch[id_col], pa.ChunkedArray) else batch[id_col]
+    return pa.table({
+        id_col: pc.take(ids, pa.array(doc_idx)),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "n_tokens": pa.array(end - start, pa.int64()),
+        "chunk_text": pc.binary_join(lists, " "),
+    })
+
+
 def quality_score(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """Integer-exact quality features per document.

@@ -1,0 +1,204 @@
+"""Round-3g operators: radius cosine search, context-window chunking,
+and the TPC-H composition queries' kernels (partition-local argmax,
+integer avg cross-multiply, empty-fold schema).
+
+Each operator is compared against an independent brute force (numpy /
+pandas) on small adversarial inputs — ties in the argmax, chunk sizes
+that don't divide the token count, docs with zero tokens, an empty
+radius result.  The driver's DuckDB oracles pin the same semantics at
+sf0.01; these pin them at commit time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _emb_table(seed: int = 7, n: int = 200, d: int = 16):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, d).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    }), m
+
+
+def _ds(table, n_blocks: int = 5):
+    import ray.data
+
+    return ray.data.from_arrow(table).repartition(n_blocks)
+
+
+def test_range_search_matches_bruteforce():
+    from alco_ray.stages.similarity import range_search
+
+    t, m = _emb_table()
+    q = np.asarray(m[3], dtype=np.float64)
+    sims = (m.astype(np.float64) @ (q / np.linalg.norm(q)))
+    sims = sims / np.linalg.norm(m.astype(np.float64), axis=1)
+    for tau in (0.0, 0.2, 0.5):
+        got = range_search(_ds(t), q, tau).to_pandas()
+        want = set(np.flatnonzero(sims >= tau).tolist())
+        assert set(got["vec_id"].tolist()) == want
+        assert len(got) == len(want)  # no duplicate emission
+
+
+def test_knn_brute_multi_matches_per_query():
+    from alco_ray.stages.similarity import knn_brute, knn_brute_multi
+
+    t, m = _emb_table(seed=3, n=150)
+    qids = np.array([7, 42, 99], dtype=np.int64)
+    qmat = m[[7, 42, 99]].astype(np.float64)
+    got = knn_brute_multi(_ds(t, 4), qmat, qids, k=8).to_pandas()
+    assert len(got) == 3 * 8
+    for qid, qv in zip(qids, qmat):
+        sub = got[got["qid"] == qid].sort_values("rank")
+        want = knn_brute(_ds(t, 4), qv, k=8).to_pandas()
+        assert sub["vec_id"].tolist() == want["vec_id"].tolist()
+        assert sub["rank"].tolist() == want["rank"].tolist()
+
+
+def test_knn_brute_multi_k_exceeds_corpus():
+    from alco_ray.stages.similarity import knn_brute_multi
+
+    t, m = _emb_table(seed=9, n=5)
+    got = knn_brute_multi(_ds(t, 2), m[:2].astype(np.float64),
+                          np.array([0, 1]), k=10).to_pandas()
+    # k > corpus: every vector ranked once per query, no padding rows
+    assert sorted(got[got["qid"] == 0]["vec_id"].tolist()) == list(range(5))
+    assert sorted(got[got["qid"] == 1]["vec_id"].tolist()) == list(range(5))
+    assert got.groupby("qid")["rank"].max().tolist() == [5, 5]
+
+
+def test_range_search_empty_result():
+    from alco_ray.stages.similarity import range_search
+
+    t, m = _emb_table(n=40)
+    got = range_search(_ds(t, 3), m[0], 1.5).to_pandas()
+    assert len(got) == 0
+
+
+def test_chunk_documents_reassembly():
+    from alco_ray.stages.parse import tokenize
+    from alco_ray.stages.text import chunk_documents
+
+    rng = np.random.RandomState(23)
+    words = np.array(["alpha", "beta", "Gamma", "d7", "echo-five"])
+    texts = [" ".join(rng.choice(words, rng.randint(0, 23)))
+             for _ in range(40)]
+    texts[5] = ""            # zero tokens -> no chunks
+    texts[9] = "?!,  ..."    # punctuation-only -> zero tokens
+    batch = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                      "text": pa.array(texts)})
+    out = chunk_documents(batch, chunk_size=5)
+    toks = tokenize(batch["text"], batch.num_rows).to_pylist()
+    by_doc: dict[int, list] = {}
+    for r in out.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, tk in enumerate(toks):
+        rows = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not tk:
+            assert rows == []
+            continue
+        # contiguous chunk ids, exact text reassembly, size law
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert " ".join(r["chunk_text"] for r in rows) == " ".join(tk)
+        assert all(r["n_tokens"] == 5 for r in rows[:-1])
+        assert rows[-1]["n_tokens"] == len(tk) - 5 * (len(rows) - 1)
+        assert all(len(r["chunk_text"].split(" ")) == r["n_tokens"]
+                   for r in rows)
+
+
+def test_chunk_documents_exact_multiple():
+    from alco_ray.stages.text import chunk_documents
+
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([" ".join(["w"] * 10)])})
+    out = chunk_documents(batch, chunk_size=5).to_pylist()
+    assert [r["n_tokens"] for r in out] == [5, 5]
+    assert [r["chunk_text"] for r in out] == ["w w w w w"] * 2
+
+
+def _write_sf(tmp_path, tables: dict[str, pa.Table]) -> str:
+    d = tmp_path / "sf"
+    d.mkdir()
+    for name, t in tables.items():
+        pq.write_table(t, d / f"{name}.parquet")
+    return str(d)
+
+
+def test_top_supplier_emits_all_tied_maxima(tmp_path):
+    from alco_ray.pipelines.queries import q_top_supplier
+
+    # suppliers 1 and 2 tie exactly; 3 trails.
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 60.0, 40.0, 10.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+    })
+    sup = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+    })
+    sf = _write_sf(tmp_path, {"lineitem": li, "supplier": sup})
+    got = q_top_supplier(sf).to_pandas().sort_values("s_suppkey")
+    assert got["s_suppkey"].tolist() == [1, 2]
+    assert got["total_units"].tolist() == [100_00 * 100] * 2
+
+
+def test_avg_qty_joinback_integer_law(tmp_path):
+    from alco_ray.pipelines.queries import q_avg_qty_joinback
+
+    rng = np.random.RandomState(5)
+    n = 300
+    partkeys = rng.randint(1, 30, n).astype(np.int64)
+    qty = rng.randint(1, 50, n).astype(np.float64)
+    price = np.round(rng.uniform(10, 500, n), 2)
+    li = pa.table({
+        "l_partkey": pa.array(partkeys),
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(price),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(1, 30, dtype=np.int64)),
+        "p_brand": pa.array(["Brand#4" if k % 3 == 0 else "Brand#1"
+                             for k in range(1, 30)]),
+    })
+    sf = _write_sf(tmp_path, {"lineitem": li, "part": part})
+    got = q_avg_qty_joinback(sf).to_pandas()
+
+    brand = {k for k in range(1, 30) if k % 3 == 0}
+    mask = np.isin(partkeys, list(brand))
+    q = qty.astype(np.int64)
+    cents = np.round(price * 100).astype(np.int64)
+    total = n_rows = 0
+    for k in brand:
+        sel = partkeys == k
+        if not sel.any():
+            continue
+        sq, cnt = q[sel].sum(), sel.sum()
+        keep = sel & (5 * q * cnt < sq)
+        total += int(cents[keep].sum())
+        n_rows += int(keep.sum())
+    assert got["total_cents"].tolist() == [total]
+    assert got["n_rows"].tolist() == [n_rows]
+    assert mask.any()  # the planted brand subset is non-trivial
+
+
+def test_fold_partials_empty_schema():
+    import ray.data
+
+    from alco_ray.stages.aggregate import fold_partials
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    empty = ray.data.from_arrow(schema.empty_table()).map_batches(
+        lambda b: b, batch_format="pyarrow")
+    out = fold_partials(empty, ["k"], [("v", "sum")], empty_schema=schema)
+    assert out.num_rows == 0
+    assert out.column_names == ["k", "v"]
+    with pytest.raises(Exception):
+        fold_partials(empty, ["k"], [("v", "sum")])  # unknowable schema
