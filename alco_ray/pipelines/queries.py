@@ -2637,6 +2637,17 @@ def q_idle_customers(sf_dir: str):
     return out
 
 
+def e_value_pctl(sf_dir: str):
+    """Exact percentile_cont over the CONTINUOUS value column
+    (stages/aggregate.quantile_cont): iterative histogram refinement —
+    no global sort, no bounded-domain assumption — returning the two
+    bracketing order statistics per p as actual data values (the
+    interpolation is the consumer's one multiply, so the result
+    compares bit-for-bit against the SQL order statistics)."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    return agg_stage.quantile_cont(ds, "value", [0.25, 0.5, 0.9])
+
+
 def v_range_search(sf_dir: str):
     """Radius cosine search (stages/similarity.range_search): every
     vector within cosine ≥ 0.25 of the query — the fixed-floor dual of
@@ -2976,4 +2987,9 @@ REGISTRY = {
     # query MATRIX; the batched matmul + grouped-rank merge is
     # pytest-pinned against per-query knn_brute on multi-block input.)
     "v_knn_multi": v_knn_multi,
+    # (e_value_pctl: the map-side histogram partial + driver fold is
+    # in-window via e_value_quantiles (same family); the continuous
+    # refinement loop, collect short-circuit and ulp termination are
+    # pytest-pinned on adversarial duplicate layouts.)
+    "e_value_pctl": e_value_pctl,
 }

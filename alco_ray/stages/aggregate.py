@@ -464,6 +464,261 @@ def quantiles_disc(ds, value_col: str, qs: list[float], by: str,
     return pa.table(cols)
 
 
+def _float_vals(batch: pa.Table, col: str):
+    """Non-null float64 values of one column as a numpy array."""
+    import numpy as np
+
+    v = batch[col]
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    a = v.to_numpy(zero_copy_only=False).astype(np.float64)
+    return a[~np.isnan(a)]
+
+
+def _bracket_mask(a, lo: float, hi: float, closed: bool):
+    return (a >= lo) & ((a < hi) | (closed & (a <= hi)))
+
+
+def order_stats_cont(ds, value_col: str, ranks: list[int], *,
+                     n_buckets: int = 4096, collect_limit: int = 1 << 18,
+                     max_passes: int = 64,
+                     span: tuple[int, float, float] | None = None,
+                     ) -> dict[int, float]:
+    """EXACT k-th order statistics (0-based ranks) of a CONTINUOUS
+    float column — no global sort, no bounded-domain assumption (the
+    contract :func:`quantiles_disc` needs).
+
+    Iterative histogram refinement, the distributed selection
+    algorithm: each pass histograms the surviving bracket(s) into
+    ``n_buckets`` equal-width cells via map-side partials folded
+    driver-side (the fold is <= brackets x n_buckets tiny rows), then
+    narrows each rank's bracket to the one cell containing it — a
+    4096x width reduction per scan, so a 64-bit value range resolves
+    in <= 3-4 passes in practice and every pass is an embarrassingly
+    parallel column scan (no all-to-all; a distributed sort would scan
+    the same bytes AND shuffle all of them).  A bracket whose
+    population falls under ``collect_limit`` short-circuits: its
+    values are gathered (bounded driver memory) and selected exactly.
+    Duplicate-heavy columns terminate via the ulp rules: a one-ulp
+    right-open bracket can only hold its left endpoint, and a
+    no-progress pass snaps the bracket to the exact in-bracket
+    [min, max] (equal -> resolved).  NaNs/nulls are excluded.
+
+    ``span``: optional precomputed (n, min, max) to skip pass 0.
+    """
+    import numpy as np
+
+    import ray
+
+    if span is None:
+        span = _count_min_max(ds, value_col)
+    n, gmin, gmax = span
+    for r in ranks:
+        if not (0 <= r < n):
+            raise ValueError(f"rank {r} outside [0, {n})")
+    if not ranks:
+        return {}
+    # per-rank bracket: (lo, hi, closed, offset=global rank of lo's
+    # first in-bracket value, count=values inside)
+    brackets = {r: (float(gmin), float(gmax), True, 0, n) for r in ranks}
+    resolved: dict[int, float] = {}
+
+    for _ in range(max_passes):
+        pending = {r: b for r, b in brackets.items() if r not in resolved}
+        if not pending:
+            return resolved
+        collect: dict[int, tuple] = {}
+        refine: dict[int, tuple] = {}
+        for r, (lo, hi, closed, off, cnt) in pending.items():
+            if lo == hi or (not closed and np.nextafter(lo, hi) >= hi):
+                resolved[r] = lo  # single representable value left
+            elif cnt <= collect_limit:
+                collect[r] = (lo, hi, closed, off, cnt)
+            else:
+                refine[r] = (lo, hi, closed, off, cnt)
+
+        if collect:
+            regions = sorted({b[:3] for b in collect.values()})
+            rref = ray.put(regions)
+
+            def gather(batch: pa.Table) -> pa.Table:
+                a = _float_vals(batch, value_col)
+                bids, vals = [], []
+                for bid, (lo, hi, closed) in enumerate(ray.get(rref)):
+                    sel = a[_bracket_mask(a, lo, hi, closed)]
+                    if sel.size:
+                        bids.append(np.full(sel.size, bid, np.int64))
+                        vals.append(sel)
+                if not bids:
+                    return pa.table({"bid": pa.array([], pa.int64()),
+                                     "v": pa.array([], pa.float64())})
+                return pa.table({"bid": pa.array(np.concatenate(bids)),
+                                 "v": pa.array(np.concatenate(vals))})
+
+            got = concat_nonempty(ray.get(
+                ds.map_batches(gather, batch_format="pyarrow")
+                .to_arrow_refs()))
+            by_bid = {}
+            if got.num_rows:
+                bid_np = got["bid"].to_numpy(zero_copy_only=False)
+                v_np = got["v"].to_numpy(zero_copy_only=False)
+                for bid in np.unique(bid_np):
+                    by_bid[int(bid)] = np.sort(v_np[bid_np == bid])
+            for r, (lo, hi, closed, off, cnt) in collect.items():
+                vals = by_bid[regions.index((lo, hi, closed))]
+                resolved[r] = float(vals[r - off])
+
+        if not refine:
+            continue
+        regions = sorted({b[:3] for b in refine.values()})
+        rref = ray.put(regions)
+
+        def hist(batch: pa.Table) -> pa.Table:
+            a = _float_vals(batch, value_col)
+            bids, cells, cnts = [], [], []
+            for bid, (lo, hi, closed) in enumerate(ray.get(rref)):
+                sel = a[_bracket_mask(a, lo, hi, closed)]
+                if sel.size == 0:
+                    continue
+                bounds = np.linspace(lo, hi, n_buckets + 1)
+                idx = np.searchsorted(bounds, sel, side="right") - 1
+                np.clip(idx, 0, n_buckets - 1, out=idx)
+                c = np.bincount(idx, minlength=n_buckets)
+                nz = np.flatnonzero(c)
+                bids.append(np.full(nz.size, bid, np.int64))
+                cells.append(nz.astype(np.int64))
+                cnts.append(c[nz])
+            if not bids:
+                return pa.table({"bid": pa.array([], pa.int64()),
+                                 "cell": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"bid": pa.array(np.concatenate(bids)),
+                             "cell": pa.array(np.concatenate(cells)),
+                             "cnt": pa.array(np.concatenate(cnts))})
+
+        folded = concat_nonempty(ray.get(
+            ds.map_batches(hist, batch_format="pyarrow").to_arrow_refs()))
+        folded = (folded.group_by(["bid", "cell"]).aggregate([("cnt", "sum")])
+                  .rename_columns(["bid", "cell", "cnt"]))
+        fb = folded["bid"].to_numpy(zero_copy_only=False)
+        fc = folded["cell"].to_numpy(zero_copy_only=False)
+        fn = folded["cnt"].to_numpy(zero_copy_only=False)
+        for r, (lo, hi, closed, off, cnt) in refine.items():
+            bid = regions.index((lo, hi, closed))
+            cells = fc[fb == bid]
+            counts = fn[fb == bid]
+            order = np.argsort(cells)
+            cells, counts = cells[order], counts[order]
+            cum = np.cumsum(counts)
+            target = r - off
+            j = int(np.searchsorted(cum, target, side="right"))
+            cell = int(cells[j])
+            new_off = off + int(cum[j - 1] if j else 0)
+            new_cnt = int(counts[j])
+            bounds = np.linspace(lo, hi, n_buckets + 1)
+            new_lo = float(bounds[cell])
+            if cell == n_buckets - 1:
+                new_hi, new_closed = hi, closed
+            else:
+                new_hi, new_closed = float(bounds[cell + 1]), False
+            if (new_lo, new_hi, new_closed) == (lo, hi, closed):
+                # no float progress possible: snap to the exact
+                # in-bracket [min, max] (a strict subset or a proof
+                # that one value remains)
+                bmin, bmax = _bracket_min_max(ds, value_col, lo, hi,
+                                              closed)
+                if bmin == bmax:
+                    resolved[r] = bmin
+                    continue
+                new_lo, new_hi, new_closed = bmin, bmax, True
+            brackets[r] = (new_lo, new_hi, new_closed, new_off, new_cnt)
+    raise RuntimeError("order_stats_cont did not converge "
+                       f"(max_passes={max_passes})")
+
+
+def _count_min_max(ds, value_col: str) -> tuple[int, float, float]:
+    """(non-null count, min, max) via one map-side partial pass."""
+    import numpy as np
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = _float_vals(batch, value_col)
+        if a.size == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.inf], pa.float64()),
+                             "hi": pa.array([-np.inf], pa.float64())})
+        return pa.table({"n": pa.array([a.size], pa.int64()),
+                         "lo": pa.array([a.min()], pa.float64()),
+                         "hi": pa.array([a.max()], pa.float64())})
+
+    t = concat_nonempty(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()))
+    import pyarrow.compute as pc
+    # a zero-row input can surface as zero blocks -> zero-column concat
+    n = int(pc.sum(t["n"]).as_py() or 0) if t.num_columns else 0
+    if n == 0:
+        return 0, float("nan"), float("nan")
+    return (n, float(pc.min(t["lo"]).as_py()), float(pc.max(t["hi"]).as_py()))
+
+
+def _bracket_min_max(ds, value_col: str, lo: float, hi: float,
+                     closed: bool) -> tuple[float, float]:
+    import numpy as np
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = _float_vals(batch, value_col)
+        sel = a[_bracket_mask(a, lo, hi, closed)]
+        if sel.size == 0:
+            return pa.table({"lo": pa.array([np.inf], pa.float64()),
+                             "hi": pa.array([-np.inf], pa.float64())})
+        return pa.table({"lo": pa.array([sel.min()], pa.float64()),
+                         "hi": pa.array([sel.max()], pa.float64())})
+
+    t = concat_nonempty(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()))
+    import pyarrow.compute as pc
+    return (float(pc.min(t["lo"]).as_py()), float(pc.max(t["hi"]).as_py()))
+
+
+def quantile_cont(ds, value_col: str, ps: list[float], *,
+                  n_buckets: int = 4096,
+                  collect_limit: int = 1 << 18) -> pa.Table:
+    """SQL ``percentile_cont`` over a continuous column, kept EXACT:
+    for each p the two bracketing order statistics at ranks
+    floor(p*(n-1)) and ceil(p*(n-1)) are found by
+    :func:`order_stats_cont` and returned AS-IS (``lo_value`` /
+    ``hi_value`` are actual data values, so distributed and oracle
+    results compare bit-for-bit; the interpolated
+    (1-f)*lo + f*hi is the consumer's one multiply, the same
+    two-exact-integers trade q_promo_share makes)."""
+    import math
+
+    n, gmin, gmax = _count_min_max(ds, value_col)
+    if n == 0:
+        return pa.table({"p": pa.array([], pa.float64()),
+                         "lo_value": pa.array([], pa.float64()),
+                         "hi_value": pa.array([], pa.float64())})
+    ranks = set()
+    lo_r, hi_r = [], []
+    for p in ps:
+        idx = p * (n - 1)
+        lo_r.append(int(math.floor(idx)))
+        hi_r.append(int(math.ceil(idx)))
+        ranks.update((lo_r[-1], hi_r[-1]))
+    stats = order_stats_cont(ds, value_col, sorted(ranks),
+                             n_buckets=n_buckets,
+                             collect_limit=collect_limit,
+                             span=(n, gmin, gmax))
+    return pa.table({
+        "p": pa.array([float(p) for p in ps], pa.float64()),
+        "lo_value": pa.array([stats[r] for r in lo_r], pa.float64()),
+        "hi_value": pa.array([stats[r] for r in hi_r], pa.float64()),
+    })
+
+
 def melt(ds, id_cols: list[str], value_cols: list[str],
          var_col: str = "variable", val_col: str = "value"):
     """UNPIVOT / melt (wide -> long reshape, the inverse of

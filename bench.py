@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # first/last-by-key, Q18 having+join-back, cohort retention)
     "d_ngram_top", "d_heavy_tokens", "t_role_transitions",
     "e_first_last", "q_big_orders", "e_retention",
+    # round-3g operators (doc chunking, batched kNN, Q14 runtime-filter
+    # ratio)
+    "d_chunk", "v_knn_multi", "q_promo_share",
 ]
 
 

@@ -189,6 +189,72 @@ def test_avg_qty_joinback_integer_law(tmp_path):
     assert mask.any()  # the planted brand subset is non-trivial
 
 
+def _qc_ds(vals, n_blocks=6):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})
+    ).repartition(n_blocks)
+
+
+def test_quantile_cont_matches_sorted_bruteforce():
+    import math
+
+    from alco_ray.stages.aggregate import quantile_cont
+
+    rng = np.random.RandomState(1)
+    vals = rng.randn(5000) * 37.0
+    # tiny collect_limit forces the histogram refinement path
+    out = quantile_cont(_qc_ds(vals), "value", [0.0, 0.25, 0.5, 0.9, 1.0],
+                        collect_limit=50).to_pydict()
+    s = np.sort(vals)
+    n = len(s)
+    for i, p in enumerate(out["p"]):
+        idx = p * (n - 1)
+        assert out["lo_value"][i] == s[math.floor(idx)]
+        assert out["hi_value"][i] == s[math.ceil(idx)]
+
+
+def test_quantile_cont_duplicate_heavy():
+    from alco_ray.stages.aggregate import quantile_cont
+
+    # all-equal column: every percentile is that value
+    out = quantile_cont(_qc_ds(np.full(4000, 3.25)), "value", [0.5],
+                        collect_limit=10).to_pydict()
+    assert out["lo_value"] == [3.25] and out["hi_value"] == [3.25]
+    # two ulp-adjacent floats, mass too big to collect: the ulp
+    # termination rules must resolve, not loop
+    b = np.nextafter(1.0, 2.0)
+    vals = np.concatenate([np.full(3000, 1.0), np.full(3000, b)])
+    out = quantile_cont(_qc_ds(vals), "value", [0.25, 0.75],
+                        collect_limit=10).to_pydict()
+    assert out["lo_value"] == [1.0, b] and out["hi_value"] == [1.0, b]
+
+
+def test_quantile_cont_nulls_and_empty():
+    from alco_ray.stages.aggregate import quantile_cont
+
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "value": pa.array([None, 2.0, None, 1.0, 3.0], pa.float64())}))
+    out = quantile_cont(ds, "value", [0.5]).to_pydict()
+    assert out["lo_value"] == [2.0] and out["hi_value"] == [2.0]
+    empty = quantile_cont(_qc_ds(np.array([], np.float64), 1), "value",
+                          [0.5])
+    assert empty.num_rows == 0
+
+
+def test_order_stats_cont_rank_bounds():
+    from alco_ray.stages.aggregate import order_stats_cont
+
+    ds = _qc_ds(np.arange(10, dtype=np.float64), 2)
+    with pytest.raises(ValueError):
+        order_stats_cont(ds, "value", [10])
+    got = order_stats_cont(ds, "value", [0, 9], collect_limit=2)
+    assert got == {0: 0.0, 9: 9.0}
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
