@@ -2637,6 +2637,22 @@ def q_idle_customers(sf_dir: str):
     return out
 
 
+def d_mixture(sf_dir: str):
+    """Deterministic mixture resampling (stages/sample): the training
+    data-mixing step — each source up-/down-sampled at an explicit
+    rate ((source index mod 4) * 0.75 + 0.25 here, spanning drop-3/4,
+    pass-through, and 1.75x/2.5x upsampling), decided per row by the
+    shared multiplicative id-hash.  Stateless map, no shuffle; the
+    rate table is a bounded driver-side build over the distinct-source
+    fold."""
+    from ..stages import sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    srcs = agg_stage.distinct_values(ds, "source")["source"].to_pylist()
+    rates = {s: (int(s[3:]) % 4) * 0.75 + 0.25 for s in srcs}
+    return sample.mixture_resample(ds, rates)
+
+
 def e_value_pctl(sf_dir: str):
     """Exact percentile_cont over the CONTINUOUS value column
     (stages/aggregate.quantile_cont): iterative histogram refinement —
@@ -2992,4 +3008,9 @@ REGISTRY = {
     # refinement loop, collect short-circuit and ulp termination are
     # pytest-pinned on adversarial duplicate layouts.)
     "e_value_pctl": e_value_pctl,
+    # (d_mixture: the multiplicative-hash keep gate is in-window via
+    # d_source_cap (same hash, same threshold shape) and the row
+    # expansion is d_chunk's repeat/offset machinery; the expected-
+    # copies law and unmapped-source raise are pytest-pinned.)
+    "d_mixture": d_mixture,
 }

@@ -255,6 +255,67 @@ def test_order_stats_cont_rank_bounds():
     assert got == {0: 0.0, 9: 9.0}
 
 
+def test_mixture_resample_exact_copies():
+    import ray.data
+
+    from alco_ray.stages.sample import HASH_MOD, HASH_MULT, mixture_resample
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    srcs = np.array(["a", "b", "c", "d"])[ids % 4]
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(srcs)})
+    rates = {"a": 0.0, "b": 0.5, "c": 1.0, "d": 2.25}
+    out = mixture_resample(ray.data.from_arrow(t).repartition(5),
+                           rates).to_pandas()
+    # brute force: floor(r) copies + 1 iff hash below frac threshold
+    h = (ids * HASH_MULT) % HASH_MOD
+    want = {}
+    for i, s in zip(ids, srcs):
+        r = rates[s]
+        k = int(np.floor(r)) + (h[i] < np.floor((r - np.floor(r))
+                                                * HASH_MOD))
+        if k:
+            want[int(i)] = k
+    got = out.groupby("doc_id")["copy_idx"].agg(["count", "max"])
+    assert {int(i): int(c) for i, c in got["count"].items()} == want
+    # copy_idx is 0..k-1 per row
+    assert (got["max"] == got["count"] - 1).all()
+    # source a fully dropped, c exactly preserved
+    assert not (out["source"] == "a").any()
+    assert (out["source"] == "c").sum() == (srcs == "c").sum()
+
+
+def test_mixture_resample_unmapped_source_raises():
+    import ray.data
+
+    from alco_ray.stages.sample import mixture_resample
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "source": pa.array(["a", "zz"])})
+    ds = mixture_resample(ray.data.from_arrow(t), {"a": 1.0})
+    with pytest.raises(Exception, match="zz"):
+        ds.materialize()
+
+
+def test_temperature_rates_laws():
+    from alco_ray.stages.sample import temperature_rates
+
+    counts = {"big": 9000, "mid": 900, "small": 100}
+    n = sum(counts.values())
+    for tau in (0.0, 0.3, 0.7, 1.0):
+        r = temperature_rates(counts, tau)
+        # corpus size preserved in expectation
+        assert abs(sum(counts[s] * r[s] for s in counts) - n) < 1e-6
+        if tau < 1.0:  # flattening boosts rare, trims common
+            assert r["small"] > 1.0 > r["big"]
+    assert all(abs(v - 1.0) < 1e-12
+               for v in temperature_rates(counts, 1.0).values())
+    # tau=0 targets a uniform mix
+    r0 = temperature_rates(counts, 0.0)
+    tgt = {s: counts[s] * r0[s] for s in counts}
+    assert max(tgt.values()) - min(tgt.values()) < 1e-6
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
