@@ -2637,6 +2637,20 @@ def q_idle_customers(sf_dir: str):
     return out
 
 
+def e_events_1h(sf_dir: str):
+    """Time-RANGE window frame: per event, how many of the SAME user's
+    events fall in the trailing hour ``[ts - 1h, ts]`` — SQL RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW (peers included,
+    unlike the ROWS frames).  stages/window.grouped_range_count: one
+    lexsort + two searchsorted calls over a segment-offset composite
+    per key-hash partition, no per-segment loop."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return window.grouped_range_count(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        interval_us=3_600_000_000, out_col="n_1h",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 def d_mixture(sf_dir: str):
     """Deterministic mixture resampling (stages/sample): the training
     data-mixing step — each source up-/down-sampled at an explicit
@@ -3013,4 +3027,9 @@ REGISTRY = {
     # expansion is d_chunk's repeat/offset machinery; the expected-
     # copies law and unmapped-source raise are pytest-pinned.)
     "d_mixture": d_mixture,
+    # (e_events_1h: rides the in-window partitioned segmented-kernel
+    # family (e_event_gaps/e_user_cumsum/e_dense_rank); the RANGE-frame
+    # peers-included searchsorted law is pytest-pinned vs a pandas
+    # brute force with planted ties.)
+    "e_events_1h": e_events_1h,
 }

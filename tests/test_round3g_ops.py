@@ -316,6 +316,54 @@ def test_temperature_rates_laws():
     assert max(tgt.values()) - min(tgt.values()) < 1e-6
 
 
+def test_grouped_range_count_matches_pandas():
+    import pandas as pd
+    import ray.data
+
+    from alco_ray.stages.window import grouped_range_count
+
+    rng = np.random.RandomState(17)
+    n = 800
+    users = rng.randint(0, 25, n).astype(np.int64)
+    # coarse second grid plants plenty of exact-tie peers
+    ts = np.datetime64("2026-01-01", "us") + \
+        rng.randint(0, 3600 * 4, n).astype("timedelta64[s]").astype(
+            "timedelta64[us]")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    interval = 900 * 1_000_000  # 15 min
+    got = grouped_range_count(
+        ray.data.from_arrow(t).repartition(6), key_col="user_id",
+        ts_col="ts", id_col="event_id", interval_us=interval,
+        out_col="n_range").to_pandas().set_index("event_id")["n_range"]
+    df = pd.DataFrame({"u": users, "t": ts.view(np.int64),
+                       "e": np.arange(n)})
+    for _, r in df.iterrows():
+        want = ((df["u"] == r["u"]) & (df["t"] >= r["t"] - interval)
+                & (df["t"] <= r["t"])).sum()
+        assert got[r["e"]] == want
+
+
+def test_grouped_range_count_peers_included():
+    import ray.data
+
+    from alco_ray.stages.window import grouped_range_count
+
+    # three rows, identical ts: RANGE frame counts all three for each
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "ts": pa.array(np.full(3, np.datetime64("2026-01-01", "us"))),
+    })
+    got = grouped_range_count(
+        ray.data.from_arrow(t), key_col="user_id", ts_col="ts",
+        id_col="event_id", interval_us=1).to_pandas()
+    assert got["n_range"].tolist() == [3, 3, 3]
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
