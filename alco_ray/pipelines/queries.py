@@ -2637,6 +2637,48 @@ def q_idle_customers(sf_dir: str):
     return out
 
 
+def d_curate(sf_dir: str):
+    """End-to-end curation pipeline — the documents->training-rows
+    analog of the transcript flagship, composing three registry
+    operators into one stream: quality gate (>= 20 tokens, >= 10%
+    stopwords; stateless map) -> exact text dedup (min-doc_id
+    representative; the chain's ONLY shuffle, one key-hash partition
+    pass) -> 64-token context chunks (stateless map off the dedup
+    survivors).  Output is the model-ready row set (doc_id, chunk_idx,
+    n_tokens, chunk_text), bit-exact against the oracle SQL of the
+    same three stages."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def quality_keep(b: pa.Table) -> pa.Table:
+        q = text.quality_score(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(pc.multiply(q["n_stopwords"],
+                                         pa.scalar(10, pa.int64())),
+                             q["n_tokens"]))
+        return b.filter(keep)
+
+    kept = ds.map_batches(quality_keep, batch_format="pyarrow")
+    unique = dedup.dedup_exact(kept, ["text"], "doc_id",
+                               approx_rows=_nrows(_tp(sf_dir, "documents")))
+    return unique.map_batches(
+        lambda b: text.chunk_documents(b.select(["doc_id", "text"]),
+                                       chunk_size=64),
+        batch_format="pyarrow")
+
+
+def e_user_median(sf_dir: str):
+    """Per-GROUP continuous median (percentile_cont(0.5) WITHIN GROUP
+    per user): stages/aggregate.group_order_stats — key-hash
+    partitions co-locate each user, one lexsort + segment-start gather
+    selects both bracketing order statistics per user, values returned
+    AS-IS for bit-exact comparison."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    return agg_stage.group_order_stats(
+        ds, "user_id", "value", 0.5,
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 def e_events_1h(sf_dir: str):
     """Time-RANGE window frame: per event, how many of the SAME user's
     events fall in the trailing hour ``[ts - 1h, ts]`` — SQL RANGE
@@ -3032,4 +3074,15 @@ REGISTRY = {
     # peers-included searchsorted law is pytest-pinned vs a pandas
     # brute force with planted ties.)
     "e_events_1h": e_events_1h,
+    # (e_user_median: same partitioned segmented-kernel family pins
+    # the machinery; the floor/ceil rank-selection law is e_value_pctl's
+    # (tail, hash-green at 3 scales) applied per segment, pytest-pinned
+    # vs numpy per-group brute force.)
+    "e_user_median": e_user_median,
+    # (d_curate: a pure composition of three registry operators —
+    # quality gate (d_quality_filter's exact predicate), exact text
+    # dedup (d_dedup_exact, in-window family via t_dedup_backstop
+    # history + d_minhash_lsh), context chunking (d_chunk, in-window)
+    # — with its own full-chain oracle.)
+    "d_curate": d_curate,
 }

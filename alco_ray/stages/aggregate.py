@@ -719,6 +719,51 @@ def quantile_cont(ds, value_col: str, ps: list[float], *,
     })
 
 
+def group_order_stats(ds, key_col: str, val_col: str, p: float, *,
+                      lo_col: str = "lo_value", hi_col: str = "hi_value",
+                      n_parts: int | None = None,
+                      approx_rows: int | None = None):
+    """Per-GROUP continuous percentile (SQL ``percentile_cont(p)
+    WITHIN GROUP (ORDER BY val) ... GROUP BY key``), kept exact the
+    same way :func:`quantile_cont` is: the two bracketing order
+    statistics at ranks floor/ceil(p*(n_g-1)) are returned as actual
+    data values per key.
+
+    Unlike the global :func:`order_stats_cont` (whose key domain is
+    ONE), the grouped variant hash-partitions by key — every group
+    lands whole in one partition — and selects with one lexsort +
+    segment-start gather per partition: no per-group Python, no
+    iterative passes (the group's rows are already co-located, so
+    selection is an in-partition index away)."""
+    import numpy as np
+    import pandas as pd
+
+    from .window import _segment_bounds, partition_by_key
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: np.array([], np.int64),
+                                 lo_col: np.array([], np.float64),
+                                 hi_col: np.array([], np.float64)})
+        k = g[key_col].to_numpy()
+        v = g[val_col].to_numpy().astype(np.float64)
+        nn = ~np.isnan(v)
+        k, v = k[nn], v[nn]
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        seg_start, seg_end, _ = _segment_bounds(k)
+        starts = np.unique(seg_start)
+        cnt = seg_end[starts] - starts
+        lo_r = starts + np.floor(p * (cnt - 1)).astype(np.int64)
+        hi_r = starts + np.ceil(p * (cnt - 1)).astype(np.int64)
+        return pd.DataFrame({key_col: k[starts],
+                             lo_col: v[lo_r], hi_col: v[hi_r]})
+
+    return partition_by_key(ds, key_col, n_parts,
+                            approx_rows=approx_rows).groupby(
+        "part").map_groups(body, batch_format="pandas")
+
+
 def melt(ds, id_cols: list[str], value_cols: list[str],
          var_col: str = "variable", val_col: str = "value"):
     """UNPIVOT / melt (wide -> long reshape, the inverse of

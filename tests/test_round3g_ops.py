@@ -364,6 +364,53 @@ def test_grouped_range_count_peers_included():
     assert got["n_range"].tolist() == [3, 3, 3]
 
 
+def test_group_order_stats_matches_numpy():
+    import math
+
+    import ray.data
+
+    from alco_ray.stages.aggregate import group_order_stats
+
+    rng = np.random.RandomState(29)
+    n = 600
+    keys = rng.randint(0, 40, n).astype(np.int64)
+    vals = rng.randn(n) * 11.0
+    vals[3] = np.nan  # nulls excluded per contract
+    t = pa.table({"user_id": pa.array(keys),
+                  "value": pa.array(vals, pa.float64())})
+    for p in (0.0, 0.5, 0.9):
+        got = group_order_stats(
+            ray.data.from_arrow(t).repartition(5), "user_id", "value",
+            p).to_pandas().set_index("user_id").sort_index()
+        for k in np.unique(keys):
+            s = np.sort(vals[(keys == k) & ~np.isnan(vals)])
+            idx = p * (len(s) - 1)
+            assert got.loc[k, "lo_value"] == s[math.floor(idx)]
+            assert got.loc[k, "hi_value"] == s[math.ceil(idx)]
+
+
+def test_curate_chain_laws(tmp_path):
+    from alco_ray.pipelines.queries import d_curate
+
+    good = " ".join(["the word"] * 40)       # 80 tokens, 50% stopwords
+    other = " ".join(["of thing"] * 35)      # 70 tokens, 50% stopwords
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["too short", good, good, other]),
+    })
+    sf = _write_sf(tmp_path, {"documents": docs})
+    got = d_curate(sf).to_pandas()
+    # low-quality doc 1 dropped; duplicate doc 3 collapsed into doc 2
+    assert set(got["doc_id"]) == {2, 4}
+    # chunk arithmetic: 80 tokens -> 64 + 16; 70 -> 64 + 6
+    d2 = got[got["doc_id"] == 2].sort_values("chunk_idx")
+    assert d2["n_tokens"].tolist() == [64, 16]
+    d4 = got[got["doc_id"] == 4].sort_values("chunk_idx")
+    assert d4["n_tokens"].tolist() == [64, 6]
+    joined = " ".join(d2["chunk_text"])
+    assert joined == good  # exact reassembly through the whole chain
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
