@@ -339,14 +339,13 @@ def _transcript_sig(sf_dir: str) -> str:
     return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:16]
 
 
-def t_grep_indexed(sf_dir: str):
-    """The same grep as t_grep, answered from the PERSISTED inverted
-    index (stages/textindex.py — the Sphinx MATCH analog): build once
-    (token postings bucketed by hash + per-day docstore, staged swap,
-    corpus-signature staleness), then probe by reading ONE posting
-    bucket and only the matched rows' day partitions — no per-query
-    corpus re-scan or re-parse."""
-    from ..stages.textindex import build_text_index, grep_probe
+def _ensure_text_index(sf_dir: str) -> Path:
+    """Build-or-reuse the persisted inverted text index for a corpus
+    (shared by every indexed-search query): corpus-signature freshness
+    gate, one parse pass on (re)build.  A stale index (shards added or
+    rewritten) rebuilds whole here; streaming appends use
+    textindex.update_text_index (pytest-pinned equivalent)."""
+    from ..stages.textindex import build_text_index
 
     idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "text_index"
     sig = _transcript_sig(sf_dir)
@@ -360,6 +359,19 @@ def t_grep_indexed(sf_dir: str):
                           "text"])
         build_text_index(parsed, idx, approx_rows=_nrows(_corpus(sf_dir)),
                          extra_meta={"corpus_sig": sig})
+    return idx
+
+
+def t_grep_indexed(sf_dir: str):
+    """The same grep as t_grep, answered from the PERSISTED inverted
+    index (stages/textindex.py — the Sphinx MATCH analog): build once
+    (token postings bucketed by hash + per-day docstore, staged swap,
+    corpus-signature staleness), then probe by reading ONE posting
+    bucket and only the matched rows' day partitions — no per-query
+    corpus re-scan or re-parse."""
+    from ..stages.textindex import grep_probe
+
+    idx = _ensure_text_index(sf_dir)
     return grep_probe(
         idx, "shuffle", level="ERROR",
         ts_min=np.datetime64("2024-01-05T00:00:00", "us"),
@@ -372,20 +384,9 @@ def t_grep_and(sf_dir: str):
     'shuffle' and 'stream' as whole tokens — per-term pruned posting
     buckets, one (conv, turn)-hash intersection pass, top-k, docstore
     fetch (stages/textindex.match_all_probe)."""
-    from ..stages.textindex import build_text_index, match_all_probe
+    from ..stages.textindex import match_all_probe
 
-    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "text_index"
-    sig = _transcript_sig(sf_dir)
-    if not _index_fresh(idx, sig):
-        cfg = default_transcript_config()
-        parsed = read_transcripts(
-            _corpus(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"]
-        ).map_batches(make_parse_batch(cfg, only={"level", "parsed_ts"}),
-                      batch_format="pyarrow", batch_size=None
-        ).select_columns(["conv_id", "turn_idx", "parsed_ts", "level",
-                          "text"])
-        build_text_index(parsed, idx, approx_rows=_nrows(_corpus(sf_dir)),
-                         extra_meta={"corpus_sig": sig})
+    idx = _ensure_text_index(sf_dir)
     return match_all_probe(idx, ["shuffle", "stream"], k=20)
 
 
@@ -397,21 +398,24 @@ def t_grep_phrase(sf_dir: str):
     Oracle substring LIKE '%shuffle stream%' is equivalent on this
     corpus: words are single-space separated and neither term is a
     substring of any other token."""
-    from ..stages.textindex import build_text_index, phrase_probe
+    from ..stages.textindex import phrase_probe
 
-    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "text_index"
-    sig = _transcript_sig(sf_dir)
-    if not _index_fresh(idx, sig):
-        cfg = default_transcript_config()
-        parsed = read_transcripts(
-            _corpus(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"]
-        ).map_batches(make_parse_batch(cfg, only={"level", "parsed_ts"}),
-                      batch_format="pyarrow", batch_size=None
-        ).select_columns(["conv_id", "turn_idx", "parsed_ts", "level",
-                          "text"])
-        build_text_index(parsed, idx, approx_rows=_nrows(_corpus(sf_dir)),
-                         extra_meta={"corpus_sig": sig})
+    idx = _ensure_text_index(sf_dir)
     return phrase_probe(idx, ["shuffle", "stream"], k=20)
+
+
+def t_grep_or(sf_dir: str):
+    """Multi-term OR search on the persisted index (Sphinx
+    MATCH('a | b') disjunction): turns containing EITHER 'shuffle' or
+    'stream' as whole tokens — per-term pruned posting buckets, one
+    (conv, turn)-hash dedupe pass (a turn matching both terms counts
+    once), top-k, docstore fetch (stages/textindex.match_any_probe).
+    Oracle substring LIKE-OR is equivalent on this corpus (same
+    substring-safety argument t_grep_and documents)."""
+    from ..stages.textindex import match_any_probe
+
+    idx = _ensure_text_index(sf_dir)
+    return match_any_probe(idx, ["shuffle", "stream"], k=20)
 
 
 def t_dead_letter(sf_dir: str):
@@ -3085,4 +3089,9 @@ REGISTRY = {
     # history + d_minhash_lsh), context chunking (d_chunk, in-window)
     # — with its own full-chain oracle.)
     "d_curate": d_curate,
+    # (t_grep_or: same tail rationale as t_grep_and/t_grep_phrase —
+    # probe + fetch machinery in-window via t_grep_indexed; the
+    # union-dedupe kernel and the incremental update_text_index
+    # equivalence are pytest-pinned.)
+    "t_grep_or": t_grep_or,
 }

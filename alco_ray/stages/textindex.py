@@ -305,6 +305,133 @@ def match_all_probe(index_dir: str | Path, terms: list[str], *,
     return _fetch_texts(d, text_col, topk, empty, stats_out)
 
 
+def match_any_probe(index_dir: str | Path, terms: list[str], *,
+                    level: str | None = None, ts_min=None, ts_max=None,
+                    k: int = 20, stats_out: dict | None = None):
+    """Multi-term OR probe (Sphinx ``MATCH('a | b')`` disjunction):
+    rows whose tokenized text contains ANY of the terms.  Same pruned
+    per-term bucket reads as :func:`match_all_probe`; instead of an
+    intersection, one key-hash partition pass DEDUPLICATES turns that
+    matched several terms (first row per (conv, turn) — posting rows
+    per term are already turn-distinct), then top-k + docstore
+    fetch."""
+    import pandas as pd
+    import ray.data
+
+    from .order import top_k
+    from .window import partition_by_key
+
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    terms_l = sorted({t.lower() for t in terms})
+    buckets = sorted({int(b) for b in _bucket_of(
+        np.array(terms_l, dtype=object), meta["n_buckets"])})
+    pfiles = sorted(str(p) for b in buckets
+                    for p in (d / "postings" / f"bucket={b}")
+                    .glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["posting_files"] = pfiles
+        stats_out["doc_files"] = []
+    text_col = meta["text_col"]
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "parsed_ts": pa.array([], pa.timestamp("us")),
+                      text_col: pa.array([], pa.string())})
+    if not pfiles:
+        return ray.data.from_arrow(empty)
+    term_set = pa.array(terms_l, pa.string())
+
+    def match(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["token"], value_set=term_set)
+        if level is not None:
+            keep = pc.and_(keep, pc.equal(b["level"], level))
+        if ts_min is not None:
+            keep = pc.and_(keep, pc.greater_equal(b["parsed_ts"],
+                                                  pa.scalar(ts_min)))
+        if ts_max is not None:
+            keep = pc.and_(keep, pc.less(b["parsed_ts"],
+                                         pa.scalar(ts_max)))
+        return b.filter(keep).select(["conv_id", "turn_idx", "parsed_ts"])
+
+    hits = ray.data.read_parquet(pfiles) \
+        .map_batches(match, batch_format="pyarrow", batch_size=None)
+
+    def dedupe(g: "pd.DataFrame") -> pa.Table:
+        u = g.drop_duplicates(["conv_id", "turn_idx"])
+        return pa.table({
+            "conv_id": pa.array(u["conv_id"].to_numpy(), pa.string()),
+            "turn_idx": pa.array(
+                u["turn_idx"].to_numpy().astype(np.int32)),
+            "parsed_ts": pa.array(
+                u["parsed_ts"].to_numpy().astype("datetime64[us]")),
+        })
+
+    import pyarrow.parquet as pq_
+
+    approx = sum(pq_.read_metadata(f).num_rows for f in pfiles)
+    uniq = partition_by_key(hits, ["conv_id", "turn_idx"],
+                            approx_rows=approx) \
+        .groupby("part").map_groups(dedupe, batch_format="pandas")
+    topk = top_k(uniq, ["parsed_ts", "conv_id", "turn_idx"], k,
+                 descending=[True, False, False]).to_pandas()
+    if not len(topk):
+        return ray.data.from_arrow(empty)
+    return _fetch_texts(d, text_col, topk, empty, stats_out)
+
+
+def update_text_index(parsed_delta_ds, index_dir: str | Path, *,
+                      extra_meta: dict | None = None) -> None:
+    """INCREMENTAL index update (the Sphinx RT-segment analog): append
+    a parsed DELTA corpus (new shards only) to a live index without
+    rebuilding — the build-once index becomes build-once /
+    append-per-wave, which is what a streaming collector needs.
+
+    Protocol: delta postings and docstore rows are written INTO the
+    live ``postings/bucket=*/`` and ``docs/date=*/`` directories with
+    the sink writers' content-hashed filenames (a retried update
+    overwrites its own files — idempotent, never duplicates), then
+    ``meta.json`` is atomically replaced with the caller's new corpus
+    signature.  The meta swap is the commit point: probes are gated on
+    ``corpus_sig`` freshness by callers, so a crash between file
+    writes and the meta swap leaves a stale-signed index that the next
+    build/update makes consistent (same files rewritten, then
+    committed).  The bucket count is pinned by the existing index —
+    the token -> bucket mapping must stay stable across segments."""
+    from ..sinks import _make_block_writer
+
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    if meta.get("kind") != "text_inverted":
+        raise ValueError(f"{d} is not a text index")
+    n_buckets = meta["n_buckets"]
+    text_col = meta["text_col"]
+
+    parsed_delta_ds = parsed_delta_ds.materialize()
+    post_writer = _make_block_writer(str(d / "postings"), ["bucket"])
+    parsed_delta_ds.map_batches(
+        lambda b: posting_explode(b, n_buckets, text_col),
+        batch_format="pyarrow") \
+        .map_batches(post_writer, batch_format="pyarrow").materialize()
+
+    doc_writer = _make_block_writer(str(d / "docs"), ["date"])
+
+    def docstore(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "date": pc.strftime(b["parsed_ts"], "%Y-%m-%d"),
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"],
+            text_col: b[text_col],
+        })
+
+    parsed_delta_ds.map_batches(docstore, batch_format="pyarrow") \
+        .map_batches(doc_writer, batch_format="pyarrow").materialize()
+
+    new_meta = {**meta, **(extra_meta or {})}
+    tmp = d / "meta.json.tmp"
+    tmp.write_text(json.dumps(new_meta))
+    os.replace(tmp, d / "meta.json")
+
+
 def phrase_probe(index_dir: str | Path, phrase: list[str], *,
                  k: int = 20, stats_out: dict | None = None):
     """PHRASE search (Sphinx ``MATCH('"a b"')`` exact-adjacency

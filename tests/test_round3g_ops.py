@@ -411,6 +411,87 @@ def test_curate_chain_laws(tmp_path):
     assert joined == good  # exact reassembly through the whole chain
 
 
+def _parsed_corpus(n=240, seed=31):
+    rng = np.random.RandomState(seed)
+    ts = (np.datetime64("2024-03-01T00:00:00", "us")
+          + rng.randint(0, 8, n).astype("timedelta64[D]").astype(
+              "timedelta64[us]")
+          + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]"))
+    words = np.array(["alpha", "bravo", "charlie", "delta"])
+    text = np.array([" ".join(rng.choice(words, 3)) for _ in range(n)],
+                    dtype=object)
+    for i in (4, 40):
+        text[i] = "wantA filler here"
+    for i in (9, 90):
+        text[i] = "wantB other filler"
+    text[120] = "wantA and wantB both"
+    return pa.table({
+        "conv_id": pa.array([f"c{i % 13}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        "parsed_ts": pa.array(ts),
+        "level": pa.array(rng.choice(np.array(["INFO", "ERROR"]), n),
+                          pa.string()),
+        "text": pa.array(list(text), pa.string()),
+    })
+
+
+def test_match_any_probe_unions_and_dedupes(tmp_path):
+    import ray.data
+
+    from alco_ray.stages.textindex import build_text_index, match_any_probe
+
+    parsed = _parsed_corpus()
+    idx = tmp_path / "tidx_or"
+    build_text_index(ray.data.from_arrow(parsed), idx, n_buckets=64,
+                     approx_rows=parsed.num_rows)
+    got = match_any_probe(idx, ["wanta", "wantb"], k=100).to_pandas()
+    # union of both needles, the double-match row exactly once
+    assert sorted(got["turn_idx"]) == [4, 9, 40, 90, 120]
+    miss = match_any_probe(idx, ["zzznope"], k=10).to_pandas()
+    assert len(miss) == 0
+
+
+def test_update_text_index_matches_full_rebuild(tmp_path):
+    import ray.data
+
+    from alco_ray.stages.textindex import (build_text_index, grep_probe,
+                                           match_any_probe,
+                                           update_text_index)
+
+    parsed = _parsed_corpus()
+    half1, half2 = parsed.slice(0, 120), parsed.slice(120)
+
+    full_idx = tmp_path / "tidx_full"
+    build_text_index(ray.data.from_arrow(parsed), full_idx, n_buckets=64,
+                     approx_rows=parsed.num_rows)
+    inc_idx = tmp_path / "tidx_inc"
+    build_text_index(ray.data.from_arrow(half1), inc_idx, n_buckets=64,
+                     approx_rows=half1.num_rows,
+                     extra_meta={"corpus_sig": "half"})
+    update_text_index(ray.data.from_arrow(half2), inc_idx,
+                      extra_meta={"corpus_sig": "full"})
+    import json
+    assert json.loads((inc_idx / "meta.json").read_text())[
+        "corpus_sig"] == "full"
+
+    for probe in (lambda d: grep_probe(d, "wantA", k=100),
+                  lambda d: match_any_probe(d, ["wanta", "wantb"], k=100)):
+        a = probe(full_idx).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = probe(inc_idx).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    # idempotency: re-applying the same delta rewrites the same
+    # content-hashed files — no duplicate postings, probe unchanged
+    n_files = len(list((inc_idx / "postings").rglob("*.parquet")))
+    update_text_index(ray.data.from_arrow(half2), inc_idx,
+                      extra_meta={"corpus_sig": "full"})
+    assert len(list((inc_idx / "postings").rglob("*.parquet"))) == n_files
+    again = grep_probe(inc_idx, "wantA", k=100).to_pandas()
+    assert sorted(again["turn_idx"]) == [4, 40, 120]
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
