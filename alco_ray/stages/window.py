@@ -690,6 +690,40 @@ def first_last_by(ds, *, key_col: str, ts_col: str, id_col: str,
     return parts.groupby("part").map_groups(fold, batch_format="pandas")
 
 
+def _range_frame_bounds(keys: np.ndarray, ts: np.ndarray,
+                        interval_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """[lo, hi) index bounds of each row's RANGE frame
+    ``[ts - interval, ts]`` within its key segment, for rows ALREADY
+    sorted by (key, ts).  Pure kernel (property-tested directly):
+    two vectorized ``searchsorted`` calls over a segment-offset
+    composite that keeps each key's rows in a disjoint integer range;
+    int64-overflow fallback loops per segment (still vectorized
+    inside each)."""
+    seg_start, seg_end, seg_id = _segment_bounds(keys)
+    n = len(keys)
+    if n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    rel = ts - ts.min()
+    span = int(rel.max()) + int(interval_us) + 2
+    n_seg = int(seg_id[-1]) + 1
+    if n_seg * span < (1 << 62):
+        c = seg_id * span + rel
+        lo = np.searchsorted(c, c - interval_us, side="left")
+        hi = np.searchsorted(c, c, side="right")
+        lo = np.maximum(lo, seg_start)
+    else:  # pragma: no cover - needs ~10^18 composite range
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        for s in np.flatnonzero(np.diff(np.concatenate(([-1], seg_id)))):
+            e = int(seg_end[s])
+            seg = ts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - interval_us,
+                                          side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+    return lo, hi
+
+
 def grouped_range_count(ds, *, key_col: str, ts_col: str, id_col: str,
                         interval_us: int, out_col: str = "n_range",
                         n_parts: int | None = None,
@@ -717,27 +751,8 @@ def grouped_range_count(ds, *, key_col: str, ts_col: str, id_col: str,
         order = np.lexsort((g[id_col].to_numpy(), ts0,
                             g[key_col].to_numpy()))
         g = g.iloc[order]
-        ts = ts0[order]
-        seg_start, seg_end, seg_id = _segment_bounds(
-            g[key_col].to_numpy())
-        rel = ts - ts.min()
-        span = int(rel.max()) + int(interval_us) + 2
-        n_seg = int(seg_id[-1]) + 1
-        if n_seg * span < (1 << 62):
-            c = seg_id * span + rel
-            lo = np.searchsorted(c, c - interval_us, side="left")
-            hi = np.searchsorted(c, c, side="right")
-            lo = np.maximum(lo, seg_start)
-        else:  # pragma: no cover - needs ~10^18 composite range
-            lo = np.empty(len(g), np.int64)
-            hi = np.empty(len(g), np.int64)
-            for s in np.flatnonzero(np.diff(
-                    np.concatenate(([-1], seg_id)))):
-                e = int(seg_end[s])
-                seg = ts[s:e]
-                lo[s:e] = s + np.searchsorted(seg, seg - interval_us,
-                                              side="left")
-                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        lo, hi = _range_frame_bounds(g[key_col].to_numpy(), ts0[order],
+                                     interval_us)
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              out_col: hi - lo})
 
