@@ -342,6 +342,39 @@ def ensure_jsonl_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     return out_dir
 
 
+def ensure_evolved_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures",
+                          ) -> Path:
+    """Schema-EVOLUTION mirror of a Parquet corpus: the first half of
+    the shards are rewritten WITHOUT the ``tool`` column (the
+    pre-migration generation, as if produced before the LoggerColumn
+    existed), the second half keep the full schema.  Same staged
+    rename-swap + source-stamp invalidation as the other mirrors."""
+    src = ensure_corpus(tag, root=root)
+    src_stamp = (src / "_COMPLETE").read_text()
+    out_dir = Path(root) / f"{tag}_evolved"
+    done = out_dir / "_COMPLETE"
+    if done.exists() and done.read_text() == src_stamp:
+        return out_dir
+    import shutil
+
+    tmp_dir = out_dir.with_name(out_dir.name + f".tmp.{os.getpid()}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    tmp_dir.mkdir(parents=True, exist_ok=True)
+    shards = sorted(src.glob("*.parquet"))
+    for i, p in enumerate(shards):
+        t = pq.read_table(p)
+        if i < len(shards) // 2:
+            t = t.drop_columns(["tool"])
+        pq.write_table(t, tmp_dir / p.name)
+    (tmp_dir / "_COMPLETE").write_text(src_stamp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a race
+    return out_dir
+
+
 def ensure_csv_corpus(tag: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     """CSV mirror of a Parquet corpus (the flat-file drop-folder wire
     format legacy producers emit): one ``<shard>.csv`` per Parquet

@@ -1154,6 +1154,26 @@ def t_csv_routed(sf_dir: str):
     return agg_stage.routed_counts(routed)
 
 
+def t_evolved_routed(sf_dir: str):
+    """Schema-EVOLUTION parity: the same corpus where HALF the shards
+    predate the ``tool`` column (LoggerColumn migration, SURVEY §2.1
+    S5) must route identically — sources.read_evolving_transcripts
+    groups shards by footer-schema fingerprint, prunes each
+    generation's read to its own columns, fills the missing column
+    with typed nulls, and unions at plan level.  The oracle reads the
+    unevolved Parquet corpus: routing is role-based, so counts must
+    hash-match (null-fill itself is pytest-pinned bit-for-bit)."""
+    from ..sources import read_evolving_transcripts
+
+    tag = fixtures.corpus_for_sf(sf_dir).name
+    ed = fixtures.ensure_evolved_corpus(tag)
+    cfg = default_transcript_config()
+    ds = read_evolving_transcripts(ed)
+    routed = (ds.map_batches(make_parse_batch(cfg), batch_format="pyarrow")
+                .map_batches(make_route_batch(cfg), batch_format="pyarrow"))
+    return agg_stage.routed_counts(routed)
+
+
 def t_role_transitions(sf_dir: str):
     """First-order Markov transition matrix of consecutive ROLES
     within each conversation (turn_idx order) — the conversational-
@@ -3094,4 +3114,8 @@ REGISTRY = {
     # union-dedupe kernel and the incremental update_text_index
     # equivalence are pytest-pinned.)
     "t_grep_or": t_grep_or,
+    # (t_evolved_routed follows the t_csv_routed precedent: sink
+    # counts are in-window via t_parse_metrics; the schema-evolution
+    # null-fill/prune/cast itself is pytest-pinned bit-for-bit.)
+    "t_evolved_routed": t_evolved_routed,
 }

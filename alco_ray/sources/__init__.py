@@ -114,6 +114,75 @@ def read_csv_transcripts(paths: list[str] | str) -> "ray.data.Dataset":
     return ds.map_batches(normalize_wire_batch, batch_format="pyarrow")
 
 
+TRANSCRIPT_SCHEMA = None  # built lazily (pyarrow import cost)
+
+
+def _transcript_schema():
+    import pyarrow as pa
+
+    global TRANSCRIPT_SCHEMA
+    if TRANSCRIPT_SCHEMA is None:
+        TRANSCRIPT_SCHEMA = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("role", pa.string()), ("text", pa.string()),
+            ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ])
+    return TRANSCRIPT_SCHEMA
+
+
+def read_evolving_transcripts(paths: list[str] | str,
+                              target_schema=None,
+                              columns: list[str] | None = None,
+                              ) -> "ray.data.Dataset":
+    """Schema-EVOLUTION read (the S5 LoggerColumn-migration story):
+    shards written before a column existed ingest side-by-side with
+    current ones — a missing column materializes as typed nulls,
+    extra (since-dropped) columns are pruned at the read, and types
+    cast to the target.
+
+    Files are grouped by schema fingerprint read from Parquet FOOTERS
+    only (metadata, no data I/O); each group becomes one pruned
+    ``read_parquet`` plan reading ONLY the target columns that
+    generation actually has, and a per-batch conform op fills/casts.
+    The groups union at plan level — no shuffle, no materialization;
+    downstream stages can't tell the generations apart."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, (str, Path)):
+        paths = transcript_files(paths)
+    target = target_schema or _transcript_schema()
+    if columns is not None:
+        target = pa.schema([target.field(c) for c in columns])
+
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        s = pq.read_schema(p)
+        key = tuple(sorted(zip(s.names, (str(t) for t in s.types))))
+        groups.setdefault(key, []).append(p)
+
+    def conform(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in target:
+            if f.name in b.column_names:
+                cols[f.name] = pc.cast(b[f.name], f.type)
+            else:
+                cols[f.name] = pa.nulls(b.num_rows, f.type)
+        return pa.table(cols)
+
+    parts = []
+    for key, files in sorted(groups.items()):
+        have = {n for n, _ in key}
+        cols = [f.name for f in target if f.name in have]
+        ds = ray.data.read_parquet(
+            files, columns=cols or None,
+            override_num_blocks=suggest_num_blocks(files))
+        parts.append(ds.map_batches(conform, batch_format="pyarrow"))
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
 def routed_output_files(out_root: str | Path) -> list[str]:
     """Sorted live file list of the sink tree, excluding files a
     compaction already absorbed (their rows live in a ``c-*`` file; a

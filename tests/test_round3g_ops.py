@@ -492,6 +492,46 @@ def test_update_text_index_matches_full_rebuild(tmp_path):
     assert sorted(again["turn_idx"]) == [4, 40, 120]
 
 
+def test_read_evolving_transcripts_fill_and_prune(tmp_path):
+    import ray.data
+
+    from alco_ray.sources import read_evolving_transcripts
+
+    ts = pa.array(np.full(3, np.datetime64("2024-01-02T03:04:05", "us")))
+    full = pa.table({
+        "conv_id": pa.array(["a", "b", "c"]),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "role": pa.array(["user", "assistant", "tool"]),
+        "text": pa.array(["t1", "t2", "t3"]),
+        "tool": pa.array(["x", None, "z"]),
+        "ts": ts,
+    })
+    # generation 1: tool column doesn't exist yet
+    old = full.drop_columns(["tool"]).slice(0, 2)
+    # generation 3: an extra since-dropped column + int64 turn_idx
+    extra = pa.table({
+        "conv_id": pa.array(["d"]),
+        "turn_idx": pa.array([9], pa.int64()),
+        "role": pa.array(["user"]),
+        "text": pa.array(["t4"]),
+        "tool": pa.array(["w"]),
+        "ts": ts.slice(0, 1),
+        "legacy_debug": pa.array(["gone"]),
+    })
+    pq.write_table(old, tmp_path / "s0.parquet")
+    pq.write_table(full.slice(2), tmp_path / "s1.parquet")
+    pq.write_table(extra, tmp_path / "s2.parquet")
+    got = read_evolving_transcripts(str(tmp_path)).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    assert list(got.columns) == ["conv_id", "turn_idx", "role", "text",
+                                 "tool", "ts"]           # extra pruned
+    assert got["tool"].tolist()[:2] == [None, None]      # missing filled
+    assert got["tool"].tolist()[2:] == ["z", "w"]
+    assert got["turn_idx"].tolist() == [0, 1, 2, 9]      # int64 -> int32
+    assert str(got["turn_idx"].dtype) == "int32"
+    assert len(got) == 4
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
