@@ -2744,6 +2744,125 @@ def e_value_pctl(sf_dir: str):
     return agg_stage.quantile_cont(ds, "value", [0.25, 0.5, 0.9])
 
 
+def q_disjunctive(sf_dir: str):
+    """TPC-H Q19-style DISJUNCTIVE multi-attribute predicate (revenue
+    from (brand, size-range, qty-range) OR-groups): the part
+    attributes (brand id, size) broadcast ONCE as aligned arrays — a
+    runtime filter carrying PAYLOAD, not just membership — each
+    lineitem batch gathers its parts' attributes via one index_in and
+    evaluates the whole OR-of-ANDs as vectorized masks.  No join, no
+    shuffle; one exact (cents, rows) scalar out."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand",
+                                          "p_size"])
+
+    def attrs(b: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": b["p_partkey"],
+                         "p_brand": b["p_brand"],
+                         "p_size": pc.cast(b["p_size"], pa.int64())})
+
+    at = agg_stage.concat_nonempty(
+        ray.get(part.map_batches(attrs, batch_format="pyarrow")
+                .to_arrow_refs()))
+    ref = ray.put((at["p_partkey"].combine_chunks(),
+                   at["p_brand"].combine_chunks(),
+                   at["p_size"].combine_chunks()))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, brand, size = ray.get(ref)
+        idx = pc.index_in(b["l_partkey"], value_set=keys)
+        br = pc.take(brand, idx)
+        sz = pc.take(size, idx)
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        g1 = pc.and_(pc.and_(pc.equal(br, "Brand#1"),
+                             pc.and_(pc.greater_equal(sz, 1),
+                                     pc.less_equal(sz, 15))),
+                     pc.and_(pc.greater_equal(q, 1),
+                             pc.less_equal(q, 20)))
+        g2 = pc.and_(pc.and_(pc.equal(br, "Brand#2"),
+                             pc.and_(pc.greater_equal(sz, 10),
+                                     pc.less_equal(sz, 30))),
+                     pc.and_(pc.greater_equal(q, 10),
+                             pc.less_equal(q, 40)))
+        keep = pc.fill_null(pc.or_(g1, g2), False)
+        kept = b.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(kept["l_extendedprice"],
+                                             100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({
+            "total_cents": pa.array([pc.sum(cents).as_py() or 0],
+                                    pa.int64()),
+            "n_rows": pa.array([kept.num_rows], pa.int64())})
+
+    t = agg_stage.concat_nonempty(
+        ray.get(li.map_batches(partial, batch_format="pyarrow")
+                .to_arrow_refs()))
+    return pa.table({
+        "total_cents": pa.array([pc.sum(t["total_cents"]).as_py() or 0],
+                                pa.int64()),
+        "n_rows": pa.array([pc.sum(t["n_rows"]).as_py() or 0],
+                           pa.int64())})
+
+
+def q_supplier_variety(sf_dir: str):
+    """TPC-H Q16-style supplier variety (distinct suppliers that ship
+    each (brand, size-bucket), excluding a blacklist): brand/size ride
+    the same payload-carrying broadcast as q_disjunctive, the
+    blacklist (suppliers with negative balance) is a second broadcast
+    filter, and the per-(brand, bucket) DISTINCT supplier count uses
+    the map-side distinct-pair collapse + driver distinct-of-distincts
+    (bounded: |brands| x |buckets| x |suppliers-per-cell|)."""
+    from ..stages.aggregate import distinct_count_by
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand",
+                                          "p_size"])
+
+    def attrs(b: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": b["p_partkey"],
+                         "p_brand": b["p_brand"],
+                         "p_size": pc.cast(b["p_size"], pa.int64())})
+
+    at = agg_stage.concat_nonempty(
+        ray.get(part.map_batches(attrs, batch_format="pyarrow")
+                .to_arrow_refs()))
+    bad = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def bad_keys(b: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": b.filter(
+            pc.less(b["s_acctbal"], 0.0))["s_suppkey"]})
+
+    bt = agg_stage.concat_nonempty(
+        ray.get(bad.map_batches(bad_keys, batch_format="pyarrow")
+                .to_arrow_refs()))
+    ref = ray.put((at["p_partkey"].combine_chunks(),
+                   at["p_brand"].combine_chunks(),
+                   at["p_size"].combine_chunks(),
+                   bt["s_suppkey"].combine_chunks()))
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys, brand, size, bads = ray.get(ref)
+        idx = pc.index_in(b["l_partkey"], value_set=keys)
+        br = pc.take(brand, idx)
+        bucket = pc.multiply(
+            pc.cast(pc.divide(pc.take(size, idx),
+                              pa.scalar(10, pa.int64())), pa.int64()),
+            pa.scalar(10, pa.int64()))
+        cell = pc.binary_join_element_wise(
+            br, pc.cast(bucket, pa.string()), "|")
+        ok = pc.invert(pc.is_in(b["l_suppkey"], value_set=bads))
+        return pa.table({"cell": cell,
+                         "l_suppkey": b["l_suppkey"]}).filter(ok)
+
+    tagged = li.map_batches(tag, batch_format="pyarrow")
+    out = distinct_count_by(tagged, "l_suppkey", "cell")
+    return out.rename_columns(["cell", "n_suppliers"])
+
+
 def v_range_search(sf_dir: str):
     """Radius cosine search (stages/similarity.range_search): every
     vector within cosine ≥ 0.25 of the query — the fixed-floor dual of
@@ -3118,4 +3237,13 @@ REGISTRY = {
     # counts are in-window via t_parse_metrics; the schema-evolution
     # null-fill/prune/cast itself is pytest-pinned bit-for-bit.)
     "t_evolved_routed": t_evolved_routed,
+    # (q_disjunctive: the payload-carrying broadcast probe is
+    # q_region_revenue's runtime-filter shape with attributes instead
+    # of membership; the scalar fold is t_parse_metrics'.
+    # q_supplier_variety: same probe + the distinct-pair collapse the
+    # in-window e_retention cells pin (exact machinery
+    # aggregate.distinct_count_by, tail-sibling e_distinct_users
+    # r3-gate family).)
+    "q_disjunctive": q_disjunctive,
+    "q_supplier_variety": q_supplier_variety,
 }
