@@ -2744,6 +2744,22 @@ def e_value_pctl(sf_dir: str):
     return agg_stage.quantile_cont(ds, "value", [0.25, 0.5, 0.9])
 
 
+def e_asof_lookup(sf_dir: str):
+    """Broadcast AS-OF enrichment (stages/window.asof_lookup): each
+    event picks up the reference key effective at its timestamp from a
+    small dimension (per-day max orderkey, deduped to one row per
+    effective date) — the SCD lookup, fact side never shuffles.  The
+    shuffle dual is q_asof_join."""
+    ot = pq.read_table(_tp(sf_dir, "orders"),
+                       columns=["o_orderdate", "o_orderkey"])
+    dim = (ot.group_by(["o_orderdate"]).aggregate([("o_orderkey", "max")])
+           .rename_columns(["dts", "ref_key"]))
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    out = window.asof_lookup(ds, dim, ts_col="ts", dim_ts_col="dts",
+                             payload_col="ref_key")
+    return out.select_columns(["event_id", "ref_key"])
+
+
 def q_disjunctive(sf_dir: str):
     """TPC-H Q19-style DISJUNCTIVE multi-attribute predicate (revenue
     from (brand, size-range, qty-range) OR-groups): the part
@@ -3246,4 +3262,9 @@ REGISTRY = {
     # r3-gate family).)
     "q_disjunctive": q_disjunctive,
     "q_supplier_variety": q_supplier_variety,
+    # (e_asof_lookup: the broadcast DUAL of in-window q_asof_join —
+    # identical as-of semantics, opposite plan; the searchsorted
+    # at-or-before law and the null-before-first-dim-row case are
+    # pytest-pinned vs pandas merge_asof.)
+    "e_asof_lookup": e_asof_lookup,
 }

@@ -690,6 +690,48 @@ def first_last_by(ds, *, key_col: str, ts_col: str, id_col: str,
     return parts.groupby("part").map_groups(fold, batch_format="pandas")
 
 
+def asof_lookup(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
+                payload_col: str, out_col: str | None = None):
+    """Broadcast AS-OF lookup against a SMALL dimension (the
+    slowly-changing-dimension enrichment: effective exchange rate /
+    price / config at event time): the dimension — already deduped to
+    ONE row per effective timestamp by the caller — is sorted and
+    broadcast once via ``ray.put``; each fact batch finds its row with
+    one vectorized ``searchsorted`` (last dim ts at-or-before the
+    fact ts; null when none precedes).
+
+    This is the broadcast DUAL of :func:`asof_join`: identical
+    semantics, opposite plan — the fact side never shuffles, so it is
+    the right shape whenever the dimension fits memory (an SCD table
+    at 100 TB fact scale almost always does).  Callers with a
+    fact-sized right side use :func:`asof_join`."""
+    import ray
+
+    out_col = out_col or payload_col
+    d = dim.sort_by([(dim_ts_col, "ascending")])
+    dts = d[dim_ts_col].to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").view(np.int64)
+    if len(np.unique(dts)) != len(dts):
+        raise ValueError("asof_lookup dimension must hold one row per "
+                         f"distinct {dim_ts_col}; pre-aggregate ties")
+    payload = d[payload_col].combine_chunks() if isinstance(
+        d[payload_col], pa.ChunkedArray) else d[payload_col]
+    ref = ray.put((dts, payload))
+
+    def enrich(b: pa.Table) -> pa.Table:
+        dim_ts, vals = ray.get(ref)
+        ts = b[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        idx = np.searchsorted(dim_ts, ts, side="right") - 1
+        has = idx >= 0
+        take = pa.array(np.where(has, idx, 0), pa.int64())
+        got = pc.take(vals, take)
+        got = pc.if_else(pa.array(has), got, pa.scalar(None, vals.type))
+        return b.append_column(out_col, got)
+
+    return ds.map_batches(enrich, batch_format="pyarrow")
+
+
 def _range_frame_bounds(keys: np.ndarray, ts: np.ndarray,
                         interval_us: int) -> tuple[np.ndarray, np.ndarray]:
     """[lo, hi) index bounds of each row's RANGE frame

@@ -532,6 +532,54 @@ def test_read_evolving_transcripts_fill_and_prune(tmp_path):
     assert len(got) == 4
 
 
+def test_asof_lookup_matches_merge_asof():
+    import pandas as pd
+    import ray.data
+
+    from alco_ray.stages.window import asof_lookup
+
+    rng = np.random.RandomState(41)
+    dim_ts = np.sort(rng.choice(
+        np.arange(100, 10_000, 7), size=40, replace=False))
+    dim = pa.table({
+        "dts": pa.array(dim_ts.astype("datetime64[us]")),
+        "ref": pa.array(np.arange(40, dtype=np.int64) * 10),
+    })
+    # fact ts straddle the dim range, incl. BEFORE the first dim row
+    fts = rng.randint(0, 12_000, 300).astype("datetime64[us]")
+    facts = pa.table({
+        "event_id": pa.array(np.arange(300, dtype=np.int64)),
+        "ts": pa.array(fts),
+    })
+    got = asof_lookup(ray.data.from_arrow(facts).repartition(4), dim,
+                      ts_col="ts", dim_ts_col="dts",
+                      payload_col="ref").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = pd.merge_asof(
+        facts.to_pandas().sort_values("ts"),
+        dim.to_pandas().rename(columns={"dts": "ts"}),
+        on="ts", direction="backward").sort_values("event_id")
+    assert got["ref"].fillna(-1).tolist() == \
+        want["ref"].fillna(-1).tolist()
+    # pre-dim facts are null, not clamped to the first row
+    assert got.loc[got["ts"] < pd.Timestamp(dim_ts[0].item()),
+                   "ref"].isna().all()
+
+
+def test_asof_lookup_rejects_tied_dimension():
+    import ray.data
+
+    from alco_ray.stages.window import asof_lookup
+
+    dim = pa.table({"dts": pa.array(np.array([5, 5], "datetime64[us]")),
+                    "ref": pa.array([1, 2], pa.int64())})
+    facts = ray.data.from_arrow(pa.table({
+        "ts": pa.array(np.array([6], "datetime64[us]"))}))
+    with pytest.raises(ValueError, match="one row per distinct"):
+        asof_lookup(facts, dim, ts_col="ts", dim_ts_col="dts",
+                    payload_col="ref")
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
