@@ -432,6 +432,23 @@ def update_text_index(parsed_delta_ds, index_dir: str | Path, *,
     os.replace(tmp, d / "meta.json")
 
 
+def compact_text_index(index_dir: str | Path,
+                       target_bytes: int = 256 << 20) -> int:
+    """Segment-merge for the incrementally-updated index (the Sphinx
+    RT OPTIMIZE analog): after many :func:`update_text_index` waves a
+    posting bucket holds one small file per wave; this rewrites each
+    bucket / docstore-day directory into ~``target_bytes`` files via
+    the sinks' convergent compactor (recorded-inputs recovery,
+    content-hashed outputs, crash-safe re-runs).  Same operational
+    contract as sink compaction: run when no probes race it.  Returns
+    files removed."""
+    from ..sinks import compact_partitions
+
+    d = Path(index_dir)
+    return (compact_partitions(d, target_bytes, pattern="postings/bucket=*")
+            + compact_partitions(d, target_bytes, pattern="docs/date=*"))
+
+
 def phrase_probe(index_dir: str | Path, phrase: list[str], *,
                  k: int = 20, stats_out: dict | None = None):
     """PHRASE search (Sphinx ``MATCH('"a b"')`` exact-adjacency

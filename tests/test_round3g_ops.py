@@ -580,6 +580,33 @@ def test_asof_lookup_rejects_tied_dimension():
                     payload_col="ref")
 
 
+def test_compact_text_index_preserves_probes(tmp_path):
+    import ray.data
+
+    from alco_ray.stages.textindex import (build_text_index,
+                                           compact_text_index, grep_probe,
+                                           update_text_index)
+
+    parsed = _parsed_corpus()
+    idx = tmp_path / "tidx_compact"
+    build_text_index(ray.data.from_arrow(parsed.slice(0, 80)), idx,
+                     n_buckets=16, approx_rows=80)
+    # several update waves -> many small files per bucket
+    for s in (80, 130, 180):
+        update_text_index(ray.data.from_arrow(parsed.slice(s, 50)), idx)
+    before = grep_probe(idx, "wantA", k=100).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    n_before = len(list((idx / "postings").rglob("*.parquet")))
+    removed = compact_text_index(idx)
+    assert removed > 0
+    assert len(list((idx / "postings").rglob("*.parquet"))) < n_before
+    after = grep_probe(idx, "wantA", k=100).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert before.equals(after)
+    # convergent: a second pass is a no-op
+    assert compact_text_index(idx) == 0
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
