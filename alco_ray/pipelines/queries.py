@@ -1635,6 +1635,30 @@ def mm_image_meta(sf_dir: str):
     return multimodal.decode_media(media)
 
 
+def mm_ppm_meta(sf_dir: str):
+    """REAL image decode (no codec library: P6 raw PPM is header +
+    raw RGB, so parsing IS decoding): actual binary payloads are
+    header-validated, reshaped (h, w, 3) and reduced to exact integer
+    channel means in an actor pool — the oracle states the closed
+    forms the fixture pixels were built from, so a header mis-parse or
+    stride bug hash-mismatches (stages/multimodal.PpmDecoder)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_ppm_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.PpmDecoder)
+
+
+def mm_ppm_resize(sf_dir: str):
+    """REAL 2x box downsample over decoded pixels (exact integer 2x2
+    block means) — decode + resize + re-reduce in one actor stage
+    (stages/multimodal.PpmResizer); closed-form oracle as in
+    mm_ppm_meta."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_ppm_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.PpmResizer)
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -3267,4 +3291,10 @@ REGISTRY = {
     # at-or-before law and the null-before-first-dim-row case are
     # pytest-pinned vs pandas merge_asof.)
     "e_asof_lookup": e_asof_lookup,
+    # (mm_ppm_meta / mm_ppm_resize: the actor-pool decode plumbing is
+    # in-window via mm_image_meta/mm_features; the REAL P6
+    # header-parse / pixel math / 2x2 box kernel is pytest-pinned on
+    # handcrafted non-constant images + malformed payloads.)
+    "mm_ppm_meta": mm_ppm_meta,
+    "mm_ppm_resize": mm_ppm_resize,
 }

@@ -180,3 +180,131 @@ def extract_features(ds, extractor_cls=FakeFeatureExtractor, *,
                      batch_size: int = 256, concurrency=(1, 4)):
     return ds.map_batches(extractor_cls, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+# ------------------------------------------------------------- real PPM
+# P6 "raw PPM" is header + raw RGB bytes: parsing it IS decoding, no
+# codec library required — so this path is a REAL image pipeline (byte
+# layout, header validation, pixel math), not a stub.  Compressed
+# formats (JPEG/PNG) still go through the Fake* stand-ins above until a
+# codec ships in the runtime image.
+
+def encode_ppm_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL binary-PPM payloads derived
+    from the id — width = (id % 8 + 1) * 2, height = (id % 4 + 1) * 2,
+    constant per-channel pixels R = id % 256, G = id*7 % 256,
+    B = id*13 % 256 — so every decoded statistic has a closed form an
+    oracle can state while the engine path decodes actual bytes."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(i % 8 + 1) * 2
+        h = int(i % 4 + 1) * 2
+        px = np.empty((h, w, 3), np.uint8)
+        px[..., 0] = i % 256
+        px[..., 1] = (i * 7) % 256
+        px[..., 2] = (i * 13) % 256
+        payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["image/ppm"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class PpmDecoder:
+    """Actor-pool REAL image decode (P6): validate magic + maxval,
+    parse dims from the header, reshape the raw bytes to (h, w, 3),
+    emit exact integer per-channel means (sum // n).  The per-payload
+    loop is the normal decode-stage shape (PIL is per-image too); each
+    image's pixel math is numpy-vectorized.  Malformed payloads emit a
+    ``decode_ok = false`` row with null stats — the dead-letter
+    pattern, a poison image must not kill the wave."""
+
+    def __init__(self):
+        import re
+
+        # compiled once per actor — the "codec init"
+        self.header = re.compile(rb"\AP6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+    def _decode(self, p: bytes):
+        m = self.header.match(p or b"")
+        if not m:
+            return None
+        w, h, maxval = (int(m.group(j)) for j in (1, 2, 3))
+        body = p[m.end():]
+        if maxval != 255 or len(body) != w * h * 3 or w * h == 0:
+            return None
+        return w, h, np.frombuffer(body, np.uint8).reshape(h, w, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        dims = np.zeros((n, 2), np.int64)
+        means = np.zeros((n, 3), np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            d = self._decode(p)
+            if d is None:
+                continue
+            w, h, px = d
+            ok[i] = True
+            dims[i] = (w, h)
+            means[i] = px.reshape(-1, 3).sum(axis=0,
+                                             dtype=np.int64) // (w * h)
+        okm = pa.array(ok)
+        def _masked(vals):
+            return pc.if_else(okm, pa.array(vals, pa.int64()),
+                              pa.scalar(None, pa.int64()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "width": _masked(dims[:, 0]),
+            "height": _masked(dims[:, 1]),
+            "mean_r": _masked(means[:, 0]),
+            "mean_g": _masked(means[:, 1]),
+            "mean_b": _masked(means[:, 2]),
+        })
+
+
+class PpmResizer:
+    """Actor-pool REAL 2x box downsample: decode (PpmDecoder's parser),
+    average each 2x2 block exactly (integer sum // 4), emit the resized
+    dims and the resized image's exact integer channel means.  Requires
+    even input dims (the fixture guarantees them); odd dims emit
+    ``decode_ok = false`` like malformed payloads."""
+
+    def __init__(self):
+        self._dec = PpmDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        dims = np.zeros((n, 2), np.int64)
+        means = np.zeros((n, 3), np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            d = self._dec._decode(p)
+            if d is None:
+                continue
+            w, h, px = d
+            if w % 2 or h % 2:
+                continue
+            small = (px.astype(np.int64)
+                     .reshape(h // 2, 2, w // 2, 2, 3)
+                     .sum(axis=(1, 3)) // 4)
+            ok[i] = True
+            dims[i] = (w // 2, h // 2)
+            means[i] = small.reshape(-1, 3).sum(axis=0) \
+                // (dims[i, 0] * dims[i, 1])
+        okm = pa.array(ok)
+        def _masked(vals):
+            return pc.if_else(okm, pa.array(vals, pa.int64()),
+                              pa.scalar(None, pa.int64()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "width": _masked(dims[:, 0]),
+            "height": _masked(dims[:, 1]),
+            "mean_r": _masked(means[:, 0]),
+            "mean_g": _masked(means[:, 1]),
+            "mean_b": _masked(means[:, 2]),
+        })

@@ -607,6 +607,57 @@ def test_compact_text_index_preserves_probes(tmp_path):
     assert compact_text_index(idx) == 0
 
 
+def _ppm(w, h, px):
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def test_ppm_decoder_real_pixels_and_poison():
+    from alco_ray.stages.multimodal import PpmDecoder
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (6, 4, 3))
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([
+            _ppm(4, 6, px),
+            b"not an image",
+            _ppm(2, 2, np.zeros((2, 2, 3))) + b"trailing-junk",
+        ], pa.binary()),
+    })
+    got = PpmDecoder()(batch).to_pylist()
+    assert got[0]["decode_ok"] and (got[0]["width"], got[0]["height"]) \
+        == (4, 6)
+    want = px.reshape(-1, 3).sum(axis=0) // 24
+    assert [got[0][c] for c in ("mean_r", "mean_g", "mean_b")] \
+        == want.tolist()
+    # poison payloads survive as flagged rows, not crashes
+    assert not got[1]["decode_ok"] and got[1]["width"] is None
+    assert not got[2]["decode_ok"]  # body-length mismatch
+
+
+def test_ppm_resizer_box_filter():
+    from alco_ray.stages.multimodal import PpmResizer
+
+    # non-constant 4x2: each 2x2 block mean must be the exact floor avg
+    px = np.array([[[0, 0, 0], [4, 8, 12], [100, 0, 0], [0, 0, 0]],
+                   [[8, 0, 0], [5, 1, 3], [0, 0, 0], [3, 0, 1]]])
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([_ppm(4, 2, px),
+                             _ppm(3, 2, np.zeros((2, 3, 3)))],  # odd w
+                            pa.binary()),
+    })
+    got = PpmResizer()(batch).to_pylist()
+    assert got[0]["decode_ok"] and (got[0]["width"], got[0]["height"]) \
+        == (2, 1)
+    small = (px.astype(np.int64).reshape(1, 2, 2, 2, 3)
+             .sum(axis=(1, 3)) // 4)
+    want = small.reshape(-1, 3).sum(axis=0) // 2
+    assert [got[0][c] for c in ("mean_r", "mean_g", "mean_b")] \
+        == want.tolist()
+    assert not got[1]["decode_ok"]  # odd dims rejected, not mangled
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
