@@ -1648,6 +1648,19 @@ def mm_ppm_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.PpmDecoder)
 
 
+def mm_wav_meta(sf_dir: str):
+    """REAL audio decode (no codec library: RIFF/WAVE PCM is a chunked
+    container around raw int16 samples): actual RIFF payloads are
+    chunk-walked, format-validated and reduced to exact integer stats
+    (rate, sample count, floor-us duration, peak, floor mean) in an
+    actor pool — closed-form oracle as in mm_ppm_meta
+    (stages/multimodal.WavDecoder)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_wav_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.WavDecoder)
+
+
 def mm_ppm_resize(sf_dir: str):
     """REAL 2x box downsample over decoded pixels (exact integer 2x2
     block means) — decode + resize + re-reduce in one actor stage
@@ -3297,4 +3310,8 @@ REGISTRY = {
     # handcrafted non-constant images + malformed payloads.)
     "mm_ppm_meta": mm_ppm_meta,
     "mm_ppm_resize": mm_ppm_resize,
+    # (mm_wav_meta: same tail rationale — actor-pool decode plumbing
+    # in-window via mm_image_meta; the RIFF chunk walk / PCM validation
+    # is pytest-pinned incl. word-aligned odd chunks and poison files.)
+    "mm_wav_meta": mm_wav_meta,
 }

@@ -308,3 +308,99 @@ class PpmResizer:
             "mean_g": _masked(means[:, 1]),
             "mean_b": _masked(means[:, 2]),
         })
+
+
+# ------------------------------------------------------------- real WAV
+# RIFF/WAVE PCM is the audio analog of P6: a chunked container around
+# raw int16 samples, decodable with struct math alone — the audio
+# modality's REAL path next to the PPM image one.
+
+def encode_wav_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL mono 16-bit PCM WAV payloads
+    derived from the id — sample_rate = 8000 + (id % 4) * 4000,
+    n_samples = (id % 50 + 1) * 100, every sample the constant
+    id % 1000 - 500 — closed forms for the oracle, real RIFF bytes for
+    the engine."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        rate = int(8000 + (i % 4) * 4000)
+        n = int(i % 50 + 1) * 100
+        samples = np.full(n, int(i % 1000 - 500), dtype="<i2")
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["audio/wav"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class WavDecoder:
+    """Actor-pool REAL audio decode (RIFF/WAVE PCM): validate the RIFF
+    container, walk the chunk list to ``fmt `` and ``data``, reject
+    non-PCM / non-mono-16-bit streams, view the data chunk as int16
+    samples, and emit exact integer stats — sample rate, sample count,
+    floor-microsecond duration, peak |amplitude| and floor mean
+    amplitude.  Malformed payloads emit ``decode_ok = false`` rows
+    (the poison-file dead-letter pattern)."""
+
+    def _decode(self, p: bytes):
+        import struct
+
+        if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(p):
+            cid = p[pos:pos + 4]
+            size = struct.unpack("<I", p[pos + 4:pos + 8])[0]
+            chunk = p[pos + 8:pos + 8 + size]
+            if len(chunk) != size:
+                return None
+            if cid == b"fmt ":
+                fmt = chunk
+            elif cid == b"data":
+                data = chunk
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt, channels, rate, _, _, bits = struct.unpack(
+            "<HHIIHH", fmt[:16])
+        if audio_fmt != 1 or channels != 1 or bits != 16 or len(data) % 2:
+            return None
+        return rate, np.frombuffer(data, dtype="<i2")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        stats = np.zeros((n, 5), np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            d = self._decode(p)
+            if d is None or len(d[1]) == 0:
+                continue
+            rate, s = d
+            ok[i] = True
+            s64 = s.astype(np.int64)
+            stats[i] = (rate, len(s), len(s) * 1_000_000 // rate,
+                        int(np.abs(s64).max()),
+                        int(s64.sum()) // len(s))
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(stats[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "sample_rate": _masked(0),
+            "n_samples": _masked(1),
+            "duration_us": _masked(2),
+            "peak": _masked(3),
+            "mean_amp": _masked(4),
+        })

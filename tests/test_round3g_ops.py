@@ -658,6 +658,45 @@ def test_ppm_resizer_box_filter():
     assert not got[1]["decode_ok"]  # odd dims rejected, not mangled
 
 
+def test_wav_decoder_real_samples_and_poison():
+    import struct
+
+    from alco_ray.stages.multimodal import WavDecoder
+
+    def wav(rate, samples, extra_chunk=False):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # odd-sized chunk exercises word alignment
+            body += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    s = np.array([100, -300, 250, 0, -50], dtype=np.int64)
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    stereo = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+              + struct.pack("<I", 16) + stereo_fmt
+              + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([
+            wav(16000, s, extra_chunk=True),
+            b"RIFF....not-wave",
+            stereo,                       # non-mono rejected
+            wav(8000, []),                # empty data rejected
+        ], pa.binary()),
+    })
+    got = WavDecoder()(batch).to_pylist()
+    assert got[0]["decode_ok"]
+    assert got[0]["sample_rate"] == 16000
+    assert got[0]["n_samples"] == 5
+    assert got[0]["duration_us"] == 5 * 1_000_000 // 16000
+    assert got[0]["peak"] == 300
+    assert got[0]["mean_amp"] == int(s.sum()) // 5
+    assert [r["decode_ok"] for r in got[1:]] == [False, False, False]
+    assert got[1]["sample_rate"] is None
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
