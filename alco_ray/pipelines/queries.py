@@ -2754,6 +2754,26 @@ def e_events_1h(sf_dir: str):
         approx_rows=_nrows(_tp(sf_dir, "events")))
 
 
+def d_lang_id_learned(sf_dir: str):
+    """LEARNED language-ID, fit + predict both distributed and both
+    integer-exact (stages/text.fit_trigram_profiles /
+    predict_lang_learned): per-language top-50 character trigrams by
+    document frequency are FIT from the corpus's own labels (bounded
+    (lang, gram) fold), then every document is scored by distinct-
+    trigram overlap — argmax, sorted-language ties, '' when no profile
+    matches.  The oracle replays the identical fit + predict in SQL,
+    so this is an end-to-end hash-checked LEARNED component, not a
+    seed-profile stub (that path remains d_lang_id).  NOTE: this
+    corpus's lang labels are content-independent (every lang shares
+    one vocabulary), so the oracle here proves EXACTNESS of the
+    distributed fit+predict; discriminative power is pinned by pytest
+    on a genuinely multilingual synthetic corpus (>= 95% held-out)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    profiles = text.fit_trigram_profiles(ds)
+    return text.predict_lang_learned(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), profiles)
+
+
 def d_mixture(sf_dir: str):
     """Deterministic mixture resampling (stages/sample): the training
     data-mixing step — each source up-/down-sampled at an explicit
@@ -3314,4 +3334,10 @@ REGISTRY = {
     # in-window via mm_image_meta; the RIFF chunk walk / PCM validation
     # is pytest-pinned incl. word-aligned odd chunks and poison files.)
     "mm_wav_meta": mm_wav_meta,
+    # (d_lang_id_learned: the (lang,gram) fold is t_parse_metrics' /
+    # q_order_priority's bounded fold_partials in-window family, the
+    # Arrow-buffer trigram decode is d_lang_id's in-window machinery,
+    # and the learned fit+predict chain carries its own full-replay
+    # SQL oracle — hash-checked end-to-end at 3 scales.)
+    "d_lang_id_learned": d_lang_id_learned,
 }

@@ -542,3 +542,130 @@ def ngram_counts(ds, *, n: int = 2, text_col: str = "text",
         return out
 
     return parts.groupby("part").map_groups(fold, batch_format="pandas")
+
+
+# ------------------------------------------------------- learned langid
+# The seed-profile LangId above is honestly stub-grade (6 embedded
+# exemplars).  This is the REAL path: profiles are FIT from labeled
+# data with a distributed document-frequency fold, and the whole
+# fit + predict chain is integer-exact, so a SQL oracle can replay it
+# end-to-end (see d_lang_id_learned).
+
+_GRAM_RADIX = np.int64(1) << 21  # > max Unicode codepoint (0x10FFFF)
+
+
+def _char_trigrams_distinct(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row DISTINCT character-trigram codes + int64 offsets,
+    decoded straight from the Arrow buffers (no ``to_pylist``).
+
+    Code = c0*R^2 + c1*R + c2 with R = 2^21: injective over Unicode,
+    and integer order equals UTF-8 lexicographic order (UTF-8 is
+    order-preserving), so tie-breaks on the code match SQL's binary
+    string collation exactly."""
+    cp, offs = _codepoints_arrow(arr)
+    n = len(offs) - 1
+    cp64 = cp.astype(np.int64)
+    total = len(cp64)
+    if total < 3:
+        return np.zeros(0, np.int64), np.zeros(n + 1, np.int64)
+    w = (cp64[:-2] * (_GRAM_RADIX * _GRAM_RADIX)
+         + cp64[1:-1] * _GRAM_RADIX + cp64[2:])
+    pos = np.arange(total - 2, dtype=np.int64)
+    owner = np.searchsorted(offs, pos, side="right") - 1
+    valid = (pos + 3) <= offs[owner + 1]
+    g, row = w[valid], owner[valid]
+    order = np.lexsort((g, row))
+    g, row = g[order], row[order]
+    if len(g):
+        keep = np.ones(len(g), bool)
+        keep[1:] = (g[1:] != g[:-1]) | (row[1:] != row[:-1])
+        g, row = g[keep], row[keep]
+    counts = np.bincount(row, minlength=n) if len(row) else \
+        np.zeros(n, np.int64)
+    goffs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return g, goffs
+
+
+def fit_trigram_profiles(ds, *, text_col: str = "text",
+                         lang_col: str = "lang", k: int = 50,
+                         ) -> dict[str, np.ndarray]:
+    """LEARN language profiles from labeled data: per-(lang, gram)
+    DOCUMENT frequency via map-side distinct-gram partials folded
+    driver-side (bounded: |langs| x distinct grams in the corpus),
+    then the top-``k`` grams per language (df DESC, gram ASC — the
+    collation-parity tie-break).  Returns lang -> sorted gram codes.
+
+    Scale: the fold is the only cross-node traffic and it moves
+    (lang, gram, partial-df) rows, never text; at an unbounded gram
+    domain switch the fold to a gram-hash partition (the tf_df
+    shape)."""
+    import ray
+
+    from .aggregate import fold_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        g, goffs = _char_trigrams_distinct(b[text_col])
+        counts = np.diff(goffs)
+        langs = b[lang_col].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "lang": pa.array(np.repeat(langs, counts)),
+            "gram": pa.array(g, pa.int64()),
+        })
+        out = t.group_by(["lang", "gram"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "gram", "df"])
+
+    folded = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "gram"], [("df", "sum")],
+        empty_schema=pa.schema([("lang", pa.string()),
+                                ("gram", pa.int64()),
+                                ("df", pa.int64())]))
+    df = folded.to_pandas()
+    profiles: dict[str, np.ndarray] = {}
+    for lang, grp in df.groupby("lang", sort=True):
+        top = grp.sort_values(["df", "gram"],
+                              ascending=[False, True]).head(k)
+        profiles[str(lang)] = np.sort(top["gram"].to_numpy())
+    return profiles
+
+
+def predict_lang_learned(ds, profiles: dict[str, np.ndarray], *,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Score every document against the LEARNED profiles: distinct
+    trigram codes per doc, one ``np.isin`` + segmented sum per
+    language, argmax with sorted-language tie-break; documents with
+    zero overlap against every profile predict '' (no evidence beats a
+    wrong guess).  Profiles broadcast once via ``ray.put``."""
+    import ray
+
+    langs = sorted(profiles)
+    if not langs:
+        return ds.map_batches(
+            lambda b: pa.table({
+                id_col: b[id_col],
+                "pred_lang": pa.array([""] * b.num_rows, pa.string())}),
+            batch_format="pyarrow")
+    pref = ray.put({ln: np.sort(np.asarray(profiles[ln], np.int64))
+                    for ln in langs})
+
+    def body(b: pa.Table) -> pa.Table:
+        profs = ray.get(pref)
+        g, goffs = _char_trigrams_distinct(b[text_col])
+        n = b.num_rows
+        lens = np.diff(goffs)
+        nonempty = lens > 0
+        starts = goffs[:-1][nonempty]
+        scores = np.zeros((n, len(langs)), np.int64)
+        if len(g) and len(starts):
+            for j, ln in enumerate(langs):
+                hit = np.isin(g, profs[ln]).astype(np.int64)
+                scores[nonempty, j] = np.add.reduceat(hit, starts)
+        best = np.argmax(scores, axis=1)  # first max == sorted-lang tie
+        pred = np.array(langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = ""
+        return pa.table({
+            id_col: b[id_col],
+            "pred_lang": pa.array(list(pred), pa.string()),
+        })
+
+    return ds.map_batches(body, batch_format="pyarrow")

@@ -697,6 +697,51 @@ def test_wav_decoder_real_samples_and_poison():
     assert got[1]["sample_rate"] is None
 
 
+def test_learned_langid_discriminates_real_languages():
+    import ray.data
+
+    from alco_ray.stages.text import (fit_trigram_profiles,
+                                      predict_lang_learned)
+
+    words = {
+        "xx": ["zarquon", "blenth", "croswick", "drunver", "quiblex"],
+        "yy": ["amarillo", "estrella", "ventana", "orilla", "manzana"],
+        "zz": ["schiff", "strasse", "fenster", "gebirge", "pfeffer"],
+    }
+    shared = ["data", "the", "row"]
+
+    def corpus(n, seed_off):
+        r = np.random.RandomState(100 + seed_off)
+        ids, texts, langs = [], [], []
+        for i in range(n):
+            lang = ["xx", "yy", "zz"][i % 3]
+            pool = words[lang] + shared
+            texts.append(" ".join(r.choice(pool, 25)))
+            langs.append(lang)
+            ids.append(i + seed_off * 10_000)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts),
+                         "lang": pa.array(langs)})
+
+    train = corpus(120, 0)
+    test = corpus(90, 1)  # held out: different draw, same languages
+    profiles = fit_trigram_profiles(
+        ray.data.from_arrow(train).repartition(4))
+    assert sorted(profiles) == ["xx", "yy", "zz"]
+    got = predict_lang_learned(
+        ray.data.from_arrow(test).repartition(3), profiles).to_pandas()
+    truth = test.to_pandas()[["doc_id", "lang"]]
+    m = got.merge(truth, on="doc_id")
+    acc = (m["pred_lang"] == m["lang"]).mean()
+    assert acc >= 0.95, acc
+    # zero-overlap text predicts '' (no evidence beats a wrong guess)
+    garbage = pa.table({"doc_id": pa.array([1], pa.int64()),
+                        "text": pa.array(["00 11 22 33 44 55 66 77"])})
+    g = predict_lang_learned(ray.data.from_arrow(garbage),
+                             profiles).to_pandas()
+    assert g["pred_lang"].tolist() == [""]
+
+
 def test_fold_partials_empty_schema():
     import ray.data
 
