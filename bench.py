@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     # round-3g operators (doc chunking, batched kNN, Q14 runtime-filter
     # ratio)
     "d_chunk", "v_knn_multi", "q_promo_share",
+    # round-3h operators (exact continuous percentile, broadcast as-of
+    # lookup, real PPM decode, learned langid)
+    "e_value_pctl", "e_asof_lookup", "mm_ppm_meta", "d_lang_id_learned",
 ]
 
 
