@@ -2807,10 +2807,20 @@ def e_asof_lookup(sf_dir: str):
     small dimension (per-day max orderkey, deduped to one row per
     effective date) — the SCD lookup, fact side never shuffles.  The
     shuffle dual is q_asof_join."""
-    ot = pq.read_table(_tp(sf_dir, "orders"),
-                       columns=["o_orderdate", "o_orderkey"])
-    dim = (ot.group_by(["o_orderdate"]).aggregate([("o_orderkey", "max")])
-           .rename_columns(["dts", "ref_key"]))
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderkey"])
+
+    def day_max(b: pa.Table) -> pa.Table:
+        g = (pa.table({"dts": b["o_orderdate"],
+                       "ref_key": b["o_orderkey"]})
+             .group_by(["dts"]).aggregate([("ref_key", "max")]))
+        return g.rename_columns(["dts", "ref_key"])
+
+    # the dimension derives DISTRIBUTED (bounded date domain: one row
+    # per day survives each block), only the folded per-day table is
+    # driver-side — orders itself never materializes here
+    dim = agg_stage.fold_partials(
+        orders.map_batches(day_max, batch_format="pyarrow"),
+        ["dts"], [("ref_key", "max")])
     ds = _read(sf_dir, "events", columns=["event_id", "ts"])
     out = window.asof_lookup(ds, dim, ts_col="ts", dim_ts_col="dts",
                              payload_col="ref_key")
