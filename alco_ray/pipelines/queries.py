@@ -1675,9 +1675,12 @@ def mm_ppm_resize(sf_dir: str):
 # ------------------------------------------------------------ embeddings
 
 def _query_vec(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(_tp(sf_dir, "embeddings"))
-    i = t["vec_id"].to_pylist().index(0)
-    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+    """One probe vector via a PRUNED predicate read (row-group filter +
+    two columns) — never the whole embeddings table driver-side."""
+    t = pq.read_table(_tp(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", 0)])
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def v_knn(sf_dir: str):
