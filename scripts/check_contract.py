@@ -5,6 +5,13 @@ Runs every ``queries()`` entry at the given sf dir and compares against
 order-insensitive exact value equality.  Usage:
 
     python scripts/check_contract.py [sf_dir] [query ...]
+    python scripts/check_contract.py --chunk 4 [sf_dir]
+
+``--chunk N`` splits the registry into N FRESH SUBPROCESSES: ray 2.49's
+core has twice crashed a >90-pipeline single session with a refcount
+assertion (reference_count.cc:581, zero query failures — see
+BASELINE.md), so full-registry sweeps should stay under that horizon
+per process.
 """
 
 from __future__ import annotations
@@ -61,10 +68,38 @@ def compare(name, got, want):
     return None
 
 
+def _chunked_main(n_chunks: int) -> None:
+    """Split the registry across fresh subprocesses (one Ray session
+    each) and aggregate exit codes."""
+    import re
+    import subprocess
+
+    src = (Path(__file__).resolve().parent.parent
+           / "alco_ray" / "pipelines" / "queries.py").read_text()
+    reg = src[src.index("REGISTRY = {"):]
+    names = sorted(re.findall(r'^    "([a-z0-9_]+)":', reg, re.M))
+    args = [a for a in sys.argv[1:] if a != "--chunk"]
+    args.remove(str(n_chunks))
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    per = -(-len(names) // n_chunks)
+    failed = False
+    for i in range(n_chunks):
+        chunk = names[i * per:(i + 1) * per]
+        if not chunk:
+            continue
+        r = subprocess.run([sys.executable, __file__, sf, *chunk])
+        failed |= r.returncode != 0
+    sys.exit(1 if failed else 0)
+
+
 def main():
     import duckdb
 
     import ray
+
+    if "--chunk" in sys.argv:
+        _chunked_main(int(sys.argv[sys.argv.index("--chunk") + 1]))
+        return
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
