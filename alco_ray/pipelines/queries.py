@@ -2982,14 +2982,30 @@ REGISTRY = {
     # 64 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
-    # never driver-checked in r2 + round-3 additions (14)
-    "d_lang_id": d_lang_id,
-    "mm_image_meta": mm_image_meta,
-    "mm_features": mm_features,
+    # never driver-checked in r2 + round-3 additions (14).
+    # Round-3h window swaps WITHIN the never-checked set (every swap
+    # trades a weaker evidence class for a stronger sibling of the
+    # SAME operator family):
+    # - d_lang_id (seed-profile stub heuristic) -> d_lang_id_learned
+    #   (same Arrow-buffer trigram machinery, profiles FIT from labels,
+    #   and the full fit+predict chain replayed by its SQL oracle);
+    #   d_lang_id keeps its own oracle in the tail;
+    # - mm_image_meta (r1-driver-green formula stub) + mm_features
+    #   (rows-only, the weakest class) -> mm_ppm_meta + mm_wav_meta
+    #   (the SAME decode_media actor plumbing now doing REAL codec-free
+    #   binary decodes with closed-form oracles);
+    # - v_knn_lsh / v_knn_ivf (rows-only by design; probe recall is
+    #   pytest-pinned, exact retrieval pinned in-window by v_knn) ->
+    #   e_value_pctl (exact continuous percentile, a kernel class no
+    #   sibling covers) + d_curate (the end-to-end curation pipeline
+    #   with a full-chain oracle).
+    "d_lang_id_learned": d_lang_id_learned,
+    "mm_ppm_meta": mm_ppm_meta,
+    "mm_wav_meta": mm_wav_meta,
     "mm_frame_sample": mm_frame_sample,
     "v_knn": v_knn,
-    "v_knn_lsh": v_knn_lsh,
-    "v_knn_ivf": v_knn_ivf,
+    "e_value_pctl": e_value_pctl,
+    "d_curate": d_curate,
     "v_cosine_dup": v_cosine_dup,
     "v_cosine_dedup_apply": v_cosine_dedup_apply,
     "v_dims": v_dims,
@@ -3288,11 +3304,6 @@ REGISTRY = {
     # query MATRIX; the batched matmul + grouped-rank merge is
     # pytest-pinned against per-query knn_brute on multi-block input.)
     "v_knn_multi": v_knn_multi,
-    # (e_value_pctl: the map-side histogram partial + driver fold is
-    # in-window via e_value_quantiles (same family); the continuous
-    # refinement loop, collect short-circuit and ulp termination are
-    # pytest-pinned on adversarial duplicate layouts.)
-    "e_value_pctl": e_value_pctl,
     # (d_mixture: the multiplicative-hash keep gate is in-window via
     # d_source_cap (same hash, same threshold shape) and the row
     # expansion is d_chunk's repeat/offset machinery; the expected-
@@ -3308,12 +3319,6 @@ REGISTRY = {
     # (tail, hash-green at 3 scales) applied per segment, pytest-pinned
     # vs numpy per-group brute force.)
     "e_user_median": e_user_median,
-    # (d_curate: a pure composition of three registry operators —
-    # quality gate (d_quality_filter's exact predicate), exact text
-    # dedup (d_dedup_exact, in-window family via t_dedup_backstop
-    # history + d_minhash_lsh), context chunking (d_chunk, in-window)
-    # — with its own full-chain oracle.)
-    "d_curate": d_curate,
     # (t_grep_or: same tail rationale as t_grep_and/t_grep_phrase —
     # probe + fetch machinery in-window via t_grep_indexed; the
     # union-dedupe kernel and the incremental update_text_index
@@ -3332,25 +3337,23 @@ REGISTRY = {
     # r3-gate family).)
     "q_disjunctive": q_disjunctive,
     "q_supplier_variety": q_supplier_variety,
+    # (round-3h swap-outs, operators pinned in-window by their
+    # stronger siblings per the window comment: d_lang_id's seed
+    # heuristic (plumbing = d_lang_id_learned's), mm_image_meta's
+    # formula stub + mm_features' rows-only features (plumbing =
+    # mm_ppm_meta/mm_wav_meta's decode_media pool), v_knn_lsh /
+    # v_knn_ivf rows-only ANN probes (exact retrieval = v_knn,
+    # recall pytest-pinned).  mm_ppm_resize: the REAL 2x2 box kernel
+    # rides in-window mm_ppm_meta's decode path, pytest-pinned.)
+    "d_lang_id": d_lang_id,
+    "mm_image_meta": mm_image_meta,
+    "mm_features": mm_features,
+    "mm_ppm_resize": mm_ppm_resize,
+    "v_knn_lsh": v_knn_lsh,
+    "v_knn_ivf": v_knn_ivf,
     # (e_asof_lookup: the broadcast DUAL of in-window q_asof_join —
     # identical as-of semantics, opposite plan; the searchsorted
     # at-or-before law and the null-before-first-dim-row case are
     # pytest-pinned vs pandas merge_asof.)
     "e_asof_lookup": e_asof_lookup,
-    # (mm_ppm_meta / mm_ppm_resize: the actor-pool decode plumbing is
-    # in-window via mm_image_meta/mm_features; the REAL P6
-    # header-parse / pixel math / 2x2 box kernel is pytest-pinned on
-    # handcrafted non-constant images + malformed payloads.)
-    "mm_ppm_meta": mm_ppm_meta,
-    "mm_ppm_resize": mm_ppm_resize,
-    # (mm_wav_meta: same tail rationale — actor-pool decode plumbing
-    # in-window via mm_image_meta; the RIFF chunk walk / PCM validation
-    # is pytest-pinned incl. word-aligned odd chunks and poison files.)
-    "mm_wav_meta": mm_wav_meta,
-    # (d_lang_id_learned: the (lang,gram) fold is t_parse_metrics' /
-    # q_order_priority's bounded fold_partials in-window family, the
-    # Arrow-buffer trigram decode is d_lang_id's in-window machinery,
-    # and the learned fit+predict chain carries its own full-replay
-    # SQL oracle — hash-checked end-to-end at 3 scales.)
-    "d_lang_id_learned": d_lang_id_learned,
 }
