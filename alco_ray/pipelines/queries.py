@@ -20,6 +20,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -2969,6 +2970,256 @@ def d_chunk(sf_dir: str):
         batch_format="pyarrow")
 
 
+# ---------------------------------------------------------- round-3i ops
+
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.pagerank) over the
+    customer<->supplier co-purchase graph: orders x lineitem meet in a
+    hash-shuffle join, (cust, supp) pairs dedupe partition-locally,
+    then 5 FIXED-POINT INTEGER power iterations (scale 10^12, damping
+    85%) where every division is a floor-div — the oracle unrolls the
+    identical recurrence, so ranks hash-match exactly (float PageRank
+    would differ in ulps by summation order).  Node encoding
+    2*custkey / 2*suppkey+1 keeps one int64 id space; the symmetric
+    (undirected) graph has no dangling nodes by construction."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    n_join = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(orders, "inner", num_partitions=n_join,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def thin(b: pa.Table) -> pa.Table:
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"src": pa.array(cust * 2),
+                      "dst": pa.array(supp * 2 + 1)})
+        return (t.group_by(["src", "dst"]).aggregate([])
+                .rename_columns(["src", "dst"]))
+
+    pairs = joined.map_batches(thin, batch_format="pyarrow")
+    n_parts = window.suggest_key_partitions(
+        _nrows(_tp(sf_dir, "lineitem")))
+    edges = (window.partition_by_key(pairs, ["src", "dst"], n_parts)
+             .groupby("part").map_groups(
+                 lambda g: g[["src", "dst"]].drop_duplicates(),
+                 batch_format="pandas")
+             .materialize())
+    ranks = graph.pagerank(edges, symmetric=True, iters=5)
+
+    def decode(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        kind = np.where(node % 2 == 0, "cust", "supp")
+        return pa.table({
+            "kind": pa.array(kind.astype(object), pa.string()),
+            "node_key": pa.array(node // 2),
+            "rank_fp": b["rank_fp"]})
+
+    return ranks.map_batches(decode, batch_format="pyarrow")
+
+
+def d_lm_score(sf_dir: str):
+    """Background-LM quality score (stages/text.fit_background_trigrams
+    + trigram_coverage): an UNSUPERVISED top-200 trigram profile is fit
+    from the corpus itself (bounded df fold), then every document is
+    scored by the share of its trigram positions covered by the
+    profile — the cheap perplexity stand-in a quality filter
+    thresholds on.  Integer hit/total counts ride along so the float
+    share is one IEEE division on any engine; fit + score are both
+    replayed by the SQL oracle (hash-checked learned component)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    profile = text.fit_background_trigrams(ds, k=200)
+    return text.trigram_coverage(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), profile)
+
+
+def d_cross_dup(sf_dir: str):
+    """Cross-document n-gram duplication rate
+    (stages/text.cross_doc_ngram_share, n=5): the substring-level
+    boilerplate/contamination signal — per doc, the share of its
+    distinct word 5-grams that occur in at least one OTHER document.
+    Gram-hash partitions make df partition-locally exact; both
+    exchanges are pre-folded (see the stage docstring)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.cross_doc_ngram_share(
+        ds, n=5, approx_docs=_nrows(_tp(sf_dir, "documents")))
+
+
+def _nation_name_lut(sf_dir: str) -> np.ndarray:
+    nation = pq.read_table(_tp(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    lut = np.empty(int(nk.max()) + 1, dtype=object)
+    lut[nk] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    return lut
+
+
+def _supp_nation_lut(sf_dir: str) -> np.ndarray:
+    """suppkey -> nation NAME (supplier x nation composed driver-side;
+    both genuinely dimension-sized)."""
+    supp = pq.read_table(_tp(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    snk = supp["s_nationkey"].to_numpy().astype(np.int64)
+    names = _nation_name_lut(sf_dir)
+    lut = np.empty(int(sk.max()) + 1, dtype=object)
+    lut[sk] = names[snk]
+    return lut
+
+
+def q_nation_traffic(sf_dir: str):
+    """Q7-shaped 4-table chain: the fact tables (lineitem, orders)
+    meet in one hash-shuffle join, the result meets customer in a
+    SECOND shuffle join on custkey (customer scales with the corpus —
+    a broadcast would be wrong), and the genuinely dimension-sized
+    sides (supplier, nation) compose into one broadcast
+    suppkey/nationkey -> name lookup; (supp_nation x cust_nation) is
+    a bounded fold.  The multi-shuffle-join planning proof."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    luts = ray.put((_supp_nation_lut(sf_dir), _nation_name_lut(sf_dir)))
+    n_join = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j1 = li.join(orders, "inner", num_partitions=n_join,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j1.join(cust, "inner", num_partitions=n_join,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        supp_lut, nat_lut = ray.get(luts)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({
+            "supp_nation": pa.array(supp_lut[sk], pa.string()),
+            "cust_nation": pa.array(nat_lut[ck], pa.string()),
+            "c": cents})
+        g = t.group_by(["supp_nation", "cust_nation"]).aggregate(
+            [([], "count_all"), ("c", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation",
+                                 "n_items", "revenue_cents"])
+
+    p = j2.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return agg_stage.fold_partials(
+        p, ["supp_nation", "cust_nation"],
+        [("n_items", "sum"), ("revenue_cents", "sum")])
+
+
+def q_type_profit(sf_dir: str):
+    """Q9-shaped profit rollup WITHOUT a shuffle: the selective part
+    filter (p_type = 'PROMO') reduces part to a broadcast partkey set,
+    supplier -> nation composes into a second broadcast lut, and
+    lineitem streams ONCE through a map_batches partial -> bounded
+    (nation x ship-year) fold.  The planning contrast to
+    q_nation_traffic: when every non-fact side is dimension-sized the
+    right plan has ZERO all-to-all exchanges."""
+    part_t = pq.read_table(_tp(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"])
+    keep = part_t.filter(pc.equal(part_t["p_type"], "PROMO"))
+    keys = np.sort(keep["p_partkey"].to_numpy().astype(np.int64))
+    luts = ray.put((keys, _supp_nation_lut(sf_dir)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pkeys, supp_lut = ray.get(luts)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(pkeys, pk)
+        idx[idx == len(pkeys)] = 0
+        mask = pa.array(pkeys[idx] == pk) if len(pkeys) else \
+            pa.array(np.zeros(len(pk), bool))
+        b = b.filter(mask)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(disc, 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({
+            "supp_nation": pa.array(supp_lut[sk], pa.string()),
+            "ship_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+            "c": cents})
+        g = t.group_by(["supp_nation", "ship_year"]).aggregate(
+            [([], "count_all"), ("c", "sum")])
+        return g.rename_columns(["supp_nation", "ship_year",
+                                 "n_items", "revenue_cents"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+    p = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return agg_stage.fold_partials(
+        p, ["supp_nation", "ship_year"],
+        [("n_items", "sum"), ("revenue_cents", "sum")],
+        empty_schema=pa.schema([("supp_nation", pa.string()),
+                                ("ship_year", pa.int64()),
+                                ("n_items", pa.int64()),
+                                ("revenue_cents", pa.int64())]))
+
+
+def _event_type_sets(sf_dir: str, keep):
+    """Shared distinct-set machinery for the dataset set operators
+    over the composite key (user_id, day): per-batch (key, has_view,
+    has_click) bit partials, key-hash partition fold (the key domain
+    is unbounded — never a driver fold), then the ``keep`` predicate
+    row-filters partition-locally.  Day rides as a string so engine
+    and oracle agree on the type exactly."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            "p": pc.cast(pc.equal(b["event_type"], "view"), pa.int64()),
+            "v": pc.cast(pc.equal(b["event_type"], "click"), pa.int64())})
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("p", "max"), ("v", "max")])
+        return g.rename_columns(["user_id", "day", "p", "v"])
+
+    parts = window.partition_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "day"], approx_rows=_nrows(_tp(sf_dir, "events")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gg = (g.groupby(["user_id", "day"], as_index=False)
+              .agg(p=("p", "max"), v=("v", "max")))
+        out = gg[keep(gg["p"].to_numpy(), gg["v"].to_numpy())]
+        return out[["user_id", "day"]]
+
+    out = parts.groupby("part").map_groups(fold, batch_format="pandas")
+    if out.count() == 0:
+        # all-partitions-empty surfaces as ZERO blocks -> a 0-column
+        # frame downstream (ray 2.49 drops the schema); hand back a
+        # typed empty table instead.  The materialized count is the
+        # RESULT size, not the input size.
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "day": pa.array([], pa.string())})
+    return out
+
+
+def e_except(sf_dir: str):
+    """Dataset EXCEPT (set difference on a composite key): (user, day)
+    pairs with a view but no click that day — distinct-set bit
+    partials + key-hash fold (see _event_type_sets); no driver
+    materialization, one exchange."""
+    return _event_type_sets(
+        sf_dir, lambda p, v: (p == 1) & (v == 0))
+
+
+def e_intersect(sf_dir: str):
+    """Dataset INTERSECT (set intersection on a composite key):
+    (user, day) pairs with both a view and a click — same machinery
+    as e_except."""
+    return _event_type_sets(
+        sf_dir, lambda p, v: (p == 1) & (v == 1))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate recorded
@@ -2979,7 +3230,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 64 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 140 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -2999,6 +3250,17 @@ REGISTRY = {
     #   e_value_pctl (exact continuous percentile, a kernel class no
     #   sibling covers) + d_curate (the end-to-end curation pipeline
     #   with a full-chain oracle).
+    # Round-3i additions (new operator families, never driver-checked):
+    # distributed fixed-point PageRank, background-LM quality score,
+    # cross-doc n-gram duplication, the Q7/Q9 join-planning pair, and
+    # keyed set ops (EXCEPT / INTERSECT).
+    "q_pagerank": q_pagerank,
+    "d_lm_score": d_lm_score,
+    "d_cross_dup": d_cross_dup,
+    "q_nation_traffic": q_nation_traffic,
+    "q_type_profit": q_type_profit,
+    "e_except": e_except,
+    "e_intersect": e_intersect,
     "d_lang_id_learned": d_lang_id_learned,
     "mm_ppm_meta": mm_ppm_meta,
     "mm_wav_meta": mm_wav_meta,

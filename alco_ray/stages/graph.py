@@ -251,3 +251,169 @@ def connected_components(pairs, *, a_col: str = "doc_a",
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PageRank — fixed-point INTEGER power iteration (SQL-replayable)
+# ---------------------------------------------------------------------------
+
+def _pr_empty():
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "rank_fp": pa.array([], pa.int64())}))
+
+
+def _pr_deg_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Attach outdeg(src) to every directed edge, partition-locally
+    exact because the edge table is keyed by src."""
+    k = g["k"].to_numpy()
+    v = g["v"].to_numpy()
+    order = np.argsort(k, kind="stable")
+    k, v = k[order], v[order]
+    starts = _segment_starts(k)
+    counts = np.diff(np.append(starts, len(k)))
+    return pd.DataFrame({
+        "k": k, "v": v,
+        "deg": np.repeat(counts, counts).astype(np.int64),
+        "tag": np.full(len(k), 1, np.int8),
+        "part": g["part"].to_numpy()[order],
+    })
+
+
+def _pr_node_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"node": np.unique(g["k"].to_numpy())})
+
+
+def _pr_contrib_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """store rows (tag 0: k=node, v=rank) + edge rows (tag 1: k=src,
+    v=dst, deg=outdeg(src)) -> per-destination PRE-FOLDED integer
+    contribution sums (the combiner: shuffle volume to the fold stage
+    is <= |V| rows per source partition, not |E|).  Store rows also
+    emit (node, 0) so in-degree-0 nodes keep a rank row."""
+    tag = g["tag"].to_numpy()
+    store = tag == 0
+    sk = g["k"].to_numpy()[store]
+    sv = g["v"].to_numpy()[store]
+    order = np.argsort(sk)
+    sk, sv = sk[order], sv[order]
+    rk = g["k"].to_numpy()[~store]
+    rv = g["v"].to_numpy()[~store]
+    rdeg = g["deg"].to_numpy()[~store]
+    contrib = (sv[np.searchsorted(sk, rk)] // rdeg) if len(rk) else \
+        np.zeros(0, np.int64)
+    k = np.concatenate([rv, sk])
+    c = np.concatenate([contrib, np.zeros(len(sk), np.int64)])
+    if len(k) == 0:
+        return pd.DataFrame({"k": k.astype(np.int64),
+                             "c": c.astype(np.int64)})
+    o2 = np.argsort(k, kind="stable")
+    k, c = k[o2], c[o2]
+    starts = _segment_starts(k)
+    return pd.DataFrame({"k": k[starts],
+                         "c": np.add.reduceat(c, starts)})
+
+
+def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
+             symmetric: bool = True, iters: int = 5,
+             damping_pct: int = 85, scale: int = 10 ** 12,
+             num_partitions: int | None = None):
+    """(node, rank_fp) PageRank over an int64-keyed edge Dataset,
+    computed ENTIRELY in fixed-point integers so the result is exactly
+    reproducible by any engine (the DuckDB oracle unrolls the same
+    recurrence; float power iteration would differ in ulps by
+    summation order):
+
+        base           = ((100 - damping_pct) * (scale // n)) // 100
+        rank_0(v)      = scale // n
+        contrib_k(u)   = rank_k(u) // outdeg(u)
+        rank_{k+1}(v)  = base + (damping_pct * sum_{u->v} contrib_k(u)) // 100
+
+    with ``n`` = |nodes appearing in the edge set|.  ``symmetric=True``
+    mirrors every edge (undirected graph: no dangling nodes by
+    construction); with ``symmetric=False`` dangling-node mass is
+    simply lost each round (the recurrence above, verbatim).
+
+    Scale shape: the edge table is hash-partitioned by src ONCE
+    (outdeg attached partition-locally) and reused every iteration;
+    each iteration is two bounded all-to-alls (rank lookup keyed by
+    src with a per-partition combiner, then a fold keyed by dst) —
+    the connected-components loop's machinery with (sum, //) in place
+    of (min).  Nothing edge- or node-sized ever reaches the driver.
+    Overflow-safe for scale <= 10**16: ranks sum to <= scale, so any
+    partial contribution sum stays < 100 * scale << 2**63.
+    """
+    if iters < 0 or not (0 <= damping_pct <= 100):
+        raise ValueError("pagerank: need iters >= 0, 0 <= damping_pct <= 100")
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if symmetric:
+            a, b = np.concatenate([a, b]), np.concatenate([b, a])
+        return pa.table({"k": pa.array(a), "v": pa.array(b)})
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _pr_empty()
+    n_dir = n_edges * (2 if symmetric else 1)
+    directed = edges.map_batches(both, batch_format="pyarrow")
+    if num_partitions:
+        n_parts = num_partitions
+    else:
+        # same sizing rationale as connected_components (graph.py:163)
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        want = max(cpus, min(1 << 16, -(-n_dir // 250_000)))
+        n_parts = 1 << (int(want) - 1).bit_length()
+
+    # identity map back to ARROW blocks: the per-iteration union with
+    # the (arrow) store rows requires both sides in one block type
+    edge_t = (partition_by_key(directed, "k", n_parts)
+              .groupby("part").map_groups(_pr_deg_kernel,
+                                          batch_format="pandas")
+              .map_batches(lambda b: b, batch_format="pyarrow")
+              .materialize())
+    nodes = (edge_t.groupby("part").map_groups(_pr_node_kernel,
+                                               batch_format="pandas")
+             .materialize())
+    n = nodes.count()
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "rank_fp": pa.array(np.full(b.num_rows, r0, np.int64))}),
+        batch_format="pyarrow")
+
+    for _ in range(iters):
+        store = partition_by_key(
+            ranks.map_batches(
+                lambda b: pa.table({
+                    "k": b["node"], "v": b["rank_fp"],
+                    "deg": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "tag": pa.array(np.zeros(b.num_rows, np.int8))}),
+                batch_format="pyarrow"), "k", n_parts)
+        contribs = (store.union(edge_t)
+                    .groupby("part").map_groups(_pr_contrib_kernel,
+                                                batch_format="pandas"))
+
+        def fold(g: pd.DataFrame, _base=base, _d=damping_pct):
+            k = g["k"].to_numpy()
+            c = g["c"].to_numpy()
+            order = np.argsort(k, kind="stable")
+            k, c = k[order], c[order]
+            starts = _segment_starts(k)
+            s = np.add.reduceat(c, starts) if len(k) else \
+                np.zeros(0, np.int64)
+            return pd.DataFrame({"node": k[starts],
+                                 "rank_fp": _base + (_d * s) // 100})
+
+        ranks = (partition_by_key(contribs, "k", n_parts)
+                 .groupby("part").map_groups(fold, batch_format="pandas")
+                 .materialize())
+    return ranks

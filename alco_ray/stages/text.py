@@ -669,3 +669,181 @@ def predict_lang_learned(ds, profiles: dict[str, np.ndarray], *,
         })
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _char_trigrams_all(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row character-trigram codes WITH multiplicity (every
+    position, in order) + int64 row offsets — the with-duplicates
+    sibling of :func:`_char_trigrams_distinct`, same code encoding."""
+    cp, offs = _codepoints_arrow(arr)
+    n = len(offs) - 1
+    cp64 = cp.astype(np.int64)
+    total = len(cp64)
+    if total < 3:
+        return np.zeros(0, np.int64), np.zeros(n + 1, np.int64)
+    w = (cp64[:-2] * (_GRAM_RADIX * _GRAM_RADIX)
+         + cp64[1:-1] * _GRAM_RADIX + cp64[2:])
+    pos = np.arange(total - 2, dtype=np.int64)
+    owner = np.searchsorted(offs, pos, side="right") - 1
+    valid = (pos + 3) <= offs[owner + 1]
+    g, row = w[valid], owner[valid]
+    counts = np.bincount(row, minlength=n) if len(row) else \
+        np.zeros(n, np.int64)
+    goffs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return g, goffs
+
+
+def fit_background_trigrams(ds, *, text_col: str = "text",
+                            k: int = 200) -> np.ndarray:
+    """LEARN a single background language-model profile: the top-``k``
+    lowercase character trigrams by corpus DOCUMENT frequency (df DESC,
+    gram ASC — the collation-parity tie-break), as sorted int64 codes.
+
+    The unsupervised sibling of :func:`fit_trigram_profiles`: per-batch
+    distinct-gram partials fold driver-side (bounded: distinct
+    lowercase trigrams in the corpus, alphabet-cubed in practice; at an
+    unbounded gram domain switch the fold to a gram-hash partition —
+    the tf_df shape)."""
+    from .aggregate import fold_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(
+            pc.coalesce(b[text_col], pa.scalar("", pa.string())))
+        g, goffs = _char_trigrams_distinct(lowered)
+        t = pa.table({"gram": pa.array(g, pa.int64())})
+        out = t.group_by(["gram"]).aggregate([([], "count_all")])
+        return out.rename_columns(["gram", "df"])
+
+    folded = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["gram"], [("df", "sum")],
+        empty_schema=pa.schema([("gram", pa.int64()),
+                                ("df", pa.int64())]))
+    df = folded.to_pandas()
+    top = df.sort_values(["df", "gram"],
+                         ascending=[False, True]).head(k)
+    return np.sort(top["gram"].to_numpy().astype(np.int64))
+
+
+def trigram_coverage(ds, profile: np.ndarray, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Score every document under the background profile: the share of
+    its lowercase trigram POSITIONS (with multiplicity) whose gram is
+    in the profile — the cheap stand-in for LM perplexity that a
+    quality-filtering pipeline thresholds on.  Integer hit/total counts
+    ride along so the float share is one IEEE division of the same two
+    integers on any engine.  Profile broadcast once via ``ray.put``."""
+    import ray
+
+    pref = ray.put(np.sort(np.asarray(profile, np.int64)))
+
+    def body(b: pa.Table) -> pa.Table:
+        prof = ray.get(pref)
+        lowered = pc.utf8_lower(
+            pc.coalesce(b[text_col], pa.scalar("", pa.string())))
+        g, goffs = _char_trigrams_all(lowered)
+        lens = np.diff(goffs)
+        hits = np.zeros(b.num_rows, np.int64)
+        nonempty = lens > 0
+        starts = goffs[:-1][nonempty]
+        if len(g) and len(starts):
+            hit = np.isin(g, prof).astype(np.int64)
+            hits[nonempty] = np.add.reduceat(hit, starts)
+        score = np.divide(hits, lens, out=np.zeros(len(lens), np.float64),
+                          where=lens > 0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": pa.array(lens.astype(np.int64)),
+            "n_hits": pa.array(hits),
+            "lm_score": pa.array(score, pa.float64()),
+        })
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def cross_doc_ngram_share(ds, *, n: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n_parts: int | None = None,
+                          approx_docs: int | None = None,
+                          grams_per_doc: int = 64):
+    """Per-document CROSS-document duplication rate: the share of a
+    document's DISTINCT word ``n``-grams that also occur in at least
+    one OTHER document — the substring-level contamination/boilerplate
+    signal (cf. Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22) at n-gram granularity.
+
+    Shape: per-batch (doc, gram) distinct partials (a document lives
+    wholly in one batch) -> gram-hash partitions where a gram's
+    document frequency is partition-locally exact; each partition
+    PRE-FOLDS to per-doc (grams-seen, grams-shared) counts, so the
+    second (doc-keyed) exchange moves <= |docs| rows per partition, not
+    the gram stream.  Documents shorter than ``n`` tokens surface with
+    zero counts via a doc-id base union — no driver materialization
+    anywhere.  Output: (doc_id, n_grams, n_dup, dup_share)."""
+    from .window import partition_by_key, suggest_key_partitions
+
+    sep = pa.scalar(" ", pa.string())
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], b[id_col].type),
+                          "gram": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokenize(b[text_col], b.num_rows)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        if m < n:
+            return empty
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        mask_np = par[: m - (n - 1)] == par[n - 1:]
+        mask = pa.array(mask_np)
+        pieces = [flat.slice(i, m - (n - 1)).filter(mask) for i in range(n)]
+        grams = pieces[0]
+        for p in pieces[1:]:
+            grams = pc.binary_join_element_wise(grams, p, sep)
+        owners = par[: m - (n - 1)][mask_np]
+        ids = pc.take(b[id_col], pa.array(owners))
+        t = pa.table({id_col: ids, "gram": grams})
+        return (t.group_by([id_col, "gram"]).aggregate([])
+                .rename_columns([id_col, "gram"]))
+
+    grams = ds.map_batches(gram_partial, batch_format="pyarrow")
+    if n_parts is None:
+        n_docs = approx_docs if approx_docs is not None else ds.count()
+        n_parts = suggest_key_partitions(n_docs * grams_per_doc)
+
+    def gram_fold(g: pd.DataFrame) -> pd.DataFrame:
+        df_size = g.groupby("gram")["gram"].transform("size")
+        out = (g.assign(_dup=(df_size > 1).astype("int64"),
+                        _one=np.ones(len(g), np.int64))
+               .groupby(id_col, as_index=False)
+               .agg(gp=("_one", "sum"), dp=("_dup", "sum")))
+        return out
+
+    per_part = (partition_by_key(grams, "gram", n_parts)
+                .groupby("part").map_groups(gram_fold,
+                                            batch_format="pandas"))
+    base = ds.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            "gp": pa.array(np.zeros(b.num_rows, np.int64)),
+            "dp": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(id_col, as_index=False)
+               .agg(n_grams=("gp", "sum"), n_dup=("dp", "sum")))
+        ng = out["n_grams"].to_numpy().astype(np.int64)
+        nd = out["n_dup"].to_numpy().astype(np.int64)
+        out["n_grams"] = ng
+        out["n_dup"] = nd
+        out["dup_share"] = np.divide(
+            nd, ng, out=np.zeros(len(ng), np.float64), where=ng > 0)
+        return out
+
+    return (partition_by_key(per_part.union(base), id_col,
+                             n_parts, approx_rows=(approx_docs or 0) * 2
+                             or None)
+            .groupby("part").map_groups(doc_fold, batch_format="pandas"))

@@ -1,0 +1,147 @@
+"""Round-3i operator tests: fixed-point PageRank, background-LM
+coverage, cross-document n-gram duplication, keyed set ops.
+
+The distributed plumbing of each operator is pinned end-to-end by its
+DuckDB oracle (scripts/check_contract.py); these tests pin the SEMANTICS
+against independent pure-Python references on small inputs, plus the
+degenerate shapes (empty graph, short docs) the oracle corpus may not
+exercise.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _ref_pagerank(pairs, iters=5, scale=10 ** 12, damping=85):
+    """Independent integer-recurrence reference (dict-and-loop)."""
+    dirs = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({x for e in dirs for x in e})
+    deg = Counter(a for a, _ in dirs)
+    n = len(nodes)
+    r0 = scale // n
+    base = ((100 - damping) * r0) // 100
+    r = {v: r0 for v in nodes}
+    for _ in range(iters):
+        agg = {v: 0 for v in nodes}
+        for a, b in dirs:
+            agg[b] += r[a] // deg[a]
+        r = {v: base + (damping * agg[v]) // 100 for v in nodes}
+    return r
+
+
+def _pairs_ds(pairs):
+    a = pa.array([p[0] for p in pairs], pa.int64())
+    b = pa.array([p[1] for p in pairs], pa.int64())
+    return ray.data.from_arrow(pa.table({"src": a, "dst": b}))
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 8, 12), (1, 30, 60),
+                                                  (2, 5, 4)])
+def test_pagerank_matches_reference(seed, n_nodes, n_edges):
+    from alco_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(seed)
+    pairs = set()
+    while len(pairs) < n_edges:
+        a, b = rng.randint(0, n_nodes, 2)
+        if a != b:
+            pairs.add((int(min(a, b)), int(max(a, b))))
+    pairs = sorted(pairs)
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank(_pairs_ds(pairs), iters=5,
+                             num_partitions=4).take_all()}
+    assert got == _ref_pagerank(pairs)
+
+
+def test_pagerank_mass_and_empty():
+    from alco_ray.stages.graph import pagerank
+
+    # star graph: hub rank strictly dominates, total mass stays within
+    # rounding slack of scale (each of the 5 iterations floor-divides)
+    pairs = [(0, i) for i in range(1, 9)]
+    out = {r["node"]: r["rank_fp"]
+           for r in pagerank(_pairs_ds(pairs), iters=5,
+                             num_partitions=2).take_all()}
+    assert len(out) == 9
+    assert out[0] > max(v for k, v in out.items() if k)
+    assert abs(sum(out.values()) - 10 ** 12) < 10 ** 7
+    empty = pagerank(_pairs_ds([]), iters=3)
+    assert empty.count() == 0
+    assert empty.schema().names == ["node", "rank_fp"]
+
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string())}))
+
+
+def test_trigram_coverage_matches_reference():
+    from alco_ray.stages.text import (fit_background_trigrams,
+                                      trigram_coverage)
+
+    texts = ["the cat sat on the mat", "the dog sat", "xyzzy",
+             "", "ab", "the the the cat"]
+    ds = _docs_ds(texts)
+    k = 4
+    prof = fit_background_trigrams(ds, k=k)
+    # reference fit: distinct trigrams per doc -> df -> top-k by
+    # (df DESC, gram ASC); string order == code order by construction
+    df = Counter()
+    for t in texts:
+        df.update({t[i:i + 3] for i in range(max(len(t) - 2, 0))})
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    top_set = {g for g, _ in top}
+    assert len(prof) == min(k, len(df))
+
+    out = {r["doc_id"]: r
+           for r in trigram_coverage(ds, prof).take_all()}
+    for i, t in enumerate(texts):
+        grams = [t[j:j + 3] for j in range(max(len(t) - 2, 0))]
+        hits = sum(g in top_set for g in grams)
+        assert out[i]["n_grams"] == len(grams)
+        assert out[i]["n_hits"] == hits
+        want = hits / len(grams) if grams else 0.0
+        assert out[i]["lm_score"] == want
+
+
+def test_cross_doc_ngram_share_matches_reference():
+    from alco_ray.stages.text import cross_doc_ngram_share
+
+    texts = [
+        "one two three four five six seven",      # shares 5-grams w/ 1
+        "zero one two three four five six",       # overlaps doc 0
+        "totally different words here nothing shared at all",
+        "short doc",                               # < 5 tokens
+        "one two three four five six seven",      # exact dup of doc 0
+    ]
+    ds = _docs_ds(texts)
+    out = {r["doc_id"]: r
+           for r in cross_doc_ngram_share(ds, n=5, n_parts=4,
+                                          approx_docs=len(texts))
+           .take_all()}
+
+    def grams(t):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+
+    gsets = [grams(t) for t in texts]
+    df = Counter(g for s in gsets for g in s)
+    assert len(out) == len(texts)
+    for i, s in enumerate(gsets):
+        nd = sum(df[g] > 1 for g in s)
+        assert out[i]["n_grams"] == len(s)
+        assert out[i]["n_dup"] == nd
+        want = nd / len(s) if s else 0.0
+        assert out[i]["dup_share"] == want
+    assert out[3]["n_grams"] == 0 and out[3]["dup_share"] == 0.0
+    assert out[4]["dup_share"] == 1.0  # exact dup: every gram shared
+    assert out[2]["n_dup"] == 0
