@@ -3203,6 +3203,55 @@ def _event_type_sets(sf_dir: str, keep):
     return out
 
 
+def t_grep_near(sf_dir: str):
+    """PROXIMITY search on the persisted index (Sphinx
+    MATCH('"a b"~N') NEAR semantics): turns where 'shuffle' and
+    'stream' occur within 2 token positions of each other, either
+    order — v2 positional postings, per-A-position two-B-neighbor
+    searchsorted test (stages/textindex.near_probe).  Strictly between
+    t_grep_and (any distance) and t_grep_phrase (adjacent, ordered)
+    in selectivity, and non-vacuously so on this corpus."""
+    from ..stages.textindex import near_probe
+
+    idx = _ensure_text_index(sf_dir)
+    return near_probe(idx, "shuffle", "stream", max_dist=2, k=20)
+
+
+def v_gram(sf_dir: str):
+    """Distributed EXACT Gram / second-moment matrix of the embedding
+    column (stages/similarity.gram_matrix): one integer matmul per
+    block collapses it to d x d cells, bounded (i, j) fold — the
+    PCA / covariance precursor, bit-stable under any partitioning."""
+    from ..stages.similarity import gram_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return gram_matrix(ds)
+
+
+def e_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((type, day), (day), ()) — the
+    rollup/cube generalization at exactly the requested report levels
+    (stages/aggregate.grouping_sets_sums): finest partials once over
+    the data, every coarser set derived driver-side from the bounded
+    finest table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            "value_cents": pc.cast(
+                pc.round(pc.multiply(b["value"], 100),
+                         round_mode="half_towards_infinity"),
+                pa.int64())})
+
+    return agg_stage.grouping_sets_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [["event_type", "day"], ["day"], []],
+        ["value_cents"])
+
+
 def e_except(sf_dir: str):
     """Dataset EXCEPT (set difference on a composite key): (user, day)
     pairs with a view but no click that day — distinct-set bit
@@ -3230,7 +3279,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 140 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 143 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3255,6 +3304,9 @@ REGISTRY = {
     # cross-doc n-gram duplication, the Q7/Q9 join-planning pair, and
     # keyed set ops (EXCEPT / INTERSECT).
     "q_pagerank": q_pagerank,
+    "t_grep_near": t_grep_near,
+    "v_gram": v_gram,
+    "e_grouping_sets": e_grouping_sets,
     "d_lm_score": d_lm_score,
     "d_cross_dup": d_cross_dup,
     "q_nation_traffic": q_nation_traffic,

@@ -783,3 +783,51 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         return concat_nonempty(parts) if parts else b.select(id_cols)
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def grouping_sets_sums(ds, keys: list[str], sets: list[list[str]],
+                       sum_cols: list[str],
+                       count_col: str = "n_rows") -> pa.Table:
+    """GROUP BY GROUPING SETS(sets) — the rollup/cube generalization:
+    exactly the REQUESTED grouping sets (each a subset of ``keys``),
+    absent keys null.  Same single-scan shape as :func:`cube_sums`:
+    finest-granularity partials per block + driver fold, then every
+    requested set re-aggregates from the tiny finest table
+    driver-side — one pass over the data regardless of how many sets
+    the report asks for."""
+    import pyarrow.compute as pc
+
+    for s in sets:
+        bad = [c for c in s if c not in keys]
+        if bad:
+            raise ValueError(f"grouping_sets_sums: {bad} not in keys")
+    aggs = [(c, "sum") for c in sum_cols] + [(count_col, "sum")]
+    out_names = keys + sum_cols + [count_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [([], "count_all")])
+        return g.rename_columns(out_names)
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    finest = fold_partials(p, keys, [(c, "sum") for c in sum_cols] +
+                           [(count_col, "sum")])
+    levels = []
+    for kept in sets:
+        kept = [k for k in keys if k in kept]  # canonical key order
+        if kept == keys:
+            t = finest
+        elif kept:
+            t = (finest.group_by(kept).aggregate(aggs)
+                 .rename_columns(kept + sum_cols + [count_col]))
+        else:
+            t = pa.table({c: pa.array([int(pc.sum(finest[c]).as_py() or 0)],
+                                      pa.int64())
+                          for c in sum_cols + [count_col]})
+        for k in keys:
+            if k not in kept:
+                t = t.append_column(k, pa.nulls(t.num_rows,
+                                                finest.schema.field(k).type))
+        levels.append(t.select(out_names))
+    return pa.concat_tables(levels).sort_by(
+        [(k, "ascending") for k in keys])

@@ -731,3 +731,60 @@ def label_vector_sums(ds, *, vec_col: str = "embedding",
     p = ds.map_batches(partial, batch_format="pyarrow")
     return ray.data.from_arrow(fold_partials(
         p, [label_col, "dim"], [("s", "sum"), ("n", "sum")]))
+
+
+def gram_matrix(ds, *, vec_col: str = "embedding",
+                scale: int = 1_000_000):
+    """Distributed EXACT Gram / second-moment matrix of an embedding
+    column — the PCA / covariance / whitening precursor: X^T X over
+    the integer-quantized vectors (same half-away quantization as
+    :func:`label_vector_sums`; float accumulation would be summation-
+    order-dependent and break bit-equality).
+
+    Shape: ONE integer matmul per block (a (n_block, d) x (d, n_block)
+    contraction collapses the block to d*d cells) -> bounded (i, j)
+    driver fold — the exchange moves d^2 rows per block, never
+    vectors.  Returns (i, j, s) with 1-based dims, s = sum of
+    x_i * x_j over all rows.  Overflow bound: a cell partial is
+    <= n_rows * (scale * max|x|)^2; at scale=10^6 and unit-normalized
+    embeddings that caps the EXACT path near ~10^6 rows per fold —
+    beyond that, lower ``scale`` (10^4 holds ~10^10 rows) or fold the
+    i64 cells into object-store shards; dims stay schema-scale."""
+    import pyarrow.compute as pc
+
+    from .aggregate import fold_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        arr = b[vec_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        q = pc.cast(pc.round(pc.multiply(pc.cast(arr.values, pa.float64()),
+                                         pa.scalar(float(scale))),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        if isinstance(arr, pa.FixedSizeListArray):
+            d = arr.type.list_size
+        else:
+            offs = np.asarray(arr.offsets)
+            d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        if d == 0:
+            return empty
+        x = q.reshape(-1, d)
+        g = x.T @ x  # int64 matmul: exact
+        dims = np.arange(1, d + 1, dtype=np.int64)
+        return pa.table({
+            "i": pa.array(np.repeat(dims, d)),
+            "j": pa.array(np.tile(dims, d)),
+            "s": pa.array(g.ravel()),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return fold_partials(
+        p, ["i", "j"], [("s", "sum")],
+        empty_schema=pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                                ("s", pa.int64())]))

@@ -542,3 +542,114 @@ def phrase_probe(index_dir: str | Path, phrase: list[str], *,
     if not len(topk):
         return ray.data.from_arrow(empty)
     return _fetch_texts(d, text_col, topk, empty, stats_out)
+
+
+def near_probe(index_dir: str | Path, term_a: str, term_b: str, *,
+               max_dist: int = 2, k: int = 20,
+               stats_out: dict | None = None):
+    """PROXIMITY search (Sphinx ``MATCH('"a b"~N')`` NEAR semantics):
+    turns where ``term_a`` and ``term_b`` occur within ``max_dist``
+    token positions of each other (either order).  Same pruned
+    per-term posting buckets as :func:`match_all_probe`; the kernel
+    rides the v2 positional postings — per partition, every A-position
+    checks only its two B-neighbors (one ``searchsorted`` into the
+    gid-composite B-position array), which is exactly the min-distance
+    test, fully vectorized.  Distances use in-turn token indices, so
+    the 0- vs 1-based convention cancels against any SQL oracle."""
+    import pandas as pd
+    import ray.data
+
+    from .order import top_k
+    from .window import partition_by_key
+
+    ta, tb = term_a.lower(), term_b.lower()
+    if ta == tb:
+        raise ValueError("near_probe: need two distinct terms")
+    if max_dist < 1:
+        raise ValueError("near_probe: max_dist must be >= 1")
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    if meta.get("version", 1) < 2:
+        raise ValueError("near_probe needs a v2 (positional) index — "
+                         "rebuild with build_text_index")
+    buckets = sorted({int(b) for b in _bucket_of(
+        np.array(sorted({ta, tb}), dtype=object), meta["n_buckets"])})
+    pfiles = sorted(str(p) for b in buckets
+                    for p in (d / "postings" / f"bucket={b}")
+                    .glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["posting_files"] = pfiles
+        stats_out["doc_files"] = []
+    text_col = meta["text_col"]
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "parsed_ts": pa.array([], pa.timestamp("us")),
+                      text_col: pa.array([], pa.string())})
+    if not pfiles:
+        return ray.data.from_arrow(empty)
+    term_set = pa.array(sorted({ta, tb}), pa.string())
+
+    def match(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["token"], value_set=term_set)
+        return b.filter(keep).select(
+            ["conv_id", "turn_idx", "parsed_ts", "token", "positions"])
+
+    hits = ray.data.read_parquet(pfiles) \
+        .map_batches(match, batch_format="pyarrow", batch_size=None)
+    no_hit = pa.table({"conv_id": pa.array([], pa.string()),
+                       "turn_idx": pa.array([], pa.int32()),
+                       "parsed_ts": pa.array([], pa.timestamp("us"))})
+
+    def nearest(g: "pd.DataFrame") -> pa.Table:
+        both = g[g["token"].isin([ta, tb])].copy()
+        if not len(both):
+            return no_hit
+        both["gid"] = both.groupby(["conv_id", "turn_idx"],
+                                   sort=False).ngroup()
+        lens = both["positions"].map(len).to_numpy()
+        if not lens.sum():
+            return no_hit
+        flat = np.concatenate(
+            [np.asarray(p, np.int64) for p in both["positions"]])
+        gids = np.repeat(both["gid"].to_numpy(), lens)
+        is_a = np.repeat((both["token"] == ta).to_numpy(), lens)
+        big = np.int64(flat.max() + max_dist + 2)
+        ag, ap = gids[is_a], flat[is_a]
+        bg, bp = gids[~is_a], flat[~is_a]
+        if not len(ag) or not len(bg):
+            return no_hit
+        order = np.argsort(bg * big + bp)
+        bg, bp = bg[order], bp[order]
+        kb = bg * big + bp
+        idx = np.searchsorted(kb, ag * big + ap)
+        ok = np.zeros(len(ag), bool)
+        right = idx < len(kb)
+        ok[right] = (bg[idx[right]] == ag[right]) \
+            & (bp[idx[right]] - ap[right] <= max_dist)
+        left = idx > 0
+        li = idx - 1
+        ok[left] |= (bg[li[left]] == ag[left]) \
+            & (ap[left] - bp[li[left]] <= max_dist)
+        hit_gids = np.unique(ag[ok])
+        if not len(hit_gids):
+            return no_hit
+        rep = both.drop_duplicates("gid").set_index("gid").loc[hit_gids]
+        return pa.table({
+            "conv_id": pa.array(rep["conv_id"].to_numpy(), pa.string()),
+            "turn_idx": pa.array(
+                rep["turn_idx"].to_numpy().astype(np.int32)),
+            "parsed_ts": pa.array(
+                rep["parsed_ts"].to_numpy().astype("datetime64[us]")),
+        })
+
+    import pyarrow.parquet as pq_
+
+    approx = sum(pq_.read_metadata(f).num_rows for f in pfiles)
+    inter = partition_by_key(hits, ["conv_id", "turn_idx"],
+                             approx_rows=approx) \
+        .groupby("part").map_groups(nearest, batch_format="pandas")
+    topk = top_k(inter, ["parsed_ts", "conv_id", "turn_idx"], k,
+                 descending=[True, False, False]).to_pandas()
+    if not len(topk):
+        return ray.data.from_arrow(empty)
+    return _fetch_texts(d, text_col, topk, empty, stats_out)

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     # round-3h operators (exact continuous percentile, broadcast as-of
     # lookup, real PPM decode, learned langid)
     "e_value_pctl", "e_asof_lookup", "mm_ppm_meta", "d_lang_id_learned",
+    # round-3i operators (fixed-point PageRank, background-LM score,
+    # cross-doc n-gram duplication)
+    "q_pagerank", "d_lm_score", "d_cross_dup",
 ]
 
 

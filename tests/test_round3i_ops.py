@@ -145,3 +145,93 @@ def test_cross_doc_ngram_share_matches_reference():
     assert out[3]["n_grams"] == 0 and out[3]["dup_share"] == 0.0
     assert out[4]["dup_share"] == 1.0  # exact dup: every gram shared
     assert out[2]["n_dup"] == 0
+
+
+def test_near_probe_semantics(tmp_path):
+    import ray.data
+
+    from alco_ray.stages.textindex import build_text_index, near_probe
+
+    n = 60
+    rng = np.random.RandomState(7)
+    ts = (np.datetime64("2024-03-01T00:00:00", "us")
+          + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]"))
+    words = np.array(["alpha", "bravo", "charlie"])
+    text = np.array([" ".join(rng.choice(words, 5)) for _ in range(n)],
+                    dtype=object)
+    text[3] = "aa bb pad pad"            # dist 1 -> hit
+    text[9] = "aa pad bb pad"            # dist 2 -> hit
+    text[15] = "bb pad pad aa"           # dist 3, reversed -> miss at 2
+    text[21] = "bb pad aa"               # reversed dist 2 -> hit
+    text[27] = "aa pad pad pad bb aa"    # repeated a: min dist 1 -> hit
+    text[33] = "aa only here"            # one term -> miss
+    parsed = pa.table({
+        "conv_id": pa.array([f"c{i % 7}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        "parsed_ts": pa.array(ts),
+        "level": pa.array(["INFO"] * n, pa.string()),
+        "text": pa.array(list(text), pa.string()),
+    })
+    idx = tmp_path / "tidx_near"
+    build_text_index(ray.data.from_arrow(parsed), idx, n_buckets=64,
+                     approx_rows=n)
+    got = near_probe(idx, "aa", "bb", max_dist=2, k=100).to_pandas()
+    assert sorted(got["turn_idx"]) == [3, 9, 21, 27]
+    # widen the radius: the dist-3 turn joins
+    got3 = near_probe(idx, "aa", "bb", max_dist=3, k=100).to_pandas()
+    assert sorted(got3["turn_idx"]) == [3, 9, 15, 21, 27]
+    with pytest.raises(ValueError):
+        near_probe(idx, "aa", "aa", max_dist=2)
+
+
+def test_gram_matrix_matches_numpy():
+    from alco_ray.stages.similarity import gram_matrix
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(50, 6).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array([list(map(float, r)) for r in x],
+                              pa.list_(pa.float32()))}))
+    out = gram_matrix(ds, scale=1000)
+    q = np.floor(np.abs(x.astype(np.float64)) * 1000 + 0.5).astype(
+        np.int64) * np.sign(x).astype(np.int64)  # half away from zero
+    want = q.T @ q
+    got = {(r["i"], r["j"]): r["s"] for r in out.to_pylist()}
+    assert len(got) == 36
+    for i in range(6):
+        for j in range(6):
+            assert got[(i + 1, j + 1)] == want[i, j]
+    # symmetry comes free from exactness
+    assert all(got[(i, j)] == got[(j, i)] for i, j in got)
+
+
+def test_grouping_sets_matches_pandas():
+    import pandas as pd
+
+    from alco_ray.stages.aggregate import grouping_sets_sums
+
+    rng = np.random.RandomState(11)
+    n = 300
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.choice(["p", "q"], n)),
+        "v": pa.array(rng.randint(0, 100, n).astype(np.int64)),
+    })
+    ds = ray.data.from_arrow(t)
+    out = grouping_sets_sums(ds, ["a", "b"], [["a", "b"], ["b"], []],
+                             ["v"]).to_pandas()
+    df = t.to_pandas()
+    fine = df.groupby(["a", "b"], as_index=False).agg(
+        v=("v", "sum"), n_rows=("v", "size"))
+    byb = df.groupby(["b"], as_index=False).agg(
+        v=("v", "sum"), n_rows=("v", "size"))
+    assert len(out) == len(fine) + len(byb) + 1
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert len(total) == 1
+    assert total["v"].iloc[0] == df["v"].sum()
+    assert total["n_rows"].iloc[0] == n
+    for _, r in byb.iterrows():
+        m = out[(out["a"].isna()) & (out["b"] == r["b"])]
+        assert len(m) == 1 and m["v"].iloc[0] == r["v"]
+    with pytest.raises(ValueError):
+        grouping_sets_sums(ds, ["a"], [["zz"]], ["v"])
