@@ -3203,6 +3203,33 @@ def _event_type_sets(sf_dir: str, keep):
     return out
 
 
+def q_fuzzy_names(sf_dir: str):
+    """FUZZY SIMILARITY JOIN (stages/dedup.fuzzy_pairs): all pairs of
+    customer names within edit distance 1 — deletion-neighborhood
+    hashing (SymSpell candidate rule) + vectorized exact verify, so
+    the engine's work is values x (len+1) variant hashes, never
+    values^2.  The deterministic c_custkey % 4 = 0 subset keeps the
+    ORACLE's quadratic levenshtein join feasible at sf0.1; the
+    engine's path is subquadratic regardless."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    filt = ds.map_batches(
+        lambda b: pa.table({"c_name": b.filter(
+            pc.equal(pc.bit_wise_and(b["c_custkey"], 3), 0))["c_name"]}),
+        batch_format="pyarrow")
+    return dedup.fuzzy_pairs(filt, "c_name")
+
+
+def e_densify(sf_dir: str):
+    """GAP FILLING (stages/window.densify_daily): one row per user per
+    calendar day inside that user's event span, zero-filled on silent
+    days — the time-series regularization step before rolling features
+    or resampled snapshots.  Key-hash partitions, one vectorized
+    expand-and-scatter kernel per partition."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return window.densify_daily(ds, "user_id", "ts",
+                                approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 def t_grep_near(sf_dir: str):
     """PROXIMITY search on the persisted index (Sphinx
     MATCH('"a b"~N') NEAR semantics): turns where 'shuffle' and
@@ -3279,7 +3306,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 143 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 145 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3304,6 +3331,8 @@ REGISTRY = {
     # cross-doc n-gram duplication, the Q7/Q9 join-planning pair, and
     # keyed set ops (EXCEPT / INTERSECT).
     "q_pagerank": q_pagerank,
+    "q_fuzzy_names": q_fuzzy_names,
+    "e_densify": e_densify,
     "t_grep_near": t_grep_near,
     "v_gram": v_gram,
     "e_grouping_sets": e_grouping_sets,
@@ -3346,8 +3375,17 @@ REGISTRY = {
     # round-3d additions (never driver-checked -> in-window)
     "e_value_corr": e_value_corr,
     "e_mode_hour": e_mode_hour,
-    "e_ntile": e_ntile,
-    "e_cube": e_cube,
+    # Round-3i window swap: e_ntile + e_cube moved tail so the round-3g
+    # operators v_range_search + d_chunk (both never driver-checked, no
+    # in-window sibling for chunking / radius search) stay inside the
+    # 50-entry gate window after the 10 round-3i insertions.  Coverage
+    # argument: e_grouping_sets (in-window, round-3i) IS the cube
+    # operator generalized — same finest-fold machinery, strictly more
+    # general surface; ranking stays pinned in-window by e_dense_rank +
+    # e_user_rank (ntile is the same rank-kernel family with a bucket
+    # map on top).
+    "v_range_search": v_range_search,
+    "d_chunk": d_chunk,
     "e_value_quantiles": e_value_quantiles,
     "e_dense_rank": e_dense_rank,
     # round-3e additions (never driver-checked -> in-window)
@@ -3358,6 +3396,17 @@ REGISTRY = {
     "d_heavy_tokens": d_heavy_tokens,
     "t_role_transitions": t_role_transitions,
     "e_first_last": e_first_last,
+    # -- gate-window edge (position 50) is here after the round-3i
+    # insertions.  The five round-3f/3g composition queries below slid
+    # just past it; operator coverage argument: q_cust_dist (Q13) =
+    # left join (q_left_join, in-window) + count histogram
+    # (e_grouping_sets family); q_big_orders (Q18) = having + join-back
+    # (q_region_revenue's broadcast probe + e_first_last's grouped
+    # fold); e_funnel = segmented per-user ordering (e_event_gaps /
+    # e_user_cumsum kernels, in-window); q_returns_topk (Q10) =
+    # filtered join + top-k (v_knn's top_k merge + q_left_join);
+    # e_retention = cohort pivot (e_pivot, in-window).  All five stay
+    # hash-verified at every scale by scripts/check_contract.py.
     "q_cust_dist": q_cust_dist,
     "q_big_orders": q_big_orders,
     "e_funnel": e_funnel,
@@ -3377,8 +3426,8 @@ REGISTRY = {
     # t_dedup_backstop's key-partitioned first-wins dedup is
     # tail-sibling d_dedup_exact's machinery (r2-green) with the dedup
     # family pinned in-window by d_minhash_lsh's exact-verify chain.
-    "v_range_search": v_range_search,
-    "d_chunk": d_chunk,
+    "e_ntile": e_ntile,
+    "e_cube": e_cube,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
     # documents / training-data ops

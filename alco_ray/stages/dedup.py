@@ -847,3 +847,202 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
             out |= col << np.uint64(j)
     return pa.table({id_col: batch[id_col],
                      "simhash": pa.array(out.view(np.int64), pa.int64())})
+
+
+# ---------------------------------------------------------------------
+# Fuzzy (edit-distance <= 1) similarity join
+# ---------------------------------------------------------------------
+
+_FZ_P = np.uint64(1099511628211)  # FNV-ish odd multiplier, mod 2^64
+
+
+def _fz_pad(cp: np.ndarray, offs: np.ndarray,
+            maxlen: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, maxlen) uint32 codepoint matrix + length vector."""
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    m = np.zeros((n, maxlen), np.uint32)
+    if len(cp):
+        rows = np.repeat(np.arange(n), lens)
+        pos = np.arange(len(cp), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        m[rows, pos] = cp
+    return m, lens.astype(np.int64)
+
+
+def _fz_variant_hashes(values) -> tuple[np.ndarray, np.ndarray]:
+    """Deletion-neighborhood hashes: for each string s emit the
+    polynomial hash of s itself AND of every single-deletion variant
+    s[:i] + s[i+1:] — two strings are within edit distance 1
+    (sub/ins/del) iff their variant STRING sets intersect, so hash
+    equality is a complete candidate rule (collisions only ADD
+    candidates; the exact verifier removes them).  Hashes combine
+    precomputed prefix hashes and suffix hashes, all uint64 wrap
+    arithmetic — no per-string Python.  Returns (row_idx, hash)."""
+    from .text import _codepoints_arrow
+
+    cp, offs = _codepoints_arrow(values)
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    maxlen = int(lens.max()) if n else 0
+    m, lens = _fz_pad(cp, offs, maxlen)
+    m64 = m.astype(np.uint64)
+    pre = np.zeros((n, maxlen + 1), np.uint64)
+    for j in range(maxlen):
+        pre[:, j + 1] = pre[:, j] * _FZ_P + m64[:, j]
+    suf = np.zeros((n, maxlen + 1), np.uint64)
+    pw = np.ones(maxlen + 1, np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wrap IS the hash ring
+        for j in range(1, maxlen + 1):
+            pw[j] = pw[j - 1] * _FZ_P
+    for j in range(maxlen - 1, -1, -1):
+        # suf[:, j] = hash of s[j:len] = cp[j] * P^(len-1-j) + suf[j+1]
+        e = (lens - 1 - j)
+        valid = e >= 0
+        exp = np.where(valid, e, 0).astype(np.int64)
+        suf[:, j] = np.where(valid, m64[:, j] * pw[exp] + suf[:, j + 1],
+                             np.uint64(0))
+    # full-string hash = suf[:, 0]
+    rows_full = np.arange(n, dtype=np.int64)
+    h_full = suf[:, 0]
+    # deletion at i (0 <= i < len): pre_i * P^(len-1-i) + suf[i+1]
+    del_rows = np.repeat(rows_full, lens)
+    if len(del_rows):
+        i = (np.arange(len(del_rows), dtype=np.int64)
+             - np.repeat(np.cumsum(lens) - lens, lens))
+        ln = np.repeat(lens, lens)
+        h_del = (pre[del_rows, i] * pw[ln - 1 - i]
+                 + suf[del_rows, i + 1])
+    else:
+        i = np.zeros(0, np.int64)
+        h_del = np.zeros(0, np.uint64)
+    rows = np.concatenate([rows_full, del_rows])
+    hashes = np.concatenate([h_full, h_del])
+    return rows, hashes.view(np.int64)
+
+
+def _lev1_exact(a_vals, b_vals) -> np.ndarray:
+    """Vectorized exact edit-distance<=1 check for paired string
+    arrays (pa.Array or pa.ChunkedArray), all-numpy: equal-length
+    pairs count mismatched positions; length-diff-1 pairs test the
+    classic first-mismatch / shifted-suffix alignment with a reverse
+    cumulative AND.  Returns bool mask (distance exactly 1 for
+    distinct values, <=1 in general)."""
+    from .text import _codepoints_arrow
+
+    acp, aoffs = _codepoints_arrow(a_vals)
+    bcp, boffs = _codepoints_arrow(b_vals)
+    n = len(aoffs) - 1
+    # width maxlen+1: the shifted-suffix compare reads X[:, 1:maxlen+1]
+    maxlen = int(max(np.diff(aoffs).max(initial=0),
+                     np.diff(boffs).max(initial=0), 1))
+    A, la = _fz_pad(acp, aoffs, maxlen + 1)
+    B, lb = _fz_pad(bcp, boffs, maxlen + 1)
+    # orient: X = longer side
+    swap = lb > la
+    X = np.where(swap[:, None], B, A)
+    Y = np.where(swap[:, None], A, B)
+    lx = np.where(swap, lb, la)
+    ly = np.where(swap, la, lb)
+    diff = lx - ly
+    out = np.zeros(n, bool)
+    w = maxlen + 1
+    cols = np.arange(w)
+    inbounds = cols[None, :] < ly[:, None]
+    # equal length: <= 1 substituted position
+    eqmask = diff == 0
+    mism = ((X != Y) & inbounds).sum(axis=1)
+    out[eqmask] = mism[eqmask] <= 1
+    # length + 1: delete one char of X to get Y.  k = first mismatch
+    # (the deleted position); match iff X[k+1:lx] == Y[k:ly], tested
+    # with a reverse cumulative AND over the shifted equality.
+    d1 = diff == 1
+    if d1.any():
+        peq = (X == Y) | ~inbounds          # prefix equality, pad-true
+        allpre = peq.all(axis=1)
+        k = np.where(allpre, ly, np.argmin(peq, axis=1))
+        seq = np.ones((n, w), bool)
+        seq[:, :w - 1] = X[:, 1:w] == Y[:, :w - 1]
+        seq |= ~inbounds                    # pad-true at/after ly
+        rs = np.flip(np.logical_and.accumulate(
+            np.flip(seq, axis=1), axis=1), axis=1)
+        out[d1] = rs[np.arange(n), k][d1]
+    return out
+
+
+def fuzzy_pairs(ds, col: str, *, n_parts: int | None = None,
+                max_bucket: int = 512):
+    """FUZZY SIMILARITY JOIN: all pairs of DISTINCT values of ``col``
+    within edit distance 1 (substitution, insertion or deletion) —
+    the typo/near-identifier matching operator.  Returns a Dataset of
+    (val_a, val_b), val_a < val_b.
+
+    Shape: deletion-neighborhood hashing (the SymSpell candidate rule:
+    d(a,b) <= 1  iff  the single-deletion variant sets of a and b
+    intersect) — each distinct value emits len+1 variant hashes, a
+    bucket groupby pairs only values sharing a variant, and a
+    vectorized exact verifier (codepoint matrices, no per-pair Python)
+    removes hash collisions.  Shuffle volume is values x (len+1)
+    hashes, never values^2; ``max_bucket`` caps degenerate buckets the
+    same way the MinHash-LSH path does."""
+    import ray
+
+    from .window import partition_by_key, suggest_key_partitions
+
+    # distinct values, partition-locally exact
+    vparts = partition_by_key(
+        ds.map_batches(
+            lambda b: (pa.table({"v": b[col]})
+                       .group_by(["v"]).aggregate([])
+                       .rename_columns(["v"])),
+            batch_format="pyarrow"), "v", n_parts)
+
+    def distinct_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": g["v"].drop_duplicates()})
+
+    distinct = vparts.groupby("part").map_groups(
+        distinct_fold, batch_format="pandas")
+
+    def variants(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        vals = b["v"]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        rows, hashes = _fz_variant_hashes(vals)
+        return pa.table({"v": vals.take(pa.array(rows)),
+                         "h": pa.array(hashes)})
+
+    hv = distinct.map_batches(variants, batch_format="pyarrow")
+    if n_parts is None:
+        n_parts = suggest_key_partitions(ds.count())
+    hparts = partition_by_key(hv, "h", n_parts)
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None:
+            sz = g.groupby("h")["v"].transform("size")
+            g = g[sz <= max_bucket]
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["v_a"] < m["v_b"]]
+        return m[["v_a", "v_b"]].drop_duplicates()
+
+    cands = hparts.groupby("part").map_groups(pairs_in_part,
+                                              batch_format="pandas")
+    # distinct across partitions (a pair can share several variants)
+    cparts = partition_by_key(
+        cands.map_batches(lambda b: b.select(["v_a", "v_b"]),
+                          batch_format="pyarrow"),
+        ["v_a", "v_b"], n_parts)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["v_a", "v_b"])
+        if not len(g):
+            return pd.DataFrame({"val_a": pd.Series([], dtype=object),
+                                 "val_b": pd.Series([], dtype=object)})
+        ok = _lev1_exact(pa.array(g["v_a"].to_numpy(), pa.string()),
+                         pa.array(g["v_b"].to_numpy(), pa.string()))
+        kept = g[ok]
+        return pd.DataFrame({"val_a": kept["v_a"].to_numpy(),
+                             "val_b": kept["v_b"].to_numpy()})
+
+    return cparts.groupby("part").map_groups(verify, batch_format="pandas")

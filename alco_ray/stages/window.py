@@ -838,3 +838,66 @@ def grouped_rolling_sum(ds, *, key_col: str, ts_col: str, id_col: str,
     return _partitioned(ds, key_col, n_parts,
                         approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
+
+
+def densify_daily(ds, key_col: str, ts_col: str, *,
+                  n_parts: int | None = None,
+                  approx_rows: int | None = None):
+    """GAP FILLING / densification: per key, one row for EVERY calendar
+    day in that key's [min(ts), max(ts)] span with the day's event
+    count (0 for silent days) — the time-series regularization step
+    before rolling features or resampled training snapshots.
+
+    Shape: key-hash partitions (a key's span is partition-local), one
+    vectorized kernel per partition: per-(key, day) counts via sort +
+    reduceat, spans expanded with a single global ``arange`` minus
+    per-row offsets (no per-key Python), counts scattered into the
+    dense frame by computed index.  Output rows = sum of span lengths;
+    day rides as a string so engines agree on the type exactly."""
+    import pandas as pd
+
+    def prep(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(b[ts_col], unit="day"),
+                       pa.timestamp("us"))
+        epoch_days = pc.divide(pc.cast(days, pa.int64()),
+                               pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({key_col: b[key_col], "d": epoch_days})
+
+    parts = partition_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col,
+        n_parts, approx_rows=approx_rows)
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        d = g["d"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        kstart = np.ones(len(k), bool)
+        kstart[1:] = k[1:] != k[:-1]
+        kidx = np.cumsum(kstart) - 1          # dense key index per row
+        # per-(key, day) counts
+        pair_start = kstart.copy()
+        pair_start[1:] |= d[1:] != d[:-1]
+        ps = np.flatnonzero(pair_start)
+        cnt = np.diff(np.append(ps, len(k)))
+        pk, pd_ = kidx[ps], d[ps]
+        # per-key span
+        ks = np.flatnonzero(kstart)
+        lo = d[ks]
+        hi = np.maximum.reduceat(d, ks)
+        span = hi - lo + 1
+        offs = np.concatenate(([0], np.cumsum(span)))
+        total = int(offs[-1])
+        rows = np.repeat(np.arange(len(ks)), span)
+        day = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs[:-1], span) + np.repeat(lo, span))
+        n = np.zeros(total, np.int64)
+        n[offs[pk] + (pd_ - lo[pk])] = cnt
+        day_str = np.datetime_as_string(
+            day.astype("datetime64[D]"), unit="D")
+        return pd.DataFrame({
+            key_col: k[ks][rows],
+            "day": day_str.astype(object),
+            "n_events": n})
+
+    return parts.groupby("part").map_groups(fill, batch_format="pandas")

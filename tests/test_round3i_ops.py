@@ -235,3 +235,90 @@ def test_grouping_sets_matches_pandas():
         assert len(m) == 1 and m["v"].iloc[0] == r["v"]
     with pytest.raises(ValueError):
         grouping_sets_sums(ds, ["a"], [["zz"]], ["v"])
+
+
+def _lev_ref(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1,
+                       prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[n]
+
+
+def test_lev1_kernel_bruteforce():
+    import random
+
+    from alco_ray.stages.dedup import _fz_variant_hashes, _lev1_exact
+
+    random.seed(3)
+    strs = ["".join(random.choice("abc")
+                    for _ in range(random.randint(0, 6)))
+            for _ in range(300)]
+    pairs = [(random.choice(strs), random.choice(strs))
+             for _ in range(1500)]
+    got = _lev1_exact(pa.array([p[0] for p in pairs], pa.string()),
+                      pa.array([p[1] for p in pairs], pa.string()))
+    for i, (x, y) in enumerate(pairs):
+        assert bool(got[i]) == (_lev_ref(x, y) <= 1), (x, y)
+    # candidate completeness: every lev<=1 pair shares a variant hash
+    vals = sorted(set(strs))
+    rows, hashes = _fz_variant_hashes(pa.array(vals, pa.string()))
+    sets: dict = {}
+    for r, h in zip(rows, hashes):
+        sets.setdefault(vals[r], set()).add(int(h))
+    import itertools
+    for x, y in itertools.combinations(vals, 2):
+        if _lev_ref(x, y) <= 1:
+            assert sets[x] & sets[y], (x, y)
+
+
+def test_fuzzy_pairs_end_to_end():
+    from alco_ray.stages.dedup import fuzzy_pairs
+
+    vals = ["alpha", "alpho", "alpha", "lpha", "alphaa", "beta",
+            "betas", "gamma", "", "a"]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    got = {(r["val_a"], r["val_b"])
+           for r in fuzzy_pairs(ds, "v", n_parts=4).take_all()}
+    uniq = sorted(set(vals))
+    import itertools
+    want = {(a, b) for a, b in itertools.combinations(uniq, 2)
+            if _lev_ref(a, b) <= 1}
+    assert got == want
+    assert ("alpha", "alpho") in got and ("", "a") in got
+
+
+def test_densify_daily_matches_pandas():
+    import pandas as pd
+
+    from alco_ray.stages.window import densify_daily
+
+    rng = np.random.RandomState(13)
+    n = 400
+    users = rng.randint(0, 12, n).astype(np.int64)
+    ts = (np.datetime64("2024-02-01", "us")
+          + rng.randint(0, 40, n).astype("timedelta64[D]").astype(
+              "timedelta64[us]")
+          + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]"))
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users), "ts": pa.array(ts)}))
+    out = densify_daily(ds, "user_id", "ts", n_parts=4).to_pandas()
+    df = pd.DataFrame({"user_id": users,
+                       "day": ts.astype("datetime64[D]")})
+    for u, grp in df.groupby("user_id"):
+        span = pd.date_range(grp["day"].min(), grp["day"].max(),
+                             freq="D")
+        sel = out[out["user_id"] == u].set_index("day")["n_events"]
+        assert len(sel) == len(span)
+        counts = grp.groupby("day").size()
+        for d in span:
+            key = d.strftime("%Y-%m-%d")
+            want = int(counts.get(d, 0))
+            assert int(sel[key]) == want
+    assert (out.groupby("user_id")["n_events"].sum().to_numpy()
+            == df.groupby("user_id").size().to_numpy()).all()
