@@ -3203,6 +3203,19 @@ def _event_type_sets(sf_dir: str, keep):
     return out
 
 
+def e_profile(sf_dir: str):
+    """DATA PROFILING (stages/aggregate.profile_table): per-column
+    rows / nulls / EXACT distinct counts over the events table — the
+    schema-quality report an ingestion run emits before training.
+    One pass; distincts partition by (col, canonical value) so the
+    global count is a sum of partition-local ones."""
+    ds = _read(sf_dir, "events")
+    return agg_stage.profile_table(
+        ds, ["event_id", "ts", "user_id", "event_type", "value",
+             "props"],
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 def q_fuzzy_names(sf_dir: str):
     """FUZZY SIMILARITY JOIN (stages/dedup.fuzzy_pairs): all pairs of
     customer names within edit distance 1 — deletion-neighborhood
@@ -3306,7 +3319,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 145 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 146 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3333,6 +3346,7 @@ REGISTRY = {
     "q_pagerank": q_pagerank,
     "q_fuzzy_names": q_fuzzy_names,
     "e_densify": e_densify,
+    "e_profile": e_profile,
     "t_grep_near": t_grep_near,
     "v_gram": v_gram,
     "e_grouping_sets": e_grouping_sets,

@@ -831,3 +831,100 @@ def grouping_sets_sums(ds, keys: list[str], sets: list[list[str]],
         levels.append(t.select(out_names))
     return pa.concat_tables(levels).sort_by(
         [(k, "ascending") for k in keys])
+
+
+def profile_table(ds, columns: list[str], *,
+                  n_parts: int | None = None,
+                  approx_rows: int | None = None):
+    """DATA PROFILING: per column, (col_name, n_rows, n_nulls,
+    n_distinct) with EXACT distinct counts — the schema-quality report
+    an ingestion pipeline runs before training.
+
+    Shape: one pass emits, per block, (a) bounded per-column row/null
+    counters and (b) per-column per-block DISTINCT value strings; the
+    distinct stream partitions by (col, value) so a value lives in
+    exactly one partition and the global distinct count is the sum of
+    partition-local ones.  Values travel as their canonical Arrow
+    string cast — injective per column (shortest-roundtrip float repr,
+    identity for strings, ISO timestamps), used ONLY as an engine-
+    internal distinct key, never surfaced.  NULLs are excluded from
+    distinct (SQL count(DISTINCT) semantics); float NaNs collapse to
+    one distinct value, matching DuckDB's grouping semantics."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .window import partition_by_key, suggest_key_partitions
+
+    def counters(b: pa.Table) -> pa.Table:
+        names, nn, nl = [], [], []
+        for c in columns:
+            col = b[c]
+            names.append(c)
+            nulls = col.null_count
+            nl.append(nulls)
+            nn.append(b.num_rows - nulls)
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "n_nonnull": pa.array(nn, pa.int64()),
+                         "n_nulls": pa.array(nl, pa.int64())})
+
+    counts = fold_partials(
+        ds.map_batches(counters, batch_format="pyarrow"),
+        ["col_name"], [("n_nonnull", "sum"), ("n_nulls", "sum")],
+        empty_schema=pa.schema([("col_name", pa.string()),
+                                ("n_nonnull", pa.int64()),
+                                ("n_nulls", pa.int64())]))
+
+    def distincts(b: pa.Table) -> pa.Table:
+        frames = []
+        for c in columns:
+            v = pc.drop_null(b[c])
+            s = pc.cast(v, pa.string())
+            t = pa.table({"col_name": pa.array([c] * len(s), pa.string()),
+                          "v": s})
+            frames.append(t.group_by(["col_name", "v"]).aggregate([])
+                          .rename_columns(["col_name", "v"]))
+        return pa.concat_tables(frames) if frames else pa.table({
+            "col_name": pa.array([], pa.string()),
+            "v": pa.array([], pa.string())})
+
+    if n_parts is None:
+        # CPU floor, not default_hash_parts' 64+ floor: the distinct
+        # stream is pre-deduped per block, so small inputs reach this
+        # groupby as a handful of rows and per-group scheduling would
+        # dominate (same rationale as connected_components' sizing).
+        import ray as _ray
+
+        est = (approx_rows if approx_rows is not None else ds.count()) \
+            * max(len(columns), 1)
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        want = max(cpus, min(1 << 16, -(-est // 250_000)))
+        n_parts = 1 << (int(want) - 1).bit_length()
+    dparts = partition_by_key(
+        ds.map_batches(distincts, batch_format="pyarrow"),
+        ["col_name", "v"], n_parts)
+
+    def dcount(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(subset=["col_name", "v"])
+               .groupby("col_name", as_index=False).size())
+        return out.rename(columns={"size": "nd"})
+
+    nd = fold_partials(
+        dparts.groupby("part").map_groups(dcount, batch_format="pandas"),
+        ["col_name"], [("nd", "sum")],
+        empty_schema=pa.schema([("col_name", pa.string()),
+                                ("nd", pa.int64())]))
+
+    cdf = counts.to_pandas().set_index("col_name")
+    ndf = nd.to_pandas().set_index("col_name")
+    rows = []
+    for c in columns:
+        nnn = int(cdf["n_nonnull"].get(c, 0))
+        nl = int(cdf["n_nulls"].get(c, 0))
+        rows.append((c, nnn + nl, nl, int(ndf["nd"].get(c, 0))))
+    return pa.table({
+        "col_name": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+    })

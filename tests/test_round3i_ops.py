@@ -322,3 +322,27 @@ def test_densify_daily_matches_pandas():
             assert int(sel[key]) == want
     assert (out.groupby("user_id")["n_events"].sum().to_numpy()
             == df.groupby("user_id").size().to_numpy()).all()
+
+
+def test_profile_table_matches_pandas():
+    import pandas as pd
+
+    from alco_ray.stages.aggregate import profile_table
+
+    rng = np.random.RandomState(21)
+    n = 500
+    vals = rng.randn(n)
+    vals[rng.rand(n) < 0.1] = np.nan  # nulls via masked column below
+    t = pa.table({
+        "a": pa.array(rng.randint(0, 7, n).astype(np.int64)),
+        "b": pa.array([None if rng.rand() < 0.2 else f"s{rng.randint(40)}"
+                       for _ in range(n)], pa.string()),
+        "f": pa.array(rng.choice([1.5, 2.25, -3.0, 0.0], n)),
+    })
+    out = profile_table(ray.data.from_arrow(t), ["a", "b", "f"],
+                        n_parts=4).to_pandas().set_index("col_name")
+    df = t.to_pandas()
+    for c in ["a", "b", "f"]:
+        assert out.loc[c, "n_rows"] == n
+        assert out.loc[c, "n_nulls"] == df[c].isna().sum()
+        assert out.loc[c, "n_distinct"] == df[c].dropna().nunique()
