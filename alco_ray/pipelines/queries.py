@@ -2999,8 +2999,14 @@ def q_pagerank(sf_dir: str):
                 .rename_columns(["src", "dst"]))
 
     pairs = joined.map_batches(thin, batch_format="pyarrow")
-    n_parts = window.suggest_key_partitions(
-        _nrows(_tp(sf_dir, "lineitem")))
+    # CPU floor, not suggest_key_partitions' 64+ floor: pairs are
+    # pre-deduped per block, so the distinct stage sees far fewer rows
+    # than lineitem and per-group scheduling would dominate (the
+    # iteration stages inside pagerank use the same sizing rationale).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    want = max(cpus, min(1 << 16,
+                         -(-_nrows(_tp(sf_dir, "lineitem")) // 250_000)))
+    n_parts = 1 << (int(want) - 1).bit_length()
     edges = (window.partition_by_key(pairs, ["src", "dst"], n_parts)
              .groupby("part").map_groups(
                  lambda g: g[["src", "dst"]].drop_duplicates(),

@@ -278,3 +278,93 @@ def compact_partitions(out_root: str | Path, target_bytes: int = 256 << 20,
         worker = ray.remote(num_cpus=1)(compact_dir)
         return sum(ray.get([worker.remote(d) for d in dirs]))
     return sum(compact_dir(d) for d in dirs)
+
+
+def _iso_ts_column(ts) -> "pa.Array":
+    """timestamp[us] -> ISO-8601 string with explicit fractional
+    micros ('%Y-%m-%dT%H:%M:%S.ffffffZ') — Arrow's strftime has no
+    %f, so the micros are appended from integer arithmetic.  Exactly
+    the format sources.normalize_wire_batch parses back, making
+    write -> read a bit-for-bit round trip."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%S")
+    micros = pc.cast(ts, pa.int64())
+    frac = pc.utf8_lpad(
+        pc.cast(pc.subtract(micros,
+                            pc.multiply(pc.divide(micros, 1_000_000),
+                                        1_000_000)),
+                pa.string()), 6, "0")
+    return pc.binary_join_element_wise(
+        base, frac, pa.scalar("Z", pa.string()), ".")
+
+
+def _export_writer(out_dir: str | Path, fmt: str):
+    """Shared JSONL/CSV export writer (runs inside map_batches):
+    serialize the block with the wire-format ts encoding, name the
+    file by a content hash of the serialized BYTES — a retried task
+    overwrites its own file (idempotent), two distinct blocks never
+    collide — and write via tmp + atomic rename."""
+    import hashlib
+
+    import pyarrow as pa
+
+    d = Path(out_dir)
+    d.mkdir(parents=True, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        cols = {c: batch[c] for c in batch.column_names}
+        if "ts" in cols:
+            cols["ts"] = _iso_ts_column(cols["ts"])
+        t = pa.table(cols)
+        if fmt == "jsonl":
+            payload = t.to_pandas().to_json(
+                orient="records", lines=True,
+                force_ascii=False).encode()
+            if not payload.endswith(b"\n"):
+                payload += b"\n"
+        elif fmt == "csv":
+            import io
+
+            from pyarrow import csv as pacsv
+
+            buf = io.BytesIO()
+            pacsv.write_csv(t, buf)
+            payload = buf.getvalue()
+        else:
+            raise ValueError(f"unknown export format {fmt!r}")
+        import os
+
+        h = hashlib.sha256(payload).hexdigest()[:16]
+        path = d / f"part-{h}.{fmt}"
+        tmp = d / f".part-{h}.{fmt}.tmp"
+        tmp.write_bytes(payload)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([str(path)], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+    return write_block
+
+
+def write_jsonl_transcripts(ds, out_dir: str | Path) -> list[str]:
+    """EXPORT sink, JSON-lines wire format: the write-side dual of
+    sources.read_jsonl_transcripts — read(write(ds)) reproduces ds
+    bit-for-bit (ISO ts with explicit micros, nulls as JSON null).
+    One file per block, content-hashed names, atomic rename."""
+    out = ds.map_batches(_export_writer(out_dir, "jsonl"),
+                         batch_format="pyarrow").materialize()
+    return sorted(r["path"] for r in out.take_all())
+
+
+def write_csv_transcripts(ds, out_dir: str | Path) -> list[str]:
+    """EXPORT sink, CSV wire format: the write-side dual of
+    sources.read_csv_transcripts (quoted fields, empty = null under
+    the reader's strings_can_be_null).  Same idempotent content-hash
+    naming as the JSONL sink."""
+    out = ds.map_batches(_export_writer(out_dir, "csv"),
+                         batch_format="pyarrow").materialize()
+    return sorted(r["path"] for r in out.take_all())

@@ -346,3 +346,38 @@ def test_profile_table_matches_pandas():
         assert out.loc[c, "n_rows"] == n
         assert out.loc[c, "n_nulls"] == df[c].isna().sum()
         assert out.loc[c, "n_distinct"] == df[c].dropna().nunique()
+
+
+def test_export_sinks_round_trip(tmp_path):
+    from alco_ray import fixtures
+    from alco_ray.sinks import (write_csv_transcripts,
+                                write_jsonl_transcripts)
+    from alco_ray.sources import (read_csv_transcripts,
+                                  read_jsonl_transcripts,
+                                  read_transcripts)
+
+    corpus = fixtures.ensure_corpus("t-small")
+    ds = read_transcripts(corpus)
+    want = (ds.to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+    jd = tmp_path / "jsonl_out"
+    paths = write_jsonl_transcripts(read_transcripts(corpus), jd)
+    assert paths and all(p.endswith(".jsonl") for p in paths)
+    back = (read_jsonl_transcripts(str(jd)).to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+    assert back[want.columns.tolist()].equals(want)
+
+    cd = tmp_path / "csv_out"
+    cpaths = write_csv_transcripts(read_transcripts(corpus), cd)
+    assert cpaths and all(p.endswith(".csv") for p in cpaths)
+    back_csv = (read_csv_transcripts(str(cd)).to_pandas()
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+    assert back_csv[want.columns.tolist()].equals(want)
+
+    # idempotence: re-export overwrites the same content-hashed files
+    paths2 = write_jsonl_transcripts(read_transcripts(corpus), jd)
+    assert paths2 == paths
