@@ -381,3 +381,21 @@ def test_export_sinks_round_trip(tmp_path):
     # idempotence: re-export overwrites the same content-hashed files
     paths2 = write_jsonl_transcripts(read_transcripts(corpus), jd)
     assert paths2 == paths
+
+
+def test_lev1_kernel_unicode():
+    import random
+
+    from alco_ray.stages.dedup import _lev1_exact
+
+    random.seed(9)
+    alpha = "aé漢🎉b"  # 1-4 byte UTF-8 codepoints
+    strs = ["".join(random.choice(alpha)
+                    for _ in range(random.randint(0, 5)))
+            for _ in range(150)]
+    pairs = [(random.choice(strs), random.choice(strs))
+             for _ in range(800)]
+    got = _lev1_exact(pa.array([p[0] for p in pairs], pa.string()),
+                      pa.array([p[1] for p in pairs], pa.string()))
+    for i, (x, y) in enumerate(pairs):
+        assert bool(got[i]) == (_lev_ref(x, y) <= 1), (x, y)
