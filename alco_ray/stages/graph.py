@@ -377,9 +377,26 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                                           batch_format="pandas")
               .map_batches(lambda b: b, batch_format="pyarrow")
               .materialize())
-    nodes = (edge_t.groupby("part").map_groups(_pr_node_kernel,
-                                               batch_format="pandas")
-             .materialize())
+    if symmetric:
+        # mirrored edges: every node appears as a source, so the node
+        # set is partition-local over the src-keyed edge table
+        nodes = (edge_t.groupby("part").map_groups(_pr_node_kernel,
+                                                   batch_format="pandas")
+                 .materialize())
+    else:
+        # directed: destination-only (dangling) nodes never appear as
+        # a source — derive the node set from BOTH endpoints so they
+        # still get rank rows (outdeg 0 means they just never emit)
+        def both_ends(b: pa.Table) -> pa.Table:
+            return pa.table({"k": pa.array(np.concatenate(
+                [b["k"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)]))})
+
+        ends = directed.map_batches(both_ends, batch_format="pyarrow")
+        nodes = (partition_by_key(ends, "k", n_parts)
+                 .groupby("part").map_groups(_pr_node_kernel,
+                                             batch_format="pandas")
+                 .materialize())
     n = nodes.count()
     r0 = scale // n
     base = ((100 - damping_pct) * r0) // 100

@@ -399,3 +399,29 @@ def test_lev1_kernel_unicode():
                       pa.array([p[1] for p in pairs], pa.string()))
     for i, (x, y) in enumerate(pairs):
         assert bool(got[i]) == (_lev_ref(x, y) <= 1), (x, y)
+
+
+def test_pagerank_directed_with_dangling():
+    from alco_ray.stages.graph import pagerank
+
+    # 0 -> 1 -> 2, 3 -> 2 : node 2 is a dangling sink, 0 and 3 have
+    # no in-edges (rank = base each round)
+    pairs = [(0, 1), (1, 2), (3, 2)]
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank(_pairs_ds(pairs), symmetric=False,
+                             iters=4, num_partitions=2).take_all()}
+    # reference on the directed recurrence
+    scale, damping = 10 ** 12, 85
+    nodes = {0, 1, 2, 3}
+    deg = {0: 1, 1: 1, 3: 1}
+    n = len(nodes)
+    r0 = scale // n
+    base = ((100 - damping) * r0) // 100
+    r = {v: r0 for v in nodes}
+    for _ in range(4):
+        agg = {v: 0 for v in nodes}
+        for a, b in pairs:
+            agg[b] += r[a] // deg[a]
+        r = {v: base + (damping * agg[v]) // 100 for v in nodes}
+    assert got == r
+    assert got[2] > got[1] > got[0] == got[3]
