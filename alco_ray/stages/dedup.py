@@ -988,6 +988,12 @@ def fuzzy_pairs(ds, col: str, *, n_parts: int | None = None,
 
     from .window import partition_by_key, suggest_key_partitions
 
+    if n_parts is None:
+        # resolved ONCE up front: the upstream may be a transform
+        # chain, and letting each partition_by_key count it would
+        # re-execute the plan per stage
+        n_parts = suggest_key_partitions(ds.count())
+
     # distinct values, partition-locally exact
     vparts = partition_by_key(
         ds.map_batches(
@@ -1014,8 +1020,6 @@ def fuzzy_pairs(ds, col: str, *, n_parts: int | None = None,
                          "h": pa.array(hashes)})
 
     hv = distinct.map_batches(variants, batch_format="pyarrow")
-    if n_parts is None:
-        n_parts = suggest_key_partitions(ds.count())
     hparts = partition_by_key(hv, "h", n_parts)
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
