@@ -3209,6 +3209,18 @@ def _event_type_sets(sf_dir: str, keep):
     return out
 
 
+def t_profile(sf_dir: str):
+    """DATA PROFILING over the transcript corpus itself (the operator
+    composing with the ingest source, not just the relational tables):
+    per-column rows / nulls / EXACT distinct for the canonical
+    transcript schema — `tool` carries real nulls here, `text` is the
+    high-cardinality column."""
+    ds = read_transcripts(_corpus(sf_dir))
+    return agg_stage.profile_table(
+        ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        approx_rows=_nrows(_corpus(sf_dir)))
+
+
 def e_profile(sf_dir: str):
     """DATA PROFILING (stages/aggregate.profile_table): per-column
     rows / nulls / EXACT distinct counts over the events table — the
@@ -3325,7 +3337,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 146 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 147 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3450,6 +3462,9 @@ REGISTRY = {
     "e_cube": e_cube,
     # transcript pipeline core (ALCO semantics; oracle reads the same corpus)
     "t_parse_metrics": t_parse_metrics,
+    # profiling over the ingest source — operator pinned in-window by
+    # e_profile (same stages/aggregate.profile_table machinery)
+    "t_profile": t_profile,
     # documents / training-data ops
     "d_minhash_lsh": d_minhash_lsh,
     "d_pack_greedy": d_pack_greedy,
