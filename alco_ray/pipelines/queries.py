@@ -3373,7 +3373,11 @@ REGISTRY = {
     "q_nation_traffic": q_nation_traffic,
     "q_type_profit": q_type_profit,
     "e_except": e_except,
-    "e_intersect": e_intersect,
+    # e_intersect rides the tail: same _event_type_sets machinery as
+    # in-window e_except (only the keep-predicate differs); its slot
+    # keeps d_heavy_tokens (Misra-Gries — a sketch family with no
+    # in-window sibling) inside the gate window.
+    "d_heavy_tokens": d_heavy_tokens,
     "d_lang_id_learned": d_lang_id_learned,
     "mm_ppm_meta": mm_ppm_meta,
     "mm_wav_meta": mm_wav_meta,
@@ -3425,12 +3429,19 @@ REGISTRY = {
     "q_ship_priority": q_ship_priority,
     # round-3f additions (never driver-checked -> in-window)
     "d_ngram_top": d_ngram_top,
-    "d_heavy_tokens": d_heavy_tokens,
+    "e_intersect": e_intersect,
     "t_role_transitions": t_role_transitions,
     "e_first_last": e_first_last,
     # -- gate-window edge (position 50) is here after the round-3i
-    # insertions.  The five round-3f/3g composition queries below slid
-    # just past it; operator coverage argument: q_cust_dist (Q13) =
+    # insertions (11 new in-window entries; e_intersect above now
+    # rides past the edge — same _event_type_sets machinery as
+    # in-window e_except, only the keep-predicate differs — while
+    # d_heavy_tokens took its former slot so the Misra-Gries sketch
+    # family stays driver-checkable).  t_role_transitions (lag-compare
+    # kernel: e_event_gaps, in-window) and e_first_last (segmented
+    # first/last gather: e_event_gaps / e_user_cumsum family) sit at
+    # the edge; below it the five round-3f/3g composition queries:
+    # q_cust_dist (Q13) =
     # left join (q_left_join, in-window) + count histogram
     # (e_grouping_sets family); q_big_orders (Q18) = having + join-back
     # (q_region_revenue's broadcast probe + e_first_last's grouped
