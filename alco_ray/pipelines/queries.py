@@ -3221,6 +3221,42 @@ def t_profile(sf_dir: str):
         approx_rows=_nrows(_corpus(sf_dir)))
 
 
+def _ensure_value_index(sf_dir: str) -> Path:
+    """Build-or-reuse the persisted numeric attribute index over
+    events.value (corpus-signature freshness gate, same protocol as
+    _ensure_text_index)."""
+    import json
+
+    from ..stages.attrindex import build_value_index
+
+    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "value_index"
+    sig = _corpus_sig(sf_dir, "events")
+    meta = idx / "meta.json"
+    fresh = False
+    if meta.exists():
+        m = json.loads(meta.read_text())
+        fresh = m.get("corpus_sig") == sig and m.get("kind") == "value_range"
+    if not fresh:
+        ds = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "value"])
+        build_value_index(ds, idx, value_col="value",
+                          extra_meta={"corpus_sig": sig})
+    return idx
+
+
+def e_value_indexed(sf_dir: str):
+    """Numeric RANGE predicate answered from the PERSISTED attribute
+    index (stages/attrindex — the Sphinx attribute-filter analog of
+    the inverted text index): build once, then a [37.25, 41.5) probe
+    reads ONLY the overlapping value buckets (file-level pruning
+    before any byte moves) + an exact vectorized predicate on the
+    edge buckets."""
+    from ..stages.attrindex import range_probe
+
+    idx = _ensure_value_index(sf_dir)
+    return range_probe(idx, 37.25, 41.5)
+
+
 def e_profile(sf_dir: str):
     """DATA PROFILING (stages/aggregate.profile_table): per-column
     rows / nulls / EXACT distinct counts over the events table — the
@@ -3337,7 +3373,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 147 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 148 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3365,6 +3401,7 @@ REGISTRY = {
     "q_fuzzy_names": q_fuzzy_names,
     "e_densify": e_densify,
     "e_profile": e_profile,
+    "e_value_indexed": e_value_indexed,
     "t_grep_near": t_grep_near,
     "v_gram": v_gram,
     "e_grouping_sets": e_grouping_sets,

@@ -425,3 +425,34 @@ def test_pagerank_directed_with_dangling():
         r = {v: base + (damping * agg[v]) // 100 for v in nodes}
     assert got == r
     assert got[2] > got[1] > got[0] == got[3]
+
+
+def test_value_index_probe_and_pruning(tmp_path):
+    from alco_ray.stages.attrindex import build_value_index, range_probe
+
+    rng = np.random.RandomState(31)
+    n = 2000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(rng.uniform(0, 100, n)),
+    })
+    idx = tmp_path / "vidx"
+    build_value_index(ray.data.from_arrow(t), idx, value_col="value",
+                      n_buckets=16)
+    df = t.to_pandas()
+    for lo, hi in [(10.0, 12.5), (0.0, 100.1), (37.25, 41.5),
+                   (99.999, 100.1)]:
+        stats: dict = {}
+        got = range_probe(idx, lo, hi, stats_out=stats).to_pandas()
+        want = df[(df["value"] >= lo) & (df["value"] < hi)]
+        assert sorted(got["id"]) == sorted(want["id"]), (lo, hi)
+        assert "bucket" not in got.columns
+        b0, b1 = stats["bucket_range"]
+        assert 0 <= b0 <= b1 <= 15
+        if hi - lo < 5:  # narrow probe must actually prune files
+            assert b1 - b0 <= 1
+            assert len(stats["files"]) < len(
+                list((idx / "buckets").rglob("*.parquet")))
+    # out-of-domain empty probe keeps the schema
+    empty = range_probe(idx, 200.0, 300.0).to_pandas()
+    assert len(empty) == 0
