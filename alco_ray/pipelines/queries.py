@@ -3465,6 +3465,10 @@ REGISTRY = {
     "d_components": d_components,
     "q_ship_priority": q_ship_priority,
     # round-3f additions (never driver-checked -> in-window)
+    # d_ngram_top sits just past the edge after e_value_indexed's
+    # insertion: its gram-hash partition-fold machinery is pinned
+    # in-window by d_cross_dup (same per-batch n-gram construction +
+    # gram-partition fold), its top-k merge by v_knn.
     "d_ngram_top": d_ngram_top,
     "e_intersect": e_intersect,
     "t_role_transitions": t_role_transitions,

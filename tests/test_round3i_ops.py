@@ -456,3 +456,47 @@ def test_value_index_probe_and_pruning(tmp_path):
     # out-of-domain empty probe keeps the schema
     empty = range_probe(idx, 200.0, 300.0).to_pandas()
     assert len(empty) == 0
+
+
+def test_value_index_incremental_update(tmp_path):
+    from alco_ray.stages.attrindex import (build_value_index,
+                                           compact_value_index,
+                                           range_probe,
+                                           update_value_index)
+
+    rng = np.random.RandomState(41)
+    full = pa.table({
+        "id": pa.array(np.arange(1200, dtype=np.int64)),
+        "value": pa.array(rng.uniform(0, 50, 1200)),
+    })
+    half1, half2 = full.slice(0, 700), full.slice(700)
+    a = tmp_path / "vidx_full"
+    b = tmp_path / "vidx_incr"
+    build_value_index(ray.data.from_arrow(full), a, value_col="value",
+                      n_buckets=8)
+    build_value_index(ray.data.from_arrow(half1), b, value_col="value",
+                      n_buckets=8)
+    # pin the SAME grid: rebuild b's meta comes from half1's min/max,
+    # so copy full's grid for strict equivalence of bucket assignment
+    import json as _json
+
+    meta_a = _json.loads((a / "meta.json").read_text())
+    meta_b = _json.loads((b / "meta.json").read_text())
+    meta_b["lo"], meta_b["width"] = meta_a["lo"], meta_a["width"]
+    (b / "meta.json").write_text(_json.dumps(meta_b))
+    update_value_index(ray.data.from_arrow(half2), b)
+    for lo, hi in [(5.0, 7.5), (0.0, 50.5), (49.0, 50.5)]:
+        ga = range_probe(a, lo, hi).to_pandas()
+        gb = range_probe(b, lo, hi).to_pandas()
+        assert sorted(ga["id"]) == sorted(gb["id"]), (lo, hi)
+    # double-apply is idempotent: same content-hashed files
+    before = sorted(p.name for p in (b / "buckets").rglob("*.parquet"))
+    update_value_index(ray.data.from_arrow(half2), b)
+    after = sorted(p.name for p in (b / "buckets").rglob("*.parquet"))
+    assert before == after
+    # compaction preserves probe results
+    removed = compact_value_index(b)
+    assert removed >= 0
+    gb2 = range_probe(b, 5.0, 7.5).to_pandas()
+    assert sorted(gb2["id"]) == sorted(
+        range_probe(a, 5.0, 7.5).to_pandas()["id"])
