@@ -12,13 +12,14 @@ ONLY the buckets overlapping [lo, hi) — at 100 TB the scan cost is
 proportional to the selected value range, not the corpus — and applies
 the exact vectorized predicate to the edge buckets.
 
-Equi-width is the deliberate default: bucket ASSIGNMENT must be
-reproducible from meta.json alone (a float ``(v - lo) / width`` floor),
-so probes prune with arithmetic, no boundary table.  A heavily skewed
-attribute wants quantile boundaries instead — build them with
-aggregate.quantile_cont and store the edges in ``extra_meta``; the
-probe path is unchanged (searchsorted over edges instead of the
-floor).
+Two bucket-grid modes, both reproducible from meta.json alone:
+``boundaries="width"`` (default) is an equi-width grid — assignment is
+a float floor, the right choice for roughly uniform attributes;
+``boundaries="quantile"`` samples the value distribution once
+(aggregate.quantile_cont) and stores the edge list, so a heavily
+SKEWED attribute still yields near-equal bucket sizes — assignment
+and pruning become one ``searchsorted`` over the edges.  Probes are
+agnostic: they read whichever grid the meta carries.
 """
 
 from __future__ import annotations
@@ -32,21 +33,50 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _bucket_of_meta(v: np.ndarray, meta: dict) -> np.ndarray:
+    """Bucket assignment from meta alone — the ONE shared rule for
+    build, update and probe (grid drift between them would silently
+    unprune results)."""
+    nb = meta["n_buckets"]
+    if "edges" in meta:
+        return np.searchsorted(np.asarray(meta["edges"], np.float64),
+                               v, side="right").astype(np.int32)
+    return np.clip(np.floor((v - meta["lo"]) / meta["width"]),
+                   0, nb - 1).astype(np.int32)
+
+
 def build_value_index(ds, index_dir: str | Path, *,
                       value_col: str = "value",
                       n_buckets: int = 64,
+                      boundaries: str = "width",
                       extra_meta: dict | None = None) -> None:
     """Build the persisted range index over ``ds`` (all columns are
     carried into the bucket files — the index IS the routed copy of
-    the table, like the text index's docstore)."""
+    the table, like the text index's docstore).  ``boundaries``:
+    "width" (equi-width grid) or "quantile" (edges from the observed
+    distribution — near-equal bucket sizes under skew)."""
     from ..sinks import _make_block_writer
-    from .aggregate import _count_min_max
+    from .aggregate import _count_min_max, quantile_cont
     from .similarity import _swap_in_index, _sweep_stale_builds
 
-    n, lo, hi = _count_min_max(ds, value_col)
-    if n == 0:
-        lo, hi = 0.0, 1.0
-    width = (hi - lo) / n_buckets or 1.0
+    if boundaries == "quantile":
+        ps = [i / n_buckets for i in range(1, n_buckets)]
+        qt = quantile_cont(ds, value_col, ps)
+        edges = sorted(set(qt["lo_value"].to_pylist())) \
+            if qt.num_rows else []
+        meta_grid = {"edges": edges,
+                     "n_buckets": len(edges) + 1}
+    elif boundaries == "width":
+        n, lo, hi = _count_min_max(ds, value_col)
+        if n == 0:
+            lo, hi = 0.0, 1.0
+        width = (hi - lo) / n_buckets or 1.0
+        meta_grid = {"lo": lo, "width": width, "n_buckets": n_buckets}
+    else:
+        raise ValueError(f"boundaries must be 'width' or 'quantile', "
+                         f"got {boundaries!r}")
+    meta = {"kind": "value_range", "version": 1, "value_col": value_col,
+            **meta_grid, **(extra_meta or {})}
 
     d = Path(index_dir)
     _sweep_stale_builds(d)
@@ -57,16 +87,12 @@ def build_value_index(ds, index_dir: str | Path, *,
 
     def assign(b: pa.Table) -> pa.Table:
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        bk = np.clip(np.floor((v - lo) / width), 0,
-                     n_buckets - 1).astype(np.int32)
-        return b.append_column("bucket", pa.array(bk))
+        return b.append_column("bucket",
+                               pa.array(_bucket_of_meta(v, meta)))
 
     (ds.map_batches(assign, batch_format="pyarrow")
        .map_batches(writer, batch_format="pyarrow").materialize())
 
-    meta = {"kind": "value_range", "version": 1, "value_col": value_col,
-            "n_buckets": n_buckets, "lo": lo, "width": width,
-            **(extra_meta or {})}
     (build / "meta.json").write_text(json.dumps(meta))
     _swap_in_index(build, d)
 
@@ -82,11 +108,9 @@ def range_probe(index_dir: str | Path, lo: float, hi: float, *,
     d = Path(index_dir)
     meta = json.loads((d / "meta.json").read_text())
     vcol = meta["value_col"]
-    b_lo = int(np.clip(np.floor((lo - meta["lo"]) / meta["width"]),
-                       0, meta["n_buckets"] - 1))
-    b_hi = int(np.clip(np.floor((np.nextafter(hi, -np.inf) - meta["lo"])
-                                / meta["width"]),
-                       0, meta["n_buckets"] - 1))
+    ends = _bucket_of_meta(
+        np.array([lo, np.nextafter(hi, -np.inf)], np.float64), meta)
+    b_lo, b_hi = int(ends[0]), int(ends[1])
     files = sorted(str(p) for b in range(b_lo, b_hi + 1)
                    for p in (d / "buckets" / f"bucket={b}")
                    .glob("*.parquet"))
@@ -153,15 +177,13 @@ def update_value_index(delta_ds, index_dir: str | Path, *,
     if meta.get("kind") != "value_range":
         raise ValueError(f"{d} is not a value-range index")
     vcol = meta["value_col"]
-    lo, width, nb = meta["lo"], meta["width"], meta["n_buckets"]
 
     writer = _make_block_writer(str(d / "buckets"), ["bucket"])
 
     def assign(b: pa.Table) -> pa.Table:
         v = b[vcol].to_numpy(zero_copy_only=False).astype(np.float64)
-        bk = np.clip(np.floor((v - lo) / width), 0, nb - 1) \
-            .astype(np.int32)
-        return b.append_column("bucket", pa.array(bk))
+        return b.append_column("bucket",
+                               pa.array(_bucket_of_meta(v, meta)))
 
     (delta_ds.map_batches(assign, batch_format="pyarrow")
         .map_batches(writer, batch_format="pyarrow").materialize())

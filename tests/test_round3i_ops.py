@@ -500,3 +500,32 @@ def test_value_index_incremental_update(tmp_path):
     gb2 = range_probe(b, 5.0, 7.5).to_pandas()
     assert sorted(gb2["id"]) == sorted(
         range_probe(a, 5.0, 7.5).to_pandas()["id"])
+
+
+def test_value_index_quantile_grid_under_skew(tmp_path):
+    from alco_ray.stages.attrindex import build_value_index, range_probe
+
+    rng = np.random.RandomState(47)
+    # heavy skew: 90% of mass below 1, long tail to 10_000
+    v = np.where(rng.rand(3000) < 0.9, rng.rand(3000),
+                 rng.pareto(0.5, 3000) * 100)
+    t = pa.table({"id": pa.array(np.arange(3000, dtype=np.int64)),
+                  "value": pa.array(v)})
+    idx = tmp_path / "vidx_q"
+    build_value_index(ray.data.from_arrow(t), idx, value_col="value",
+                      n_buckets=16, boundaries="quantile")
+    df = t.to_pandas()
+    for lo, hi in [(0.2, 0.4), (0.0, 1e9), (50.0, 500.0)]:
+        stats: dict = {}
+        got = range_probe(idx, lo, hi, stats_out=stats).to_pandas()
+        want = df[(df["value"] >= lo) & (df["value"] < hi)]
+        assert sorted(got["id"]) == sorted(want["id"]), (lo, hi)
+    # the dense [0.2, 0.4) probe must prune to a few near-equal
+    # buckets despite the 10^4 value range (equi-width would put ~90%
+    # of rows into bucket 0 and prune nothing)
+    stats = {}
+    range_probe(idx, 0.2, 0.4, stats_out=stats)
+    b0, b1 = stats["bucket_range"]
+    assert b1 - b0 <= 6
+    assert len(stats["files"]) < len(
+        list((idx / "buckets").rglob("*.parquet")))
