@@ -3198,7 +3198,8 @@ def _event_type_sets(sf_dir: str, keep):
         out = gg[keep(gg["p"].to_numpy(), gg["v"].to_numpy())]
         return out[["user_id", "day"]]
 
-    out = parts.groupby("part").map_groups(fold, batch_format="pandas")
+    out = (parts.groupby("part").map_groups(fold, batch_format="pandas")
+           .materialize())
     if out.count() == 0:
         # all-partitions-empty surfaces as ZERO blocks -> a 0-column
         # frame downstream (ray 2.49 drops the schema); hand back a

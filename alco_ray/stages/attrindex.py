@@ -142,7 +142,9 @@ def range_probe(index_dir: str | Path, lo: float, hi: float, *,
                        pc.less(b[vcol], pa.scalar(hi)))
         return b.filter(keep)
 
-    out = ds.map_batches(exact, batch_format="pyarrow")
+    # materialize once: the count() guard below would otherwise
+    # re-execute the (pruned) read when the consumer iterates
+    out = ds.map_batches(exact, batch_format="pyarrow").materialize()
     if out.count() == 0:
         # all-filtered surfaces as ZERO blocks -> a 0-column frame
         # downstream (ray 2.49 drops the schema); the count() runs over
