@@ -114,10 +114,12 @@ def _dict_query(sf_dir: str, col: str) -> pa.Table:
 
 
 def t_dict_role(sf_dir: str):
+    """S4/J1: the persisted role dictionary artifact (sorted-distinct ids, insert-if-absent growth)."""
     return _dict_query(sf_dir, "role")
 
 
 def t_dict_tool(sf_dir: str):
+    """S4/J1: the persisted tool dictionary artifact (same machinery as t_dict_role; tool carries nulls)."""
     return _dict_query(sf_dir, "tool")
 
 
@@ -533,11 +535,13 @@ def _parsed_events(sf_dir: str) -> "ray.data.Dataset":
 
 
 def e_interval_counts(sf_dir: str):
+    """A1 on events: count per (type, 5-min bucket) via bounded-key partial fold."""
     return agg_stage.interval_counts(_parsed_events(sf_dir),
                                      keys=["event_type", "bucket"])
 
 
 def e_routed_counts(sf_dir: str):
+    """A2 on events: routed per-sink counts through the same route table as the transcript pipeline."""
     return agg_stage.routed_counts(_parsed_events(sf_dir))
 
 
@@ -609,12 +613,14 @@ def e_median_value(sf_dir: str):
 
 
 def e_topk_value(sf_dir: str):
+    """A4 on events: top-k by value with deterministic tie-break, per-block partials + driver merge."""
     ds = _read(sf_dir, "events", columns=["event_id", "value"])
     return order.top_k(ds, ["value", "event_id"], 100,
                        descending=[True, False])
 
 
 def e_minmax_ts(sf_dir: str):
+    """A5 on events: per-type min/max timestamp via map-side partials (no shuffle)."""
     ds = _parsed_events(sf_dir)
     return agg_stage.minmax_ts(ds, key="event_type", ts_col="ts")
 
@@ -738,6 +744,7 @@ def q_shuffle_join(sf_dir: str):
 
 
 def q_top_orders(sf_dir: str):
+    """O2/A4: global top-10 orders by price — per-block top-k partials, driver merge of blocks x k rows (no global sort)."""
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return order.top_k(ds, ["o_totalprice", "o_orderkey"], 10,
                        descending=[True, False])
@@ -1429,21 +1436,25 @@ def d_pack_concat(sf_dir: str):
 
 
 def d_token_explode(sf_dir: str):
+    """P4: doc -> one row per token position (the tokenizer contract surface the text index builds on)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text.token_explode, batch_format="pyarrow")
 
 
 def d_token_stats(sf_dir: str):
+    """P4: per-doc token count + mean token length, integer-exact, one vectorized pass."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text.token_stats, batch_format="pyarrow")
 
 
 def d_quality(sf_dir: str):
+    """Quality scoring: length / punctuation / stopword-ratio features per doc, integer-exact, vectorized."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text.quality_score, batch_format="pyarrow")
 
 
 def d_dedup_exact(sf_dir: str):
+    """D1: exact dedup on content keys — key-hash partitions, one vectorized first-wins aggregation per partition."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.dedup_exact(ds, ["text"], "doc_id")
 
@@ -1481,6 +1492,7 @@ def d_dedup_apply(sf_dir: str):
 
 
 def d_jaccard_pairs(sf_dir: str):
+    """N-gram Jaccard near-dup pairs (threshold 0.5, 3-token shingles): bucketed shingle-hash self-join, size-ratio prune, exact verify — never all-pairs."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.jaccard_pairs(ds, threshold=0.5, max_shingle_freq=None)
 
@@ -1685,6 +1697,7 @@ def _query_vec(sf_dir: str) -> np.ndarray:
 
 
 def v_knn(sf_dir: str):
+    """Brute-force exact cosine top-k for one probe vector: broadcast query, per-block top-k, driver merge of blocks x k survivor rows."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     res = similarity.knn_brute(ds, _query_vec(sf_dir), k=10)
     return res.select_columns(["vec_id", "rank"])
@@ -1782,6 +1795,7 @@ def v_cosine_dedup_apply(sf_dir: str):
 
 
 def v_dims(sf_dir: str):
+    """Embedding column shape audit: per-dimension count (list-offset arithmetic, no per-row Python)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
     def body(b: pa.Table) -> pa.Table:
