@@ -138,3 +138,82 @@ def runtime_filter_semi_join(ds, keys_ds, on: str, *,
         return b.filter(pc.is_in(b[on], value_set=ray.get(ref)))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def auto_join(left, right, on, *, right_on=None, how: str = "inner",
+              broadcast_limit: int = 2_000_000,
+              num_partitions: int | None = None,
+              right_rows: int | None = None):
+    """ADAPTIVE inner join — the one planning decision every pipeline
+    makes, made explicit: BROADCAST the right side when it is
+    dimension-sized (a sorted-key gather inside ``map_batches``; the
+    fact side never shuffles) and fall back to the hash-shuffle
+    ``Dataset.join`` when it is not.  The threshold is a row count
+    (``broadcast_limit``) against the right side's metadata count —
+    pass ``right_rows`` when the caller already knows it (avoids an
+    execution of a transformed right side).
+
+    Currently single-int64-key inner joins only — exactly the shape
+    the q_shuffle_join / q_mktsegment pair hand-plans; other joins
+    keep their explicit operators (semi/anti above, Dataset.join
+    directly).  Broadcast-path column collision: right-side payload
+    columns must not collide with left column names (raises).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    lkey = on if isinstance(on, str) else list(on)[0]
+    rkey = (right_on if isinstance(right_on, str)
+            else list(right_on)[0] if right_on else lkey)
+    if how != "inner":
+        raise ValueError("auto_join: only how='inner' (use Dataset.join "
+                         "or the semi/anti wrappers for other types)")
+
+    n_right = right_rows if right_rows is not None else right.count()
+    if n_right > broadcast_limit:
+        return left.join(right, "inner",
+                         num_partitions=num_partitions
+                         or _num_partitions(left.count(), n_right),
+                         on=(lkey,), right_on=(rkey,))
+
+    rt = pa.concat_tables(ray.get(right.to_arrow_refs()))
+    if rt.num_columns == 0:  # zero-block empty side
+        rt = None
+    payload_cols = [c for c in (rt.column_names if rt else [])
+                    if c != rkey]
+    ref = None
+    if rt is not None and rt.num_rows:
+        keys = rt[rkey].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        if len(skeys) > 1 and (skeys[1:] == skeys[:-1]).any():
+            # duplicate right keys would row-multiply under a real
+            # inner join; the broadcast gather can't express that —
+            # refuse rather than silently under-produce
+            raise ValueError(
+                "auto_join broadcast: right side has duplicate keys; "
+                "use Dataset.join (or dedupe the dimension first)")
+        ref = ray.put((skeys,
+                       {c: rt[c].take(pa.array(order)) for c in
+                        payload_cols}))
+
+    def probe(b: pa.Table) -> pa.Table:
+        bad = [c for c in payload_cols if c in b.column_names]
+        if bad:
+            raise ValueError(f"auto_join broadcast: right columns {bad} "
+                             "collide with left schema")
+        if ref is None:
+            return b.slice(0, 0)
+        rkeys, payload = ray.get(ref)
+        lk = b[lkey].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(rkeys, lk)
+        idx_c = np.minimum(idx, len(rkeys) - 1)
+        hit = rkeys[idx_c] == lk
+        out = b.filter(pa.array(hit))
+        take = pa.array(idx_c[hit])
+        for c in payload_cols:
+            out = out.append_column(c, payload[c].take(take))
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow")

@@ -529,3 +529,36 @@ def test_value_index_quantile_grid_under_skew(tmp_path):
     assert b1 - b0 <= 6
     assert len(stats["files"]) < len(
         list((idx / "buckets").rglob("*.parquet")))
+
+
+def test_auto_join_paths_agree():
+    from alco_ray.stages.join import auto_join
+
+    rng = np.random.RandomState(51)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 40, 500).astype(np.int64)),
+        "x": pa.array(rng.randint(0, 9, 500).astype(np.int64))})
+    right = pa.table({
+        "k": pa.array(np.arange(0, 30, dtype=np.int64)),
+        "name": pa.array([f"n{i}" for i in range(30)], pa.string())})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    bc = auto_join(lds, rds, "k").to_pandas()
+    sh = auto_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                   "k", broadcast_limit=0).to_pandas()
+    key = ["k", "x", "name"]
+    a = bc[key].sort_values(key).reset_index(drop=True)
+    b = sh[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    want = left.to_pandas().merge(right.to_pandas(), on="k")
+    assert len(a) == len(want)
+    # duplicate right keys refuse the broadcast path
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "name": pa.array(["a", "b"], pa.string())})
+    with pytest.raises(ValueError):
+        auto_join(lds, ray.data.from_arrow(dup), "k").to_pandas()
+    # empty right: inner join is empty, schema-stable left slice
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "name": pa.array([], pa.string())})
+    out = auto_join(lds, ray.data.from_arrow(empty), "k")
+    assert out.count() == 0
