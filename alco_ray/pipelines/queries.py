@@ -3272,6 +3272,33 @@ def e_value_indexed(sf_dir: str):
     return range_probe(idx, 37.25, 41.5)
 
 
+def e_value_indexed_q(sf_dir: str):
+    """The same range probe as e_value_indexed but over a
+    QUANTILE-boundary grid (stages/attrindex boundaries='quantile'):
+    identical results by construction — the hash-checked proof that
+    both grid modes serve the same predicate — with near-equal bucket
+    sizes under skew (pruning law pinned by pytest on a Pareto-tailed
+    column)."""
+    import json
+
+    from ..stages.attrindex import build_value_index, range_probe
+
+    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "value_index_q"
+    sig = _corpus_sig(sf_dir, "events")
+    meta = idx / "meta.json"
+    fresh = False
+    if meta.exists():
+        m = json.loads(meta.read_text())
+        fresh = m.get("corpus_sig") == sig and "edges" in m
+    if not fresh:
+        ds = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "value"])
+        build_value_index(ds, idx, value_col="value",
+                          boundaries="quantile",
+                          extra_meta={"corpus_sig": sig})
+    return range_probe(idx, 37.25, 41.5)
+
+
 def e_profile(sf_dir: str):
     """DATA PROFILING (stages/aggregate.profile_table): per-column
     rows / nulls / EXACT distinct counts over the events table — the
@@ -3388,7 +3415,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 148 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 149 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3532,6 +3559,9 @@ REGISTRY = {
     # profiling over the ingest source — operator pinned in-window by
     # e_profile (same stages/aggregate.profile_table machinery)
     "t_profile": t_profile,
+    # quantile-grid twin of in-window e_value_indexed (same predicate,
+    # same oracle; the grid-mode equivalence proof)
+    "e_value_indexed_q": e_value_indexed_q,
     # documents / training-data ops
     "d_minhash_lsh": d_minhash_lsh,
     "d_pack_greedy": d_pack_greedy,
