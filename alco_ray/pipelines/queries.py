@@ -3299,6 +3299,68 @@ def e_value_indexed_q(sf_dir: str):
     return range_probe(idx, 37.25, 41.5)
 
 
+def e_outliers(sf_dir: str):
+    """EXACT z-score anomaly detection (|x - mean| > 2*std per event
+    type) with ZERO floating point: per-type (n, Σc, Σc²) integer
+    moments fold (bounded key domain), then the flag
+    (n·c − s)² > 4(n·q − s²) evaluates as |n·c − s| > isqrt(4(n·q − s²))
+    — Python-int isqrt per type driver-side (exact, unbounded), one
+    vectorized int64 compare per row with the (n, s, B) triple
+    broadcast.  The oracle replays the squared comparison in HUGEINT;
+    both sides are exact integers, so flags hash-match bit-for-bit.
+    Int64 bound: n·max(cents) must stay < 2^63 (re-center per
+    partition beyond ~10^11 rows per type)."""
+    import math
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "cents": cents})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def moments(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "n": pa.array(np.ones(len(c), np.int64)),
+                      "s": pa.array(c),
+                      "q": pa.array(c * c)})
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "q"])
+
+    mom = agg_stage.fold_partials(
+        prepped.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("s", "sum"), ("q", "sum")],
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("n", pa.int64()), ("s", pa.int64()),
+                                ("q", pa.int64())]))
+    stats = {}
+    for r in mom.to_pylist():
+        n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+        stats[r["event_type"]] = (n, s, math.isqrt(4 * (n * q - s * s)))
+    ref = ray.put(stats)
+
+    def flag(b: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(c), bool)
+        for t, (n, s, bound) in st.items():
+            m = types == t
+            d = n * c[m] - s
+            keep[m] = np.abs(d) > bound
+        return b.filter(pa.array(keep))
+
+    return prepped.map_batches(flag, batch_format="pyarrow")
+
+
 def e_profile(sf_dir: str):
     """DATA PROFILING (stages/aggregate.profile_table): per-column
     rows / nulls / EXACT distinct counts over the events table — the
@@ -3415,7 +3477,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 149 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 150 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3443,6 +3505,7 @@ REGISTRY = {
     "q_fuzzy_names": q_fuzzy_names,
     "e_densify": e_densify,
     "e_profile": e_profile,
+    "e_outliers": e_outliers,
     "e_value_indexed": e_value_indexed,
     "t_grep_near": t_grep_near,
     "v_gram": v_gram,
@@ -3505,6 +3568,9 @@ REGISTRY = {
     "e_dense_rank": e_dense_rank,
     # round-3e additions (never driver-checked -> in-window)
     "d_components": d_components,
+    # q_ship_priority (Q3: filtered multi-join + top-k) rides just past
+    # the edge after e_outliers' insertion: its broadcast join chain is
+    # pinned in-window by q_region_revenue, its top-k merge by v_knn.
     "q_ship_priority": q_ship_priority,
     # round-3f additions (never driver-checked -> in-window)
     # d_ngram_top sits just past the edge after e_value_indexed's

@@ -562,3 +562,18 @@ def test_auto_join_paths_agree():
                       "name": pa.array([], pa.string())})
     out = auto_join(lds, ray.data.from_arrow(empty), "k")
     assert out.count() == 0
+
+
+def test_outlier_rule_matches_bigint_bruteforce():
+    """The engine's isqrt threshold rule must equal the exact squared
+    comparison with unbounded ints (the oracle's HUGEINT form)."""
+    import math
+
+    rng = np.random.RandomState(61)
+    c = rng.randint(0, 10_000_000, 400).astype(np.int64)
+    n, s, q = len(c), int(c.sum()), int((c.astype(object) ** 2).sum())
+    bound = math.isqrt(4 * (n * q - s * s))
+    got = np.abs(n * c - s) > bound
+    for i, ci in enumerate(c):
+        d = n * int(ci) - s
+        assert bool(got[i]) == (d * d > 4 * (n * q - s * s))
