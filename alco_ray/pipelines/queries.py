@@ -3299,6 +3299,42 @@ def e_value_indexed_q(sf_dir: str):
     return range_probe(idx, 37.25, 41.5)
 
 
+def t_gap_median(sf_dir: str):
+    """Per-conversation MEDIAN inter-turn gap (percentile_cont(0.5) of
+    the LAG deltas, transcripts side — the conversational-pacing
+    feature): one conv-hash partition pass emits (conv_id, gap_us) for
+    every turn after its conversation's first in (ts, turn_idx) order,
+    then stages/aggregate.group_order_stats selects the bracketing
+    order statistics per conversation.  Gap values are integer
+    microseconds (< 2^53, so the float64 selection is exact).
+    Single-turn conversations produce no gaps and are absent, matching
+    SQL."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "ts"])
+    parts = window.partition_by_key(
+        ds, "conv_id", approx_rows=_nrows(_corpus(sf_dir)))
+
+    def gaps(g: "pd.DataFrame") -> "pd.DataFrame":
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        conv = g["conv_id"].to_numpy()
+        order = np.lexsort((g["turn_idx"].to_numpy(), ts, conv))
+        conv, ts = conv[order], ts[order]
+        start = np.ones(len(conv), bool)
+        start[1:] = conv[1:] != conv[:-1]
+        gap = np.zeros(len(ts), np.int64)
+        if len(ts) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        keep = ~start
+        return pd.DataFrame({"conv_id": conv[keep],
+                             "gap_us": gap[keep]})
+
+    gaps_ds = parts.groupby("part").map_groups(gaps,
+                                               batch_format="pandas")
+    return agg_stage.group_order_stats(
+        gaps_ds, "conv_id", "gap_us", 0.5,
+        approx_rows=_nrows(_corpus(sf_dir)))
+
+
 def e_outliers(sf_dir: str):
     """EXACT z-score anomaly detection (|x - mean| > 2*std per event
     type) with ZERO floating point: per-type (n, Σc, Σc²) integer
@@ -3477,7 +3513,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 150 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 151 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3506,6 +3542,7 @@ REGISTRY = {
     "e_densify": e_densify,
     "e_profile": e_profile,
     "e_outliers": e_outliers,
+    "t_gap_median": t_gap_median,
     "e_value_indexed": e_value_indexed,
     "t_grep_near": t_grep_near,
     "v_gram": v_gram,
@@ -3565,9 +3602,14 @@ REGISTRY = {
     "v_range_search": v_range_search,
     "d_chunk": d_chunk,
     "e_value_quantiles": e_value_quantiles,
-    "e_dense_rank": e_dense_rank,
-    # round-3e additions (never driver-checked -> in-window)
+    # round-3e additions (never driver-checked -> in-window).
+    # d_components sits ABOVE e_dense_rank after the t_gap_median
+    # insertion: connected components is the only convergence-loop
+    # query (pagerank's fixed-iteration loop shares the machinery but
+    # not the fixpoint detection), while dense_rank's rank kernel is
+    # pinned in-window by e_user_rank.
     "d_components": d_components,
+    "e_dense_rank": e_dense_rank,
     # q_ship_priority (Q3: filtered multi-join + top-k) rides just past
     # the edge after e_outliers' insertion: its broadcast join chain is
     # pinned in-window by q_region_revenue, its top-k merge by v_knn.

@@ -62,8 +62,10 @@ BENCH_QUERIES = [
     # lookup, real PPM decode, learned langid)
     "e_value_pctl", "e_asof_lookup", "mm_ppm_meta", "d_lang_id_learned",
     # round-3i operators (fixed-point PageRank, background-LM score,
-    # cross-doc n-gram duplication)
+    # cross-doc n-gram duplication, fuzzy join, profiling, pacing
+    # median)
     "q_pagerank", "d_lm_score", "d_cross_dup",
+    "q_fuzzy_names", "e_profile", "t_gap_median",
 ]
 
 
