@@ -3335,6 +3335,40 @@ def t_gap_median(sf_dir: str):
         approx_rows=_nrows(_corpus(sf_dir)))
 
 
+def e_locf(sf_dir: str):
+    """Densify + LAST-OBSERVATION-CARRIED-FORWARD
+    (stages/window.locf_daily): per user, one row per calendar day in
+    the span carrying the day's closing value (integer cents, (ts,
+    event_id) order) forward over silent days — the feature-snapshot
+    regularization dual of e_densify (counts there, STATE here)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"], "cents": cents})
+
+    return window.locf_daily(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "cents",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
+def e_busy_periods(sf_dir: str):
+    """INTERVAL COALESCING (stages/window.coalesce_intervals): per
+    user, maximal merged unions of the ±15-minute spans around each
+    event — "busy periods".  The generic interval-union primitive
+    (sessionize is the gap-based special case); with fixed spans the
+    island break is one shifted compare per partition."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return window.coalesce_intervals(
+        ds, "user_id", "ts", "event_id",
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+
+
 def e_outliers(sf_dir: str):
     """EXACT z-score anomaly detection (|x - mean| > 2*std per event
     type) with ZERO floating point: per-type (n, Σc, Σc²) integer
@@ -3513,7 +3547,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 151 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 153 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3670,6 +3704,14 @@ REGISTRY = {
     # quantile-grid twin of in-window e_value_indexed (same predicate,
     # same oracle; the grid-mode equivalence proof)
     "e_value_indexed_q": e_value_indexed_q,
+    # e_locf rides the tail: densify-and-scatter machinery pinned
+    # in-window by e_densify; the carry-forward fill law is pytest's
+    # pandas-ffill equivalence.  e_busy_periods likewise: its
+    # lexsort + shifted-compare island kernel is the class the
+    # r2-driver-green e_sessionize already pinned, brute-force law in
+    # pytest.  Both keep full three-scale oracle verification locally.
+    "e_locf": e_locf,
+    "e_busy_periods": e_busy_periods,
     # documents / training-data ops
     "d_minhash_lsh": d_minhash_lsh,
     "d_pack_greedy": d_pack_greedy,

@@ -901,3 +901,130 @@ def densify_daily(ds, key_col: str, ts_col: str, *,
             "n_events": n})
 
     return parts.groupby("part").map_groups(fill, batch_format="pandas")
+
+
+def locf_daily(ds, key_col: str, ts_col: str, id_col: str,
+               val_col: str, *, n_parts: int | None = None,
+               approx_rows: int | None = None):
+    """Densify + LAST-OBSERVATION-CARRIED-FORWARD: per key, one row
+    per calendar day in the key's span carrying the day's LAST value
+    ((ts, id) order) forward over silent days — the feature-snapshot
+    regularization step (:func:`densify_daily` gives the counts;
+    this gives the state).  ``val_col`` must be integer-exact (cents).
+
+    Kernel: one lexsort per partition finds each (key, day)'s closing
+    value, the dense frame expands exactly as densify_daily, and the
+    fill is the classic vectorized LOCF (position-of-last-observation
+    via ``np.maximum.accumulate`` + gather).  Every key's first dense
+    day has an observation by construction (the span STARTS at an
+    observed day), so the carry never crosses keys and the output has
+    no nulls."""
+    import pandas as pd
+
+    def prep(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(b[ts_col], unit="day"),
+                       pa.timestamp("us"))
+        epoch_days = pc.divide(pc.cast(days, pa.int64()),
+                               pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            key_col: b[key_col], "d": epoch_days,
+            "t": pc.cast(b[ts_col], pa.int64()), id_col: b[id_col],
+            "v": b[val_col]})
+
+    parts = partition_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col,
+        n_parts, approx_rows=approx_rows)
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        d = g["d"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        i = g[id_col].to_numpy().astype(np.int64)
+        v = g["v"].to_numpy().astype(np.int64)
+        order = np.lexsort((i, t, d, k))
+        k, d, v = k[order], d[order], v[order]
+        # closing value per (key, day) = last row of each segment
+        pair_start = np.ones(len(k), bool)
+        pair_start[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        ps = np.flatnonzero(pair_start)
+        pe = np.append(ps[1:], len(k)) - 1
+        pk_rows, pd_, pv = ps, d[ps], v[pe]
+        kstart = np.ones(len(ps), bool)
+        kstart[1:] = k[ps][1:] != k[ps][:-1]
+        kidx = np.cumsum(kstart) - 1
+        ks = np.flatnonzero(kstart)
+        lo = pd_[ks]
+        hi = np.maximum.reduceat(pd_, ks)
+        span = hi - lo + 1
+        offs = np.concatenate(([0], np.cumsum(span)))
+        total = int(offs[-1])
+        rows = np.repeat(np.arange(len(ks)), span)
+        day = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs[:-1], span) + np.repeat(lo, span))
+        vals = np.zeros(total, np.int64)
+        has = np.zeros(total, bool)
+        pos = offs[kidx] + (pd_ - lo[kidx])
+        vals[pos] = pv
+        has[pos] = True
+        # vectorized LOCF: index of the last observed position
+        src = np.where(has, np.arange(total), -1)
+        src = np.maximum.accumulate(src)
+        filled = vals[src]
+        day_str = np.datetime_as_string(
+            day.astype("datetime64[D]"), unit="D")
+        return pd.DataFrame({
+            key_col: k[ps][ks][rows],
+            "day": day_str.astype(object),
+            "cents": filled})
+
+    return parts.groupby("part").map_groups(fill, batch_format="pandas")
+
+
+def coalesce_intervals(ds, key_col: str, ts_col: str, id_col: str, *,
+                       before_us: int = 900_000_000,
+                       after_us: int = 900_000_000,
+                       n_parts: int | None = None,
+                       approx_rows: int | None = None):
+    """INTERVAL COALESCING (union of overlapping intervals per key):
+    each row spans ``[ts - before, ts + after]``; touching/overlapping
+    spans of one key merge into maximal islands — the generic
+    primitive behind "busy periods", on-call coverage, downtime
+    merging (gap-based :func:`sessionize` is the point-event special
+    case).  Returns (key, start_ts, end_ts, n_events) per island.
+
+    Kernel: one lexsort per key-hash partition; with fixed ±W spans
+    the interval END is monotone within a key, so an island break is
+    simply ``start > previous end`` — one shifted compare + cumsum,
+    then segment-bound gathers.  No per-key Python."""
+    import pandas as pd
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({key_col: b[key_col],
+                         "t": pc.cast(b[ts_col], pa.int64()),
+                         id_col: b[id_col]})
+
+    parts = partition_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col,
+        n_parts, approx_rows=approx_rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        t = g["t"].to_numpy().astype(np.int64)
+        i = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((i, t, k))
+        k, t = k[order], t[order]
+        s = t - before_us
+        e = t + after_us
+        n = len(k)
+        brk = np.ones(n, bool)
+        if n > 1:
+            brk[1:] = (k[1:] != k[:-1]) | (s[1:] > e[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        return pd.DataFrame({
+            key_col: k[starts],
+            "start_ts": s[starts].view("datetime64[us]"),
+            "end_ts": e[ends].view("datetime64[us]"),
+            "n_events": (ends - starts + 1).astype(np.int64)})
+
+    return parts.groupby("part").map_groups(merge, batch_format="pandas")

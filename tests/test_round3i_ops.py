@@ -577,3 +577,77 @@ def test_outlier_rule_matches_bigint_bruteforce():
     for i, ci in enumerate(c):
         d = n * int(ci) - s
         assert bool(got[i]) == (d * d > 4 * (n * q - s * s))
+
+
+def test_locf_daily_matches_pandas():
+    import pandas as pd
+
+    from alco_ray.stages.window import locf_daily
+
+    rng = np.random.RandomState(67)
+    n = 300
+    t = pa.table({
+        "u": pa.array(rng.randint(0, 9, n).astype(np.int64)),
+        "ts": pa.array(np.datetime64("2024-05-01", "us")
+                       + rng.randint(0, 30, n).astype("timedelta64[D]")
+                       .astype("timedelta64[us]")
+                       + rng.randint(0, 86_400_000_000, n)
+                       .astype("timedelta64[us]")),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "c": pa.array(rng.randint(0, 1000, n).astype(np.int64)),
+    })
+    out = locf_daily(ray.data.from_arrow(t), "u", "ts", "eid", "c",
+                     n_parts=4).to_pandas()
+    df = t.to_pandas()
+    df["day"] = df["ts"].dt.floor("D")
+    for u, grp in df.groupby("u"):
+        last = (grp.sort_values(["day", "ts", "eid"])
+                .groupby("day")["c"].last())
+        span = pd.date_range(grp["day"].min(), grp["day"].max(),
+                             freq="D")
+        filled = last.reindex(span).ffill()
+        sel = out[out["u"] == u].set_index("day")["cents"]
+        assert len(sel) == len(span)
+        for d in span:
+            assert int(sel[d.strftime("%Y-%m-%d")]) == int(filled[d])
+
+
+def test_coalesce_intervals_matches_bruteforce():
+    from alco_ray.stages.window import coalesce_intervals
+
+    rng = np.random.RandomState(71)
+    n = 400
+    W = 1_000_000  # +-1s spans for dense overlap
+    t = pa.table({
+        "u": pa.array(rng.randint(0, 6, n).astype(np.int64)),
+        "ts": pa.array(np.datetime64("2024-06-01", "us")
+                       + rng.randint(0, 60_000_000, n)
+                       .astype("timedelta64[us]")),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    out = coalesce_intervals(ray.data.from_arrow(t), "u", "ts", "eid",
+                             before_us=W, after_us=W,
+                             n_parts=4).to_pandas()
+    df = t.to_pandas()
+    for u, grp in df.groupby("u"):
+        ts = np.sort(grp["ts"].to_numpy().astype("datetime64[us]")
+                     .view(np.int64))
+        islands = []
+        cur = [ts[0] - W, ts[0] + W, 1]
+        for x in ts[1:]:
+            if x - W > cur[1]:
+                islands.append(tuple(cur))
+                cur = [x - W, x + W, 1]
+            else:
+                cur[1] = x + W
+                cur[2] += 1
+        islands.append(tuple(cur))
+        got = (out[out["u"] == u]
+               .sort_values("start_ts"))
+        assert len(got) == len(islands)
+        for (s, e, c), (_, r) in zip(islands, got.iterrows()):
+            assert r["start_ts"].to_datetime64().astype(
+                "datetime64[us]").view(np.int64) == s
+            assert r["end_ts"].to_datetime64().astype(
+                "datetime64[us]").view(np.int64) == e
+            assert r["n_events"] == c
