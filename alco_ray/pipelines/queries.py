@@ -3335,6 +3335,20 @@ def t_gap_median(sf_dir: str):
         approx_rows=_nrows(_corpus(sf_dir)))
 
 
+def t_search_ranked(sf_dir: str):
+    """RANKED retrieval from the persisted index (the Sphinx
+    weighted-MATCH analog, stages/textindex.ranked_probe): top-20
+    turns by quantized-idf weighted term frequency over
+    {'shuffle', 'stream'} — the BM25 idf as ONE exact integer ratio,
+    so the oracle replays the identical score and the ranking
+    hash-matches bit-for-bit (a float ln-idf would differ in ulps)."""
+    from ..stages.textindex import ranked_probe
+
+    idx = _ensure_text_index(sf_dir)
+    return ranked_probe(idx, ["shuffle", "stream"],
+                        _nrows(_corpus(sf_dir)), k=20)
+
+
 def e_locf(sf_dir: str):
     """Densify + LAST-OBSERVATION-CARRIED-FORWARD
     (stages/window.locf_daily): per user, one row per calendar day in
@@ -3547,7 +3561,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 153 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 154 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3577,8 +3591,8 @@ REGISTRY = {
     "e_profile": e_profile,
     "e_outliers": e_outliers,
     "t_gap_median": t_gap_median,
+    "t_search_ranked": t_search_ranked,
     "e_value_indexed": e_value_indexed,
-    "t_grep_near": t_grep_near,
     "v_gram": v_gram,
     "e_grouping_sets": e_grouping_sets,
     "d_lm_score": d_lm_score,
@@ -3704,6 +3718,11 @@ REGISTRY = {
     # quantile-grid twin of in-window e_value_indexed (same predicate,
     # same oracle; the grid-mode equivalence proof)
     "e_value_indexed_q": e_value_indexed_q,
+    # t_grep_near rides the tail after t_search_ranked's insertion:
+    # the posting-probe machinery is triple-covered in-window
+    # (t_grep_indexed + t_search_ranked), and the NEAR min-distance
+    # kernel law is pytest-pinned (planted distances/order/repeats).
+    "t_grep_near": t_grep_near,
     # e_locf rides the tail: densify-and-scatter machinery pinned
     # in-window by e_densify; the carry-forward fill law is pytest's
     # pandas-ffill equivalence.  e_busy_periods likewise: its

@@ -653,3 +653,125 @@ def near_probe(index_dir: str | Path, term_a: str, term_b: str, *,
     if not len(topk):
         return ray.data.from_arrow(empty)
     return _fetch_texts(d, text_col, topk, empty, stats_out)
+
+
+def ranked_probe(index_dir: str | Path, terms: list[str], n_docs: int,
+                 *, k: int = 20, idf_scale: int = 1_000_000,
+                 stats_out: dict | None = None):
+    """RANKED retrieval (the Sphinx weighted-MATCH analog): top-``k``
+    turns by a QUANTIZED-IDF weighted term frequency
+
+        score(turn) = sum_t  tf_t(turn) * w_t
+        w_t         = ((2*N - 2*df_t + 1) * idf_scale) // (2*df_t + 1)
+
+    — the BM25 idf ((N - df + 0.5)/(df + 0.5)) as one exact integer
+    ratio, so the ENTIRE score is integer arithmetic and an engine-
+    independent oracle reproduces the ranking bit-for-bit (float
+    ln-idf would differ in ulps).  tf and df come straight from the
+    pruned posting buckets (tf = positions length, df = posting rows
+    per term); ``n_docs`` is the corpus turn count (the docstore is
+    date-partitioned, so the caller passes it — parquet-metadata
+    cheap).  Ties break (conv_id, turn_idx) ascending."""
+    import pandas as pd
+    import ray.data
+
+    from .order import top_k
+    from .window import partition_by_key
+
+    want = sorted({t.lower() for t in terms})
+    if not want:
+        raise ValueError("ranked_probe: need at least one term")
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    if meta.get("version", 1) < 2:
+        raise ValueError("ranked_probe needs a v2 (positional) index")
+    buckets = sorted({int(b) for b in _bucket_of(
+        np.array(want, dtype=object), meta["n_buckets"])})
+    pfiles = sorted(str(p) for b in buckets
+                    for p in (d / "postings" / f"bucket={b}")
+                    .glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["posting_files"] = pfiles
+        stats_out["doc_files"] = []
+    text_col = meta["text_col"]
+    # column order matches the driver-side top-k frame (merge appends
+    # the text column last) so _fetch_texts' schema cast lines up
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "score": pa.array([], pa.int64()),
+                      "parsed_ts": pa.array([], pa.timestamp("us")),
+                      text_col: pa.array([], pa.string())})
+    if not pfiles:
+        return ray.data.from_arrow(empty)
+    term_set = pa.array(want, pa.string())
+
+    def match(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["token"], value_set=term_set)
+        f = b.filter(keep)
+        tf = pc.list_value_length(f["positions"])
+        return pa.table({"conv_id": f["conv_id"],
+                         "turn_idx": f["turn_idx"],
+                         "parsed_ts": f["parsed_ts"],
+                         "token": f["token"],
+                         "tf": pc.cast(tf, pa.int64())})
+
+    hits = (ray.data.read_parquet(pfiles)
+            .map_batches(match, batch_format="pyarrow",
+                         batch_size=None).materialize())
+
+    # df per term: bounded fold (|terms| keys)
+    from .aggregate import fold_partials
+
+    df_t = fold_partials(
+        hits.map_batches(
+            lambda b: (pa.table({"token": b["token"],
+                                 "df": pa.array(
+                                     np.ones(b.num_rows, np.int64))})
+                       .group_by(["token"]).aggregate([("df", "sum")])
+                       .rename_columns(["token", "df"])),
+            batch_format="pyarrow"),
+        ["token"], [("df", "sum")],
+        empty_schema=pa.schema([("token", pa.string()),
+                                ("df", pa.int64())]))
+    weights = {r["token"]: ((2 * n_docs - 2 * int(r["df"]) + 1)
+                            * idf_scale) // (2 * int(r["df"]) + 1)
+               for r in df_t.to_pylist()}
+    if not weights:
+        return ray.data.from_arrow(empty)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        toks = b["token"].to_numpy(zero_copy_only=False)
+        w = np.array([weights[t] for t in toks], np.int64) \
+            if len(toks) else np.zeros(0, np.int64)
+        s = b["tf"].to_numpy(zero_copy_only=False) * w
+        t = pa.table({"conv_id": b["conv_id"],
+                      "turn_idx": b["turn_idx"],
+                      "parsed_ts": b["parsed_ts"],
+                      "s": pa.array(s)})
+        g = t.group_by(["conv_id", "turn_idx"]).aggregate(
+            [("s", "sum"), ("parsed_ts", "min")])
+        return g.rename_columns(["conv_id", "turn_idx", "score",
+                                 "parsed_ts"])
+
+    import pyarrow.parquet as pq_
+
+    approx = sum(pq_.read_metadata(f).num_rows for f in pfiles)
+    scored = partition_by_key(
+        hits.map_batches(score_partial, batch_format="pyarrow"),
+        ["conv_id", "turn_idx"], approx_rows=approx)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["conv_id", "turn_idx"], as_index=False)
+               .agg(score=("score", "sum"), parsed_ts=("parsed_ts",
+                                                       "min")))
+        out["turn_idx"] = out["turn_idx"].astype(np.int32)
+        out["score"] = out["score"].astype(np.int64)
+        return out
+
+    totals = scored.groupby("part").map_groups(fold,
+                                               batch_format="pandas")
+    topk = top_k(totals, ["score", "conv_id", "turn_idx"], k,
+                 descending=[True, False, False]).to_pandas()
+    if not len(topk):
+        return ray.data.from_arrow(empty)
+    return _fetch_texts(d, text_col, topk, empty, stats_out)
