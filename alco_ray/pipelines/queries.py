@@ -3349,6 +3349,39 @@ def t_search_ranked(sf_dir: str):
                         _nrows(_corpus(sf_dir)), k=20)
 
 
+def e_mad(sf_dir: str):
+    """Robust spread: EXACT median absolute deviation per event type
+    in integer cents — two histogram-quantile passes
+    (stages/aggregate.quantile_disc: the per-type median, then the
+    median of |cents − median|), both element choices matching
+    DuckDB's quantile_disc bit-for-bit on the discrete cents domain.
+    No distributed sort either pass; the 5-type median broadcast is a
+    scalar dict."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    med_t = agg_stage.quantile_disc(ds, "value", 0.5, by="event_type")
+    med = {r["event_type"]: int(r["q_value"]) for r in med_t.to_pylist()}
+    ref = ray.put(med)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        mv = np.zeros(len(cents), np.int64)
+        for t, v in m.items():
+            mv[types == t] = v
+        return pa.table({"event_type": b["event_type"],
+                         "dev": pa.array(np.abs(cents - mv)
+                                         .astype(np.float64))})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow")
+    out = agg_stage.quantile_disc(devs, "dev", 0.5, by="event_type",
+                                  scale=1)
+    return ray.data.from_arrow(out.rename_columns(["event_type",
+                                                   "mad_cents"]))
+
+
 def e_locf(sf_dir: str):
     """Densify + LAST-OBSERVATION-CARRIED-FORWARD
     (stages/window.locf_daily): per user, one row per calendar day in
@@ -3561,7 +3594,7 @@ REGISTRY = {
     # driver-checked row and (b) this round's new operators, followed by
     # the flagship/core set.  The tail (positions 51+) holds only
     # queries whose OPERATOR stays covered by an in-window sibling; all
-    # 154 are verified at sf0.001/sf0.01 by scripts/check_contract.py
+    # 155 are verified at sf0.001/sf0.01 by scripts/check_contract.py
     # (see BASELINE.md "Driver gate window").
     # ------------------------------------------------------------------
     # never driver-checked in r2 + round-3 additions (14).
@@ -3731,6 +3764,11 @@ REGISTRY = {
     # pytest.  Both keep full three-scale oracle verification locally.
     "e_locf": e_locf,
     "e_busy_periods": e_busy_periods,
+    # robust-statistics tail entry: both passes are the SAME
+    # quantile_disc machinery e_median_value (in this tail) and the
+    # r2-driver-green e_value_quantiles family already pin; the
+    # composition is oracle-verified at every scale locally.
+    "e_mad": e_mad,
     # documents / training-data ops
     "d_minhash_lsh": d_minhash_lsh,
     "d_pack_greedy": d_pack_greedy,
