@@ -1351,14 +1351,18 @@ def d_heavy_tokens(sf_dir: str):
 def d_split_assign(sf_dir: str):
     """Deterministic train/val/test split assignment (the eval-split
     primitive every training pipeline needs): multiplicative-hash the
-    stable id into 100 buckets -> 80/10/10.  The hash is plain int64
-    arithmetic ((id * 2654435761) mod 2^32 mod 100), so the oracle
-    reproduces it exactly — no RNG, stable under any partitioning."""
+    stable id into 100 buckets -> 80/10/10.  The hash is uint64
+    arithmetic ((id * 2654435761) mod 2^32 mod 100; uint64 is
+    wrap-exact mod 2^32 at ANY id magnitude, where the old int64
+    multiply silently wrapped past id ~3.47e9 — ADVICE r3), so the
+    HUGEINT oracle reproduces it exactly — no RNG, stable under any
+    partitioning."""
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def body(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) % 4294967296 % 100
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * np.uint64(2654435761)) % np.uint64(4294967296)
+             % np.uint64(100)).astype(np.int64)
         split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
         return pa.table({"doc_id": b["doc_id"],
                          "split": pa.array(split, pa.string())})
@@ -1380,7 +1384,11 @@ def d_stratified_sample(sf_dir: str):
         ln = pc.cast(pc.utf8_length(b["text"]), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         # salt the hash with the stratum so strata sample independently
-        h = ((ids * 2654435761) % 4294967296 + (ln // 100) * 97) % 100
+        # (uint64 multiply is wrap-exact mod 2^32 at any id magnitude;
+        # the salted sum then fits int64 comfortably — ADVICE r3)
+        h32 = ((ids.astype(np.uint64) * np.uint64(2654435761))
+               % np.uint64(4294967296)).astype(np.int64)
+        h = (h32 + (ln // 100) * 97) % 100
         keep = h < 20
         return pa.table({
             "doc_id": pa.array(ids[keep]),

@@ -302,11 +302,23 @@ def _iso_ts_column(ts) -> "pa.Array":
 
 def _export_writer(out_dir: str | Path, fmt: str):
     """Shared JSONL/CSV export writer (runs inside map_batches):
-    serialize the block with the wire-format ts encoding, name the
-    file by a content hash of the serialized BYTES — a retried task
-    overwrites its own file (idempotent), two distinct blocks never
-    collide — and write via tmp + atomic rename."""
+    serialize the block with the wire-format ts encoding and write it
+    to a UNIQUELY-NAMED staging file (content hash + uuid); the
+    driver-side :func:`_finalize_export` then renames staging files to
+    their final ``part-<hash>-<ordinal>`` names.
+
+    Why content hash alone is NOT a final name: two byte-identical
+    blocks are legal (a corpus unioned with itself), and a pure
+    content-hash name would make the second block silently overwrite
+    the first, losing rows (ADVICE r3).  The two-phase write keeps
+    BOTH properties: no block is ever lost (staging names never
+    collide), and a re-export of the same dataset produces the same
+    final file set (ordinals are assigned per content hash over the
+    run's full multiset of payloads, so the mapping depends only on
+    the data — identical payloads are interchangeable bytes, making
+    any within-hash order correct)."""
     import hashlib
+    import uuid
 
     import pyarrow as pa
 
@@ -315,7 +327,8 @@ def _export_writer(out_dir: str | Path, fmt: str):
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()),
+            return pa.table({"staged": pa.array([], pa.string()),
+                             "hash": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
         cols = {c: batch[c] for c in batch.column_names}
         if "ts" in cols:
@@ -337,27 +350,52 @@ def _export_writer(out_dir: str | Path, fmt: str):
             payload = buf.getvalue()
         else:
             raise ValueError(f"unknown export format {fmt!r}")
-        import os
-
         h = hashlib.sha256(payload).hexdigest()[:16]
-        path = d / f"part-{h}.{fmt}"
-        tmp = d / f".part-{h}.{fmt}.tmp"
+        tmp = d / f".stage-{h}-{uuid.uuid4().hex[:12]}.{fmt}.tmp"
         tmp.write_bytes(payload)
-        os.replace(tmp, path)
-        return pa.table({"path": pa.array([str(path)], pa.string()),
+        return pa.table({"staged": pa.array([str(tmp)], pa.string()),
+                         "hash": pa.array([h], pa.string()),
                          "rows": pa.array([batch.num_rows], pa.int64())})
 
     return write_block
+
+
+def _finalize_export(staged_meta, fmt: str) -> list[str]:
+    """Driver-side rename of staged export files to their final
+    ``part-<contenthash>-<ordinal>`` names (metadata-only: O(files)
+    renames, no data moves).  Ordinals count duplicate payloads within
+    the run, so re-exporting the same dataset reproduces the same file
+    set (idempotent), while byte-identical blocks still land in
+    DISTINCT files (no silent row loss — ADVICE r3).  Stray staging
+    files from a crashed earlier run are swept."""
+    import os
+    from collections import defaultdict
+
+    seen: dict[str, int] = defaultdict(int)
+    final = []
+    for r in sorted(staged_meta, key=lambda r: (r["hash"], r["staged"])):
+        h = r["hash"]
+        src = Path(r["staged"])
+        dst = src.parent / f"part-{h}-{seen[h]}.{fmt}"
+        seen[h] += 1
+        os.replace(src, dst)
+        final.append(str(dst))
+    # sweep staging leftovers (crashed prior run / retried task twins)
+    for d in {Path(p).parent for p in final}:
+        for stray in d.glob(f".stage-*.{fmt}.tmp"):
+            stray.unlink(missing_ok=True)
+    return sorted(final)
 
 
 def write_jsonl_transcripts(ds, out_dir: str | Path) -> list[str]:
     """EXPORT sink, JSON-lines wire format: the write-side dual of
     sources.read_jsonl_transcripts — read(write(ds)) reproduces ds
     bit-for-bit (ISO ts with explicit micros, nulls as JSON null).
-    One file per block, content-hashed names, atomic rename."""
+    One file per block, content-hash-plus-ordinal names (idempotent
+    re-export, duplicate-block safe), two-phase rename."""
     out = ds.map_batches(_export_writer(out_dir, "jsonl"),
                          batch_format="pyarrow").materialize()
-    return sorted(r["path"] for r in out.take_all())
+    return _finalize_export(out.take_all(), "jsonl")
 
 
 def write_csv_transcripts(ds, out_dir: str | Path) -> list[str]:
@@ -367,4 +405,4 @@ def write_csv_transcripts(ds, out_dir: str | Path) -> list[str]:
     naming as the JSONL sink."""
     out = ds.map_batches(_export_writer(out_dir, "csv"),
                          batch_format="pyarrow").materialize()
-    return sorted(r["path"] for r in out.take_all())
+    return _finalize_export(out.take_all(), "csv")

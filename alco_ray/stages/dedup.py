@@ -970,7 +970,7 @@ def _lev1_exact(a_vals, b_vals) -> np.ndarray:
 
 
 def fuzzy_pairs(ds, col: str, *, n_parts: int | None = None,
-                max_bucket: int = 512):
+                max_bucket: int = 512, on_oversized: str = "error"):
     """FUZZY SIMILARITY JOIN: all pairs of DISTINCT values of ``col``
     within edit distance 1 (substitution, insertion or deletion) —
     the typo/near-identifier matching operator.  Returns a Dataset of
@@ -983,7 +983,15 @@ def fuzzy_pairs(ds, col: str, *, n_parts: int | None = None,
     vectorized exact verifier (codepoint matrices, no per-pair Python)
     removes hash collisions.  Shuffle volume is values x (len+1)
     hashes, never values^2; ``max_bucket`` caps degenerate buckets the
-    same way the MinHash-LSH path does."""
+    same way the MinHash-LSH path does.
+
+    ``on_oversized`` governs buckets past ``max_bucket`` (ADVICE r3:
+    silently dropping them broke the "all pairs within edit distance
+    1" contract undetected on corpora where many values share a
+    deletion variant).  Default ``"error"`` raises with the bucket
+    size so the break is LOUD; ``"keep"`` verifies oversized buckets
+    exactly anyway (quadratic in the bucket — caller accepts the
+    cost); ``"drop"`` is the old documented approximation."""
     import ray
 
     from .window import partition_by_key, suggest_key_partitions
@@ -1022,10 +1030,22 @@ def fuzzy_pairs(ds, col: str, *, n_parts: int | None = None,
     hv = distinct.map_batches(variants, batch_format="pyarrow")
     hparts = partition_by_key(hv, "h", n_parts)
 
+    if on_oversized not in ("error", "keep", "drop"):
+        raise ValueError(f"fuzzy_pairs: on_oversized={on_oversized!r}")
+
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
-        if max_bucket is not None:
+        if max_bucket is not None and on_oversized != "keep":
             sz = g.groupby("h")["v"].transform("size")
-            g = g[sz <= max_bucket]
+            over = sz > max_bucket
+            if over.any() and on_oversized == "error":
+                raise ValueError(
+                    "fuzzy_pairs: a deletion-variant bucket holds "
+                    f"{int(sz[over].max())} values (> max_bucket="
+                    f"{max_bucket}); the all-pairs-within-edit-"
+                    "distance-1 contract cannot be met under the cap. "
+                    "Pass on_oversized='keep' (exact, quadratic in "
+                    "the bucket) or 'drop' (approximate).")
+            g = g[~over]
         m = g.merge(g, on="h", suffixes=("_a", "_b"))
         m = m[m["v_a"] < m["v_b"]]
         return m[["v_a", "v_b"]].drop_duplicates()

@@ -177,8 +177,12 @@ def auto_join(left, right, on, *, right_on=None, how: str = "inner",
                          or _num_partitions(left.count(), n_right),
                          on=(lkey,), right_on=(rkey,))
 
-    rt = pa.concat_tables(ray.get(right.to_arrow_refs()))
-    if rt.num_columns == 0:  # zero-block empty side
+    # A fully-filtered right side can materialize as ZERO blocks in
+    # ray 2.49; bare pa.concat_tables([]) raises, so guard the empty
+    # refs list before concatenating (ADVICE r3).
+    right_tables = ray.get(right.to_arrow_refs())
+    rt = pa.concat_tables(right_tables) if right_tables else None
+    if rt is not None and rt.num_columns == 0:  # zero-column empty side
         rt = None
     payload_cols = [c for c in (rt.column_names if rt else [])
                     if c != rkey]

@@ -74,7 +74,20 @@ def mixture_resample(ds, rates: dict[str, float], *,
                            f"{missing.to_pylist()[:5]}")
         idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * HASH_MULT) % HASH_MOD
+        if b.num_rows and ids.min() < 0:
+            raise ValueError("mixture_resample: negative ids break "
+                             "engine/oracle hash parity (DuckDB % is "
+                             "sign-preserving)")
+        # uint64 multiply after a mod-2^32 reduce: the true product
+        # (2^32-1) * HASH_MULT < 2^64, so there is no wrap and the
+        # result equals (id * HASH_MULT) mod 2^32 at ANY non-negative
+        # id magnitude — the old int64 multiply silently wrapped for
+        # id >~ 3.47e9 while the DuckDB-BIGINT oracle didn't (ADVICE
+        # r3).  Oracle-side equivalent: (CAST(id AS HUGEINT) *
+        # 2654435761) % 4294967296.
+        h = ((ids.astype(np.uint64) % np.uint64(HASH_MOD))
+             * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+        h = h.astype(np.int64)
         copies = base_arr[idx_np] + (h < thr_arr[idx_np])
         row = np.repeat(np.arange(b.num_rows, dtype=np.int64), copies)
         first = np.concatenate(([0], np.cumsum(copies)[:-1]))

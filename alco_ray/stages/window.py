@@ -424,9 +424,18 @@ def lag_delta(ds, *, key_col: str, ts_col: str, id_col: str,
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              out_col: col})
 
-    return _partitioned(ds, key_col, n_parts,
-                        approx_rows=approx_rows).groupby("part").map_groups(
+    from alco_ray.stages import enforce_schema
+
+    s = ds.schema()
+    id_type = s.types[s.names.index(id_col)]
+    out = _partitioned(ds, key_col, n_parts,
+                       approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
+    # Pin Arrow-native int64-with-nulls output: the pandas Int64
+    # extension column above hashes as `123`/`<NA>` while the oracle's
+    # nullable BIGINT round-trips as `123.0`/`NaN` — driver hash
+    # mismatch on identical values (CORRECTNESS_r03 e_event_gaps).
+    return enforce_schema(out, {id_col: id_type, out_col: pa.int64()})
 
 
 def grouped_cumsum(ds, *, key_col: str, ts_col: str, id_col: str,
@@ -571,9 +580,17 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
             left_id_col: g["__id"].iloc[left].reset_index(drop=True),
             out_col: vals})
 
-    return _partitioned(both, key_col, n_parts,
-                        approx_rows=approx_rows).groupby("part").map_groups(
+    from alco_ray.stages import enforce_schema
+
+    out = _partitioned(both, key_col, n_parts,
+                       approx_rows=approx_rows).groupby("part").map_groups(
         body, batch_format="pandas")
+    # Pin the output schema: the null-unioned __id column upcasts to
+    # float64 in the pandas kernel, so without this cast the engine's
+    # id column is `double` while the oracle's is int64 (CORRECTNESS_
+    # r03 q_asof_join).  Left ids are never null, so the safe
+    # float->int cast is lossless by construction.
+    return enforce_schema(out, {left_id_col: ltype, out_col: rtype})
 
 
 def transition_counts(ds, *, key_col: str, order_col: str, val_col: str,

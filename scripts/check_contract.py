@@ -47,8 +47,21 @@ def normalize(df):
     return df
 
 
-def compare(name, got, want):
+def compare(name, got, want, strict: bool = True):
     import pandas as pd
+
+    if strict:
+        # Replicate the driver's hash sensitivity (round-3 escape):
+        # the driver hashes the pandas round-trip of both sides, so a
+        # pandas extension dtype (Int64) or a float64-upcast id column
+        # hashes differently from the oracle's nullable-BIGINT round-
+        # trip even when every value is numerically identical.  Demand
+        # dtype equality BEFORE any normalization.
+        gd = {c: str(got[c].dtype) for c in got.columns}
+        wd = {c: str(want[c].dtype) for c in want.columns}
+        drift = {c: (gd[c], wd[c]) for c in gd if c in wd and gd[c] != wd[c]}
+        if drift:
+            return f"dtype drift (engine vs oracle): {drift}"
 
     g, w = normalize(got), normalize(want)
     if list(g.columns) != list(w.columns):

@@ -651,3 +651,78 @@ def test_coalesce_intervals_matches_bruteforce():
             assert r["end_ts"].to_datetime64().astype(
                 "datetime64[us]").view(np.int64) == e
             assert r["n_events"] == c
+
+
+def test_export_sink_duplicate_blocks_not_lost(tmp_path):
+    """ADVICE r3: two byte-identical blocks (corpus unioned with
+    itself) must land in DISTINCT files — a pure content-hash name
+    silently dropped one block's rows.  Also pins re-export filename
+    idempotency under duplicates."""
+    from alco_ray import fixtures
+    from alco_ray.sinks import write_jsonl_transcripts
+    from alco_ray.sources import read_jsonl_transcripts, read_transcripts
+
+    corpus = fixtures.ensure_corpus("t-small")
+
+    def doubled():
+        one = read_transcripts(corpus)
+        return one.union(read_transcripts(corpus))
+
+    n_one = read_transcripts(corpus).count()
+    d = tmp_path / "dup_out"
+    paths = write_jsonl_transcripts(doubled(), d)
+    back = read_jsonl_transcripts(str(d)).to_pandas()
+    assert len(back) == 2 * n_one  # no block lost
+    assert len(paths) == len(set(paths))
+
+    paths2 = write_jsonl_transcripts(doubled(), d)
+    assert paths2 == paths  # re-export is filename-idempotent
+
+
+def test_fuzzy_pairs_oversized_bucket_contract():
+    """ADVICE r3: buckets past max_bucket must not be dropped
+    SILENTLY.  Default errors loudly; 'keep' stays exact; 'drop' is
+    the documented approximation."""
+    import itertools
+
+    import pytest
+
+    from alco_ray.stages.dedup import fuzzy_pairs
+
+    # every value shares the deletion variant "x" (all are "x"+c or
+    # "x" itself), so one bucket holds all of them
+    vals = ["x"] + [f"x{c}" for c in "abcdefgh"]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+
+    with pytest.raises(Exception, match="max_bucket"):
+        fuzzy_pairs(ds, "v", n_parts=2, max_bucket=3).take_all()
+
+    kept = {(r["val_a"], r["val_b"])
+            for r in fuzzy_pairs(ds, "v", n_parts=2, max_bucket=3,
+                                 on_oversized="keep").take_all()}
+    want = {(a, b) for a, b in itertools.combinations(sorted(set(vals)), 2)
+            if _lev_ref(a, b) <= 1}
+    assert kept == want
+
+    dropped = {(r["val_a"], r["val_b"])
+               for r in fuzzy_pairs(ds, "v", n_parts=2, max_bucket=3,
+                                    on_oversized="drop").take_all()}
+    assert dropped <= want
+
+
+def test_mixture_hash_large_id_parity():
+    """ADVICE r3: the multiplicative id-hash must equal
+    (id * 2654435761) mod 2^32 in EXACT integer math at any
+    non-negative id magnitude (the old int64 multiply wrapped past
+    ~3.47e9) — DuckDB-side equivalent is the HUGEINT form."""
+    from alco_ray.stages.sample import mixture_resample
+
+    big = [0, 1, 3_470_000_000, 2**40 + 7, 2**62 + 12345]
+    t = pa.table({"doc_id": pa.array(big, pa.int64()),
+                  "source": pa.array(["s"] * len(big), pa.string())})
+    rate = 0.5
+    out = mixture_resample(ray.data.from_arrow(t), {"s": rate})
+    got = sorted(r["doc_id"] for r in out.take_all())
+    thr = int((rate % 1) * 2**32)
+    want = sorted(i for i in big if (i * 2654435761) % 2**32 < thr)
+    assert got == want
