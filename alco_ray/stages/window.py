@@ -115,7 +115,7 @@ def _contested_intervals(lo: list, hi: list) -> tuple[list, list]:
 
 
 def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
-                    boundary_limit: int = 4_000_000):
+                    boundary_limit_bytes: int = 1 << 31):
     """Run a multi-group pandas kernel per key group with shuffle
     ELISION where the block layout allows it.
 
@@ -130,12 +130,15 @@ def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
     2. ranges overlap only near block edges (the written-in-key-order
        case) -> STITCH: rows whose key falls in a CONTESTED interval
        (covered by >= 2 block ranges — the only keys that can span
-       blocks) are pulled to one driver-side apply, everything else
+       blocks) are gathered into ONE worker task's apply (the driver
+       never holds row data — it ships block refs), everything else
        runs block-local; the contested remainder is O(blocks x group
        size) by construction;
-    3. contested rows exceed ``boundary_limit`` (interleaved layout,
-       e.g. the events table) -> classic key-hash partition shuffle +
-       per-partition apply.
+    3. contested bytes exceed ``boundary_limit_bytes`` (interleaved
+       layout, e.g. the events table — sized in BYTES so wide rows
+       can't turn a row-count guard into a multi-GB single-task
+       spike) -> classic key-hash partition shuffle + per-partition
+       apply.
 
     ``body`` must handle frames holding MANY whole groups (all kernels
     here lexsort + segment) and be pure per group — it runs once per
@@ -178,12 +181,12 @@ def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
         return in_iv & (keys <= his[safe_pos])
 
     # One fused pass extracts the contested rows INTO THE OBJECT STORE
-    # (spillable — the boundary_limit guards only the driver-side
-    # ray.get below); its post-materialize count() is free metadata.
-    # This replaces the former separate count pass: each eager pass
-    # over `mat` costs ~1-2 s of fixed task-dispatch latency
-    # regardless of data size, and plan 2 is taken precisely when the
-    # contested volume is small.
+    # (spillable — the byte guard below sizes only the single-task
+    # apply); its post-materialize count()/size_bytes() are free
+    # metadata.  This replaces the former separate count pass: each
+    # eager pass over `mat` costs ~1-2 s of fixed task-dispatch
+    # latency regardless of data size, and plan 2 is taken precisely
+    # when the contested volume is small.
     def pick_contested(b: pa.Table) -> pa.Table:
         k = np.asarray(b[key_col].to_numpy(zero_copy_only=False),
                        dtype=object)
@@ -191,12 +194,15 @@ def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
 
     picked = mat.map_batches(pick_contested, batch_format="pyarrow",
                              batch_size=None).materialize()
-    if picked.count() > boundary_limit:  # plan 3: interleaved layout
+    if picked.size_bytes() > boundary_limit_bytes:  # plan 3
         return _partitioned(mat, key_col, n_parts,
                             approx_rows=approx_rows).groupby(
             "part").map_groups(body, batch_format="pandas")
 
-    # plan 2: block-local safe rows + one driver-side contested apply
+    # plan 2: block-local safe rows + ONE worker-task contested apply.
+    # The driver only moves object REFS — the contested row data goes
+    # object store -> one worker -> object store (from_pandas_refs),
+    # never through driver memory (VERDICT r3 finding 5).
     def safe_body(g: pd.DataFrame) -> pd.DataFrame:
         k = np.asarray(g[key_col].to_numpy(), dtype=object)
         return body(g.iloc[~contested_mask(k)])
@@ -204,12 +210,17 @@ def _grouped_kernel(ds, key_col: str, body, n_parts, approx_rows,
     safe_out = mat.map_batches(safe_body, batch_format="pandas",
                                batch_size=None)
 
-    boundary = concat_nonempty(ray.get(picked.to_arrow_refs()))
-    if boundary.num_rows == 0 or boundary.num_columns == 0:
+    if picked.count() == 0:
         return safe_out
-    b_out = body(boundary.to_pandas())
-    return safe_out.union(ray.data.from_pandas(
-        b_out.reset_index(drop=True)))
+
+    @ray.remote(num_cpus=1)
+    def _apply_contested(*blocks):
+        # count() > 0 above guarantees at least one nonempty block.
+        tbl = concat_nonempty(list(blocks))
+        return body(tbl.to_pandas()).reset_index(drop=True)
+
+    b_ref = _apply_contested.remote(*picked.to_arrow_refs())
+    return safe_out.union(ray.data.from_pandas_refs([b_ref]))
 
 
 def _segment_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
