@@ -32,7 +32,8 @@ from .. import fixtures
 from ..sources import read_transcripts
 from ..specs import default_transcript_config
 from ..stages import aggregate as agg_stage
-from ..stages import dedup, graph, multimodal, order, similarity, text, window
+from ..stages import (dedup, graph, model, multimodal, order, similarity,
+                      text, window)
 from ..stages.dict_encode import DictEncoder, build_dict_table
 from ..stages.parse import make_parse_batch
 from ..stages.route import make_route_batch
@@ -3592,6 +3593,88 @@ def e_intersect(sf_dir: str):
         sf_dir, lambda p, v: (p == 1) & (v == 1))
 
 
+def _bpe_merges(sf_dir: str):
+    """Shared BPE fit: distributed word-count fold -> driver merge
+    loop over the bounded word->count table (the Sennrich reduction)
+    -> sidecar for the oracle's recursive-CTE replay.  Deterministic,
+    so concurrent writers agree byte-for-byte."""
+    from ..stages import bpe as bpe_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    wc = bpe_stage.word_count_table(ds)
+    merges = bpe_stage.fit_bpe(wc, n_merges=40)
+    _write_sidecar(bpe_stage.merges_table(merges), sf_dir,
+                   "bpe_merges.parquet")
+    return merges
+
+
+def d_bpe_tokens(sf_dir: str):
+    """Subword (BPE) tokenization (stages/bpe): merges TRAINED on the
+    corpus distributed (per-block word-count partials, bounded driver
+    merge loop), applied as an actor-pool map_batches stage (merge
+    list + word cache load once per actor).  One exploded row per
+    subword token with its stream position; the oracle replays the
+    exact sequential rank-order merge law via a recursive CTE over
+    the persisted merge sidecar, so train -> segment -> position is
+    hash-checked end to end."""
+    from ..stages import bpe as bpe_stage
+
+    merges = _bpe_merges(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        bpe_stage.BpeTokenizer, fn_constructor_args=(merges,),
+        batch_format="pyarrow", concurrency=2)
+
+
+def d_pack_bpe(sf_dir: str):
+    """Sequence packing by TOKENIZER tokens (the real training-batch
+    layout op — whitespace-token packing is d_pack_greedy): per-doc
+    BPE token counts from the actor-pool tokenizer, then the same
+    distributed ordered prefix-sum assigns each doc a pack id against
+    a 512-subword budget.  No shuffle; O(blocks) driver state."""
+    from ..stages import bpe as bpe_stage
+    from ..stages.scan import ordered_prefix_sum
+
+    merges = _bpe_merges(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = ds.map_batches(
+        bpe_stage.BpeTokenizer, fn_constructor_args=(merges,),
+        fn_constructor_kwargs={"mode": "count"},
+        batch_format="pyarrow", concurrency=2)
+    pref = ordered_prefix_sum(counted, "n_bpe_tokens", "doc_id",
+                              out_col="tok_offset", exclusive=True)
+
+    def pack(b: pa.Table) -> pa.Table:
+        off = b["tok_offset"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe_tokens": b["n_bpe_tokens"],
+                         "pack_id": pa.array(off // 512, pa.int64())})
+
+    return pref.map_batches(pack, batch_format="pyarrow")
+
+
+def d_model_score(sf_dir: str):
+    """LEARNED quality scorer (stages/model): a 5-weight linear model
+    DISTILLING the heuristic quality gate, fitted by 16 full-batch
+    gradient-descent iterations in fixed-point INTEGER arithmetic —
+    the whole fit is partitioning-invariant and exactly replayed by
+    the SQL oracle (unrolled recurrence, the PageRank technique), so
+    training AND inference are hash-checked end to end.  Fit = 16
+    bounded O(d)-per-block folds over a once-materialized feature
+    Dataset (no shuffle) + one class-midpoint threshold pass;
+    inference = an actor-pool map_batches whose weights load once per
+    actor (the T1/T2 load-once contract)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    feats = ds.map_batches(model.quality_features,
+                           batch_format="pyarrow").materialize()
+    w = model.fit_linear_gd(feats, iters=16)
+    thr = model.class_midpoint_threshold(feats, w)
+    return feats.map_batches(
+        model.LinearScorer, fn_constructor_args=(w,),
+        fn_constructor_kwargs={"threshold_fp": thr},
+        batch_format="pyarrow", concurrency=2)
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -3664,8 +3747,11 @@ REGISTRY = {
     "e_asof_lookup": e_asof_lookup,
     # ---- gate-window edge (position 50) ----------------------------
     # Round-4 additions: never driver-checked, lead the tail so a
-    # round-5 window picks them up first.  (Populated as round 4
-    # progresses; see BASELINE.md "Driver gate window".)
+    # round-5 window picks them up first.  (See BASELINE.md "Driver
+    # gate window".)
+    "d_model_score": d_model_score,
+    "d_bpe_tokens": d_bpe_tokens,
+    "d_pack_bpe": d_pack_bpe,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

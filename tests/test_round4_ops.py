@@ -1,0 +1,214 @@
+"""Round-4 operator tests: deterministic BPE tokenizer and the
+fixed-point learned linear scorer.
+
+The distributed plumbing of each operator is pinned end-to-end by its
+DuckDB oracle (d_bpe_tokens / d_pack_bpe / d_model_score in
+scripts/check_contract.py — the oracle replays TRAINING as well as
+inference); these tests pin the SEMANTICS against independent
+pure-Python references plus the laws the oracle corpus may not
+exercise (overlap handling, division semantics, partitioning
+invariance, discriminative power)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from alco_ray.stages import bpe, model
+
+# --------------------------------------------------------------- BPE
+
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+def test_merge_pass_leftmost_nonoverlap():
+    assert bpe._merge_pass(list("aaa"), "a", "a") == ["aa", "a"]
+    assert bpe._merge_pass(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert bpe._merge_pass(list("abab"), "a", "b") == ["ab", "ab"]
+    assert bpe._merge_pass(["x"], "a", "b") == ["x"]
+
+
+def test_fit_bpe_hand_checked():
+    # 'abab' x3, 'abc' x2: pair counts (a,b)=8, (b,a)=3, (b,c)=2
+    wc = pa.table({"word": ["abab", "abc"], "n": [3, 2]})
+    merges = bpe.fit_bpe(wc, n_merges=3, min_pair_count=2)
+    # merge1 (a,b); then 'abab'->[ab,ab] (count 3), 'abc'->[ab,c]:
+    # pairs (ab,ab)=3, (ab,c)=2 -> merge2 (ab,ab); then (abab? ...)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "ab")
+
+
+def test_fit_bpe_tie_break_lexicographic():
+    # (a,b) and (c,d) both count 2 -> lexicographically smaller wins
+    wc = pa.table({"word": ["ab", "cd"], "n": [2, 2]})
+    merges = bpe.fit_bpe(wc, n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def _priority_apply(word, merges):
+    """Independent reference: classic lowest-rank-first apply."""
+    rank = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = [(rank.get(p, len(merges)), i)
+                 for i, p in enumerate(zip(syms, syms[1:]))]
+        best_rank = min(p[0] for p in pairs)
+        if best_rank == len(merges):
+            break
+        l, r = merges[best_rank]
+        syms = bpe._merge_pass(syms, l, r)
+    return syms
+
+
+def test_sequential_apply_equals_priority_apply():
+    rng = np.random.RandomState(7)
+    alphabet = list("abc")
+    words = ["".join(rng.choice(alphabet, size=rng.randint(1, 12)))
+             for _ in range(300)]
+    wc = pa.table({"word": sorted(set(words)),
+                   "n": [1] * len(set(words))})
+    merges = bpe.fit_bpe(wc, n_merges=25, min_pair_count=2)
+    assert merges  # the corpus is dense enough to learn something
+    for w in set(words):
+        assert bpe._segment(w, merges) == _priority_apply(w, merges), w
+
+
+def test_segment_roundtrip_and_positions():
+    texts = ["the cat sat", "the the the", ""]
+    ds = _docs_ds(texts)
+    wc = bpe.word_count_table(ds)
+    merges = bpe.fit_bpe(wc, n_merges=10, min_pair_count=2)
+    tok = bpe.BpeTokenizer(merges)
+    out = pa.concat_tables(
+        ray.get(ds.map_batches(tok, batch_format="pyarrow")
+                .to_arrow_refs()))
+    df = out.to_pandas().sort_values(["doc_id", "tok_idx"])
+    # concatenating a doc's subword tokens reproduces its words
+    for doc_id, texts_i in enumerate(texts):
+        got = "".join(df[df.doc_id == doc_id].bpe_token)
+        assert got == texts_i.replace(" ", "")
+    # positions are 0..n-1 per doc
+    for doc_id, g in df.groupby("doc_id"):
+        assert list(g.tok_idx) == list(range(len(g)))
+    # count mode agrees with explode mode
+    cnt = pa.concat_tables(ray.get(
+        ds.map_batches(bpe.BpeTokenizer(merges, mode="count"),
+                       batch_format="pyarrow").to_arrow_refs()))
+    cdf = cnt.to_pandas().set_index("doc_id").n_bpe_tokens
+    sizes = df.groupby("doc_id").size()
+    for doc_id in range(len(texts)):
+        assert cdf.loc[doc_id] == sizes.get(doc_id, 0)
+
+
+def test_word_count_guard_raises():
+    ds = _docs_ds(["one two three four five six"])
+    with pytest.raises(ValueError, match="max_words"):
+        bpe.word_count_table(ds, max_words=3)
+
+
+# ------------------------------------------------------------- model
+
+
+def test_tdiv_matches_duckdb_truncation():
+    import duckdb
+
+    cases = [(7, 2), (-7, 2), (7, -2), (-7, -2), (0, 5), (-1, 3),
+             (10 ** 18, 7), (-10 ** 18, 7)]
+    got = [model._tdiv(a, b) for a, b in cases]
+    want = [duckdb.sql(
+        f"SELECT CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)"
+    ).fetchone()[0] for a, b in cases]
+    assert got == [int(w) for w in want]
+
+
+def _ref_fit(F, y, iters=16):
+    """Independent single-process reference of the integer GD."""
+    d = F.shape[1]
+    lr_den = d * model.FEAT_SCALE ** 2
+    n = len(y)
+    w = [0] * d
+    for _ in range(iters):
+        g = [0] * d
+        for i in range(n):
+            resid = sum(int(F[i, j]) * w[j] for j in range(d)) \
+                - int(y[i]) * model.W_SCALE
+            for j in range(d):
+                g[j] += int(F[i, j]) * resid
+        w = [w[j] - model._tdiv(g[j], n * lr_den) for j in range(d)]
+    return w
+
+
+def _synth_features(n=200, seed=3):
+    rng = np.random.RandomState(seed)
+    F = np.column_stack([
+        np.full(n, model.FEAT_SCALE, dtype=np.int64),
+        rng.randint(0, 1001, size=(n, 4)).astype(np.int64)])
+    # a linearly-separable target along one feature (the shape the
+    # ratio feature gives the real corpus)
+    y = np.where(F[:, 3] >= 500, model.FEAT_SCALE, 0).astype(np.int64)
+    return F, y
+
+
+def _feat_table(F, y):
+    cols = {f"f{j}": pa.array(F[:, j], pa.int64()) for j in range(5)}
+    cols["doc_id"] = pa.array(range(len(y)), pa.int64())
+    cols["y"] = pa.array(y, pa.int64())
+    return pa.table(cols)
+
+
+def _ref_threshold(F, y, w):
+    s = F @ np.array(w, dtype=np.int64)
+    pos, neg = s[y == model.FEAT_SCALE], s[y == 0]
+    if len(pos) == 0 or len(neg) == 0:
+        return model.FEAT_SCALE * model.W_SCALE // 2
+    return model._tdiv(
+        model._tdiv(int(pos.sum()), len(pos))
+        + model._tdiv(int(neg.sum()), len(neg)), 2)
+
+
+def test_fit_matches_reference_and_partitioning_invariant():
+    F, y = _synth_features()
+    t = _feat_table(F, y)
+    want = _ref_fit(F, y)
+    want_thr = _ref_threshold(F, y, want)
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = model.fit_linear_gd(ds)
+        assert got == want, parts
+        assert model.class_midpoint_threshold(ds, got) == want_thr, parts
+
+
+def test_scorer_distills_the_gate():
+    """On the synthetic target the learned linear scorer + learned
+    class-midpoint threshold must agree with the label on a large
+    majority (it IS linearly structured)."""
+    F, y = _synth_features(n=400)
+    ds = ray.data.from_arrow(_feat_table(F, y))
+    w = model.fit_linear_gd(ds)
+    thr = model.class_midpoint_threshold(ds, w)
+    out = pa.concat_tables(ray.get(
+        ds.map_batches(model.LinearScorer(w, threshold_fp=thr),
+                       batch_format="pyarrow")
+        .to_arrow_refs())).to_pandas().sort_values("doc_id")
+    pred = out.pred_keep.to_numpy()
+    acc = (pred == (y == model.FEAT_SCALE)).mean()
+    assert acc >= 0.85, acc
+    assert 0.0 < pred.mean() < 1.0  # actually discriminates
+
+
+def test_quality_features_ranges():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["the cat in the hat is it", ""],
+                                   pa.string())})
+    f = model.quality_features(t)
+    for c in model.FEAT_COLS:
+        v = f[c].to_numpy(zero_copy_only=False)
+        assert (v >= 0).all() and (v <= model.FEAT_SCALE).all(), c
+    assert f["y"].to_pylist() == [0, 0]  # < 20 tokens
