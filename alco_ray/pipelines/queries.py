@@ -3653,6 +3653,48 @@ def d_pack_bpe(sf_dir: str):
     return pref.map_batches(pack, batch_format="pyarrow")
 
 
+def d_chunk_bpe(sf_dir: str):
+    """Context windows over SUBWORD tokens (the BPE twin of d_chunk):
+    each document sliced into 64-subword chunks by the actor-pool
+    tokenizer — one pass, chunk assembly vectorized by change-point
+    detection over the exploded token stream, no shuffle."""
+    from ..stages import bpe as bpe_stage
+
+    merges = _bpe_merges(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        bpe_stage.BpeTokenizer, fn_constructor_args=(merges,),
+        fn_constructor_kwargs={"mode": "chunk", "chunk_size": 64},
+        batch_format="pyarrow", concurrency=2)
+
+
+def t_grep_after(sf_dir: str):
+    """KEYSET-cursor pagination on the persisted inverted index (the
+    offset-free 'after (ts, conv, turn)' probe — SURVEY §2 O2's
+    deferred cursor read): page 1 is the ordinary top-k probe; its
+    last row becomes the cursor, and page 2 re-probes the SAME single
+    posting bucket with a strict after-cursor predicate — page N+1
+    costs exactly what page 1 costs, no OFFSET scan.  Oracle: the
+    identical ordering with LIMIT/OFFSET (total order, so keyset ==
+    offset semantics)."""
+    from ..stages.textindex import grep_probe
+
+    idx = _ensure_text_index(sf_dir)
+    bounds = dict(level="ERROR",
+                  ts_min=np.datetime64("2024-01-05T00:00:00", "us"),
+                  ts_max=np.datetime64("2024-01-25T00:00:00", "us"))
+    page1 = grep_probe(idx, "shuffle", k=20, **bounds).to_pandas()
+    if len(page1) < 20:
+        # fewer than one full page: page 2 is empty; an impossible
+        # cursor (before the epoch) yields the typed empty result
+        cursor = (np.datetime64(0, "us"), "", -1)
+    else:
+        last = page1.iloc[-1]
+        cursor = (np.datetime64(last["parsed_ts"], "us"),
+                  str(last["conv_id"]), int(last["turn_idx"]))
+    return grep_probe(idx, "shuffle", k=20, cursor=cursor, **bounds)
+
+
 def d_model_score(sf_dir: str):
     """LEARNED quality scorer (stages/model): a 5-weight linear model
     DISTILLING the heuristic quality gate, fitted by 16 full-batch
@@ -3752,6 +3794,8 @@ REGISTRY = {
     "d_model_score": d_model_score,
     "d_bpe_tokens": d_bpe_tokens,
     "d_pack_bpe": d_pack_bpe,
+    "d_chunk_bpe": d_chunk_bpe,
+    "t_grep_after": t_grep_after,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

@@ -141,15 +141,19 @@ class BpeTokenizer:
     """Actor-pool apply stage.  ``mode='explode'`` emits one row per
     BPE token: (id, tok_idx, bpe_token) with tok_idx the 0-based
     position in the document's token stream; ``mode='count'`` emits
-    one row per document: (id, n_bpe_tokens)."""
+    one row per document: (id, n_bpe_tokens); ``mode='chunk'`` emits
+    one row per ``chunk_size``-subword context window:
+    (id, chunk_idx, n_tokens, chunk_text) with tokens joined by ' '
+    (the subword twin of stages/text.chunk_documents)."""
 
     def __init__(self, merges: list[tuple[str, str]], *,
-                 mode: str = "explode", text_col: str = "text",
-                 id_col: str = "doc_id"):
-        if mode not in ("explode", "count"):
+                 mode: str = "explode", chunk_size: int = 64,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        if mode not in ("explode", "count", "chunk"):
             raise ValueError(f"unknown mode {mode!r}")
         self.merges = [tuple(m) for m in merges]
         self.mode = mode
+        self.chunk_size = int(chunk_size)
         self.text_col = text_col
         self.id_col = id_col
         self.cache: dict[str, list[str]] = {}
@@ -189,6 +193,29 @@ class BpeTokenizer:
             np.add.at(doc_tot, parents, m)
             first[1:] = np.cumsum(doc_tot)[:-1]
             pos -= first[out_parent]
+
+        if self.mode == "chunk":
+            cidx = pos // self.chunk_size
+            if total:
+                change = np.empty(total, dtype=bool)
+                change[0] = True
+                change[1:] = ((out_parent[1:] != out_parent[:-1])
+                              | (cidx[1:] != cidx[:-1]))
+                starts = np.flatnonzero(change)
+                ends = np.append(starts[1:], total)
+            else:
+                starts = ends = np.array([], dtype=np.int64)
+            texts = [" ".join(out_tokens[s:e])
+                     for s, e in zip(starts, ends)]
+            return pa.table({
+                self.id_col: pc.take(ids, pa.array(out_parent[starts])),
+                "chunk_idx": pa.array(cidx[starts] if total else
+                                      np.array([], dtype=np.int64),
+                                      pa.int64()),
+                "n_tokens": pa.array(ends - starts, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            })
+
         return pa.table({
             self.id_col: pc.take(ids, pa.array(out_parent)),
             "tok_idx": pa.array(pos, pa.int64()),

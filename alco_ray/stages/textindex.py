@@ -142,12 +142,20 @@ def build_text_index(parsed_ds, index_dir: str | Path, *,
 
 def grep_probe(index_dir: str | Path, term: str, *, level: str | None = None,
                ts_min=None, ts_max=None, k: int = 20,
+               cursor: tuple | None = None,
                stats_out: dict | None = None):
     """MATCH-style probe: rows whose tokenized text contains ``term``,
     optional level / [ts_min, ts_max) filters, newest-first top-k with
     (conv_id, turn_idx) tie-break.  Reads ONE posting bucket directory
     and only the matched rows' docstore day-partitions; ``stats_out``
-    (if given) records the file lists actually read, for audit."""
+    (if given) records the file lists actually read, for audit.
+
+    ``cursor`` = (parsed_ts, conv_id, turn_idx) of the LAST row of the
+    previous page enables KEYSET pagination (the offset-free cursor
+    read SURVEY §2 O2 deferred): only rows strictly after the cursor
+    in (ts DESC, conv ASC, turn ASC) order are candidates, so page N+1
+    costs the same one-bucket probe as page 1 — no OFFSET scan, no
+    server-side state."""
     import ray.data
 
     from .order import top_k
@@ -180,6 +188,17 @@ def grep_probe(index_dir: str | Path, term: str, *, level: str | None = None,
         if ts_max is not None:
             keep = pc.and_(keep, pc.less(b["parsed_ts"],
                                          pa.scalar(ts_max)))
+        if cursor is not None:
+            c_ts, c_conv, c_turn = cursor
+            ts, cv, tn = b["parsed_ts"], b["conv_id"], b["turn_idx"]
+            after = pc.or_(
+                pc.less(ts, pa.scalar(c_ts)),
+                pc.and_(pc.equal(ts, pa.scalar(c_ts)), pc.or_(
+                    pc.greater(cv, pa.scalar(c_conv)),
+                    pc.and_(pc.equal(cv, pa.scalar(c_conv)),
+                            pc.greater(tn, pa.scalar(
+                                c_turn, type=b["turn_idx"].type))))))
+            keep = pc.and_(keep, after)
         return b.filter(keep).select(["conv_id", "turn_idx", "parsed_ts"])
 
     hits = ray.data.read_parquet(pfiles) \

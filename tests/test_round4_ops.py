@@ -212,3 +212,53 @@ def test_quality_features_ranges():
         v = f[c].to_numpy(zero_copy_only=False)
         assert (v >= 0).all() and (v <= model.FEAT_SCALE).all(), c
     assert f["y"].to_pylist() == [0, 0]  # < 20 tokens
+
+
+def test_chunk_mode_consistency():
+    texts = ["the cat sat on the mat " * 30, "tiny", ""]
+    ds = _docs_ds(texts)
+    wc = bpe.word_count_table(ds)
+    merges = bpe.fit_bpe(wc, n_merges=12)
+    exp = pa.concat_tables(ray.get(
+        ds.map_batches(bpe.BpeTokenizer(merges), batch_format="pyarrow")
+        .to_arrow_refs())).to_pandas()
+    ch = pa.concat_tables(ray.get(
+        ds.map_batches(bpe.BpeTokenizer(merges, mode="chunk",
+                                        chunk_size=16),
+                       batch_format="pyarrow")
+        .to_arrow_refs())).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    for doc_id in range(len(texts)):
+        toks = list(exp[exp.doc_id == doc_id]
+                    .sort_values("tok_idx").bpe_token)
+        g = ch[ch.doc_id == doc_id]
+        if toks:
+            # chunk concat reproduces the token stream
+            assert " ".join(g.chunk_text).split(" ") == toks
+            # all chunks full except possibly the last
+            sizes = list(g.n_tokens)
+            assert all(s == 16 for s in sizes[:-1])
+            assert 1 <= sizes[-1] <= 16
+            assert list(g.chunk_idx) == list(range(len(sizes)))
+        else:
+            assert len(g) == 0
+
+
+def test_grep_cursor_pagination_matches_offset():
+    """Keyset page-2 == rows 21..40 of the global ordering, and the
+    two pages are disjoint."""
+    from alco_ray.pipelines.queries import _ensure_text_index
+    from alco_ray.stages.textindex import grep_probe
+
+    sf = "/root/testdata/sf0.001"
+    idx = _ensure_text_index(sf)
+    top40 = grep_probe(idx, "shuffle", k=40).to_pandas()
+    page1 = grep_probe(idx, "shuffle", k=20).to_pandas()
+    last = page1.iloc[-1]
+    cursor = (np.datetime64(last["parsed_ts"], "us"),
+              str(last["conv_id"]), int(last["turn_idx"]))
+    page2 = grep_probe(idx, "shuffle", k=20, cursor=cursor).to_pandas()
+    key = ["parsed_ts", "conv_id", "turn_idx"]
+    assert page2[key].reset_index(drop=True).equals(
+        top40.iloc[20:40][key].reset_index(drop=True))
+    merged = page1[key].merge(page2[key], on=key)
+    assert len(merged) == 0
