@@ -32,8 +32,8 @@ from .. import fixtures
 from ..sources import read_transcripts
 from ..specs import default_transcript_config
 from ..stages import aggregate as agg_stage
-from ..stages import (dedup, graph, model, multimodal, order, similarity,
-                      text, window)
+from ..stages import (dedup, graph, join, model, multimodal, order,
+                      similarity, text, window)
 from ..stages.dict_encode import DictEncoder, build_dict_table
 from ..stages.parse import make_parse_batch
 from ..stages.route import make_route_batch
@@ -2997,19 +2997,21 @@ def d_chunk(sf_dir: str):
 
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.pagerank) over the
-    customer<->supplier co-purchase graph: orders x lineitem meet in a
-    hash-shuffle join, (cust, supp) pairs dedupe partition-locally,
-    then 5 FIXED-POINT INTEGER power iterations (scale 10^12, damping
-    85%) where every division is a floor-div — the oracle unrolls the
-    identical recurrence, so ranks hash-match exactly (float PageRank
-    would differ in ulps by summation order).  Node encoding
-    2*custkey / 2*suppkey+1 keeps one int64 id space; the symmetric
-    (undirected) graph has no dangling nodes by construction."""
+    customer<->supplier co-purchase graph: orders x lineitem meet in
+    the adaptive join (broadcast gather while orders is
+    dimension-sized, hash-shuffle beyond auto_join's row threshold),
+    (cust, supp) pairs dedupe partition-locally, then 5 FIXED-POINT
+    INTEGER power iterations (scale 10^12, damping 85%) where every
+    division is a floor-div — the oracle unrolls the identical
+    recurrence, so ranks hash-match exactly (float PageRank would
+    differ in ulps by summation order).  Node encoding 2*custkey /
+    2*suppkey+1 keeps one int64 id space; the symmetric (undirected)
+    graph has no dangling nodes by construction."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    n_join = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    joined = li.join(orders, "inner", num_partitions=n_join,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = join.auto_join(li, orders, on="l_orderkey",
+                            right_on="o_orderkey",
+                            right_rows=_nrows(_tp(sf_dir, "orders")))
 
     def thin(b: pa.Table) -> pa.Table:
         cust = b["o_custkey"].to_numpy(zero_copy_only=False) \

@@ -265,54 +265,110 @@ def _pr_empty():
         "rank_fp": pa.array([], pa.int64())}))
 
 
-def _pr_deg_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    """Attach outdeg(src) to every directed edge, partition-locally
-    exact because the edge table is keyed by src."""
-    k = g["k"].to_numpy()
-    v = g["v"].to_numpy()
-    order = np.argsort(k, kind="stable")
-    k, v = k[order], v[order]
-    starts = _segment_starts(k)
-    counts = np.diff(np.append(starts, len(k)))
-    return pd.DataFrame({
-        "k": k, "v": v,
-        "deg": np.repeat(counts, counts).astype(np.int64),
-        "tag": np.full(len(k), 1, np.int8),
-        "part": g["part"].to_numpy()[order],
-    })
+_PR_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _pr_node_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({"node": np.unique(g["k"].to_numpy())})
+def _pr_hash(k: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic multiplicative partition hash: uint64 multiply is
+    wrap-defined at any id magnitude (the sample.py lesson), the >>17
+    mixes high bits into the modulus."""
+    h = (k.astype(np.uint64) * _PR_GOLDEN) >> np.uint64(17)
+    return (h % np.uint64(n_parts)).astype(np.int64)
 
 
-def _pr_contrib_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    """store rows (tag 0: k=node, v=rank) + edge rows (tag 1: k=src,
-    v=dst, deg=outdeg(src)) -> per-destination PRE-FOLDED integer
-    contribution sums (the combiner: shuffle volume to the fold stage
-    is <= |V| rows per source partition, not |E|).  Store rows also
-    emit (node, 0) so in-degree-0 nodes keep a rank row."""
-    tag = g["tag"].to_numpy()
-    store = tag == 0
-    sk = g["k"].to_numpy()[store]
-    sv = g["v"].to_numpy()[store]
-    order = np.argsort(sk)
-    sk, sv = sk[order], sv[order]
-    rk = g["k"].to_numpy()[~store]
-    rv = g["v"].to_numpy()[~store]
-    rdeg = g["deg"].to_numpy()[~store]
-    contrib = (sv[np.searchsorted(sk, rk)] // rdeg) if len(rk) else \
+def _pr_split_arrays(h: np.ndarray, arrays: list, n_parts: int) -> list:
+    """Split ``arrays`` (parallel) into ``n_parts`` tuples by the
+    partition vector ``h`` — one stable sort, then slice views."""
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    bounds = np.searchsorted(hs, np.arange(n_parts + 1))
+    sa = [a[order] for a in arrays]
+    return [tuple(a[bounds[p]:bounds[p + 1]] for a in sa)
+            for p in range(n_parts)]
+
+
+def _pr_split_block(t: pa.Table, src_col: str, dst_col: str,
+                    symmetric: bool, n_parts: int):
+    """Per input block: directed edges split by hash(src), plus the
+    block's DEDUPED node candidates split by hash(node).  Returns a
+    flat list of 2*n_parts values (edges first) for num_returns.
+    Empty blocks can surface with a degenerate schema in ray 2.49
+    (same quirk aggregate.concat_nonempty guards), hence the guard."""
+    if t.num_rows == 0 or src_col not in t.schema.names:
+        z = np.zeros(0, np.int64)
+        return [(z, z)] * n_parts + [z] * n_parts
+    a = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if symmetric:
+        a, b = np.concatenate([a, b]), np.concatenate([b, a])
+    edge_parts = _pr_split_arrays(_pr_hash(a, n_parts), [a, b], n_parts)
+    # symmetric: every node appears as a source; directed: dangling
+    # destinations need rank rows too, so take both endpoints
+    cand = np.unique(a if symmetric else np.concatenate([a, b]))
+    node_parts = _pr_split_arrays(_pr_hash(cand, n_parts), [cand], n_parts)
+    return list(edge_parts) + [c[0] for c in node_parts]
+
+
+def _pr_build_part(*chunks):
+    """Assemble one partition: edges sorted by src with outdeg attached
+    (partition-locally exact — hash(src) co-locates all of a source's
+    out-edges), plus the partition's sorted node vector.  Returns
+    (partition, node_count) for num_returns=2."""
+    half = len(chunks) // 2
+    sk = np.concatenate([c[0] for c in chunks[:half]]) if half else \
         np.zeros(0, np.int64)
-    k = np.concatenate([rv, sk])
-    c = np.concatenate([contrib, np.zeros(len(sk), np.int64)])
-    if len(k) == 0:
-        return pd.DataFrame({"k": k.astype(np.int64),
-                             "c": c.astype(np.int64)})
-    o2 = np.argsort(k, kind="stable")
-    k, c = k[o2], c[o2]
-    starts = _segment_starts(k)
-    return pd.DataFrame({"k": k[starts],
-                         "c": np.add.reduceat(c, starts)})
+    sv = np.concatenate([c[1] for c in chunks[:half]]) if half else \
+        np.zeros(0, np.int64)
+    order = np.argsort(sk, kind="stable")
+    sk, sv = sk[order], sv[order]
+    starts = _segment_starts(sk)
+    counts = np.diff(np.append(starts, len(sk)))
+    deg = np.repeat(counts, counts).astype(np.int64)
+    nodes = np.unique(np.concatenate(list(chunks[half:]))) if half else \
+        np.zeros(0, np.int64)
+    return (sk, sv, deg, nodes), len(nodes)
+
+
+def _pr_init_ranks(part, r0: int) -> np.ndarray:
+    return np.full(len(part[3]), int(r0), np.int64)
+
+
+def _pr_contrib(part, ranks: np.ndarray, n_parts: int):
+    """One BSP superstep, send half: rank[src] // outdeg(src) per edge,
+    PRE-FOLDED per destination (the combiner — at most |V_p| rows leave
+    per partition, not |E_p|), then split by hash(dst).  Returns
+    n_parts (dst, sum) pairs (the bare pair when n_parts == 1)."""
+    sk, sv, deg, nodes = part
+    if len(sk):
+        contrib = ranks[np.searchsorted(nodes, sk)] // deg
+        order = np.argsort(sv, kind="stable")
+        dst, c = sv[order], contrib[order]
+        starts = _segment_starts(dst)
+        dk = dst[starts]
+        dc = np.add.reduceat(c, starts)
+    else:
+        dk = dc = np.zeros(0, np.int64)
+    parts = _pr_split_arrays(_pr_hash(dk, n_parts), [dk, dc], n_parts)
+    return parts[0] if n_parts == 1 else parts
+
+
+def _pr_fold(part, base: int, damping_pct: int, *partials) -> np.ndarray:
+    """One BSP superstep, receive half: sum the per-destination partial
+    contributions (int64 addition — exact in any arrival order) onto
+    this partition's node vector, apply the damped recurrence.  Nodes
+    with no in-edges get exactly ``base`` (the recurrence verbatim)."""
+    nodes = part[3]
+    s = np.zeros(len(nodes), np.int64)
+    for dk, dc in partials:
+        if len(dk):
+            # dk is unique within one partial, so fancy-index add is exact
+            s[np.searchsorted(nodes, dk)] += dc
+    return int(base) + (int(damping_pct) * s) // 100
+
+
+def _pr_emit(part, ranks: np.ndarray) -> pa.Table:
+    return pa.table({"node": pa.array(part[3], pa.int64()),
+                     "rank_fp": pa.array(ranks, pa.int64())})
 
 
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
@@ -335,102 +391,72 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     construction); with ``symmetric=False`` dangling-node mass is
     simply lost each round (the recurrence above, verbatim).
 
-    Scale shape: the edge table is hash-partitioned by src ONCE
-    (outdeg attached partition-locally) and reused every iteration;
-    each iteration is two bounded all-to-alls (rank lookup keyed by
-    src with a per-partition combiner, then a fold keyed by dst) —
-    the connected-components loop's machinery with (sum, //) in place
-    of (min).  Nothing edge- or node-sized ever reaches the driver.
+    Scale shape — raw-task BSP, the one place in this package where
+    the Dataset API genuinely can't express the semantics cheaply: an
+    iterative fixed point re-visits the SAME edge partitioning every
+    round, and a Dataset ``groupby`` re-pays a full all-to-all
+    materialization (fixed latency + block shuffle) per round — at
+    sf0.1 the old Dataset loop spent 8.5 of 12.7 s on exactly that.
+    Here the directed edge table is split ONCE by hash(src) into
+    ``num_partitions`` object-store partitions (outdeg attached
+    partition-locally; plasma keeps each partition node-local after
+    the first fetch), and each iteration moves only rank-vector-sized
+    data: a contrib wave (rank lookup is a partition-local sorted
+    searchsorted; per-destination sums PRE-FOLDED before the split by
+    hash(dst) — at most |V_p| rows leave a partition, never |E_p|)
+    and a fold wave.  The driver holds only ObjectRefs; exchange
+    volume is O(|V|) per iteration with P^2 small objects (P capped
+    at 512 by default — beyond that partitions grow instead, keeping
+    the object count bounded on a real cluster).
     Overflow-safe for scale <= 10**16: ranks sum to <= scale, so any
     partial contribution sum stays < 100 * scale << 2**63.
     """
+    import ray
+
     if iters < 0 or not (0 <= damping_pct <= 100):
         raise ValueError("pagerank: need iters >= 0, 0 <= damping_pct <= 100")
-
-    def both(t: pa.Table) -> pa.Table:
-        a = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if symmetric:
-            a, b = np.concatenate([a, b]), np.concatenate([b, a])
-        return pa.table({"k": pa.array(a), "v": pa.array(b)})
-
     n_edges = edges.count()
     if n_edges == 0:
         return _pr_empty()
     n_dir = n_edges * (2 if symmetric else 1)
-    directed = edges.map_batches(both, batch_format="pyarrow")
     if num_partitions:
-        n_parts = num_partitions
+        n_parts = int(num_partitions)
     else:
-        # same sizing rationale as connected_components (graph.py:163)
-        import ray as _ray
+        # data-proportional, NO cpu floor: a raw-task wave over tiny
+        # partitions is pure launch overhead, and big graphs hit the
+        # 250k-rows-per-partition band on their own
+        n_parts = max(1, min(512, -(-n_dir // 250_000)))
 
-        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-            if _ray.is_initialized() else 8
-        want = max(cpus, min(1 << 16, -(-n_dir // 250_000)))
-        n_parts = 1 << (int(want) - 1).bit_length()
+    split_task = ray.remote(_pr_split_block).options(
+        num_returns=2 * n_parts)
+    build_task = ray.remote(_pr_build_part).options(num_returns=2)
+    init_task = ray.remote(_pr_init_ranks)
+    contrib_task = ray.remote(_pr_contrib)
+    fold_task = ray.remote(_pr_fold)
+    emit_task = ray.remote(_pr_emit)
 
-    # identity map back to ARROW blocks: the per-iteration union with
-    # the (arrow) store rows requires both sides in one block type
-    edge_t = (partition_by_key(directed, "k", n_parts)
-              .groupby("part").map_groups(_pr_deg_kernel,
-                                          batch_format="pandas")
-              .map_batches(lambda b: b, batch_format="pyarrow")
-              .materialize())
-    if symmetric:
-        # mirrored edges: every node appears as a source, so the node
-        # set is partition-local over the src-keyed edge table
-        nodes = (edge_t.groupby("part").map_groups(_pr_node_kernel,
-                                                   batch_format="pandas")
-                 .materialize())
-    else:
-        # directed: destination-only (dangling) nodes never appear as
-        # a source — derive the node set from BOTH endpoints so they
-        # still get rank rows (outdeg 0 means they just never emit)
-        def both_ends(b: pa.Table) -> pa.Table:
-            return pa.table({"k": pa.array(np.concatenate(
-                [b["k"].to_numpy(zero_copy_only=False),
-                 b["v"].to_numpy(zero_copy_only=False)]))})
-
-        ends = directed.map_batches(both_ends, batch_format="pyarrow")
-        nodes = (partition_by_key(ends, "k", n_parts)
-                 .groupby("part").map_groups(_pr_node_kernel,
-                                             batch_format="pandas")
-                 .materialize())
-    n = nodes.count()
+    splits = [split_task.remote(ref, src_col, dst_col, symmetric, n_parts)
+              for ref in edges.to_arrow_refs()]
+    parts, count_refs = [], []
+    for p in range(n_parts):
+        pref, cref = build_task.remote(
+            *([s[p] for s in splits] + [s[n_parts + p] for s in splits]))
+        parts.append(pref)
+        count_refs.append(cref)
+    n = int(sum(ray.get(count_refs)))
     r0 = scale // n
     base = ((100 - damping_pct) * r0) // 100
 
-    ranks = nodes.map_batches(
-        lambda b: pa.table({
-            "node": b["node"],
-            "rank_fp": pa.array(np.full(b.num_rows, r0, np.int64))}),
-        batch_format="pyarrow")
-
+    ranks = [init_task.remote(parts[p], r0) for p in range(n_parts)]
     for _ in range(iters):
-        store = partition_by_key(
-            ranks.map_batches(
-                lambda b: pa.table({
-                    "k": b["node"], "v": b["rank_fp"],
-                    "deg": pa.array(np.zeros(b.num_rows, np.int64)),
-                    "tag": pa.array(np.zeros(b.num_rows, np.int8))}),
-                batch_format="pyarrow"), "k", n_parts)
-        contribs = (store.union(edge_t)
-                    .groupby("part").map_groups(_pr_contrib_kernel,
-                                                batch_format="pandas"))
-
-        def fold(g: pd.DataFrame, _base=base, _d=damping_pct):
-            k = g["k"].to_numpy()
-            c = g["c"].to_numpy()
-            order = np.argsort(k, kind="stable")
-            k, c = k[order], c[order]
-            starts = _segment_starts(k)
-            s = np.add.reduceat(c, starts) if len(k) else \
-                np.zeros(0, np.int64)
-            return pd.DataFrame({"node": k[starts],
-                                 "rank_fp": _base + (_d * s) // 100})
-
-        ranks = (partition_by_key(contribs, "k", n_parts)
-                 .groupby("part").map_groups(fold, batch_format="pandas")
-                 .materialize())
-    return ranks
+        if n_parts == 1:
+            outs = [[contrib_task.remote(parts[0], ranks[0], 1)]]
+        else:
+            outs = [contrib_task.options(num_returns=n_parts)
+                    .remote(parts[p], ranks[p], n_parts)
+                    for p in range(n_parts)]
+        ranks = [fold_task.remote(parts[p], base, damping_pct,
+                                  *[outs[q][p] for q in range(n_parts)])
+                 for p in range(n_parts)]
+    return ray.data.from_arrow_refs(
+        [emit_task.remote(parts[p], ranks[p]) for p in range(n_parts)])
