@@ -262,6 +262,91 @@ def corpus_for_sf(sf_dir: str, root: str = "/tmp/alco_ray_fixtures") -> Path:
     return ensure_corpus(tag, root=root)
 
 
+def _adpcm_reference_stats(payload: bytes):
+    """INDEPENDENT naive IMA-ADPCM reference decoder (plain Python
+    loops, its own chunk walk) — deliberately a second implementation
+    of the spec next to stages/multimodal.AdpcmWavDecoder, so the
+    mm_adpcm_meta oracle checks the stage against a reimplementation,
+    not against itself.  Only the published spec CONSTANTS (step /
+    index tables) are shared; the state machine is rewritten here."""
+    import struct
+
+    from .stages.multimodal import _IMA_INDEX, _IMA_STEPS
+
+    chunks = {}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        chunks[cid] = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    tag, _, rate, _, balign, _, _, spb = struct.unpack(
+        "<HHIIHHHH", chunks[b"fmt "][:20])
+    assert tag == 0x11
+    (n_total,) = struct.unpack("<I", chunks[b"fact"][:4])
+    data = chunks[b"data"]
+    samples = []
+    for b0 in range(0, len(data), balign):
+        pred, index = struct.unpack("<hB", data[b0:b0 + 3])
+        samples.append(pred)
+        for byte in data[b0 + 4:b0 + balign]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                delta = step >> 3
+                if nib & 1:
+                    delta += step >> 2
+                if nib & 2:
+                    delta += step >> 1
+                if nib & 4:
+                    delta += step
+                pred = pred - delta if nib & 8 else pred + delta
+                pred = min(32767, max(-32768, pred))
+                index = min(88, max(0, index + int(_IMA_INDEX[nib & 7])))
+                samples.append(pred)
+    samples = samples[:n_total]
+    total = sum(samples)
+    return (rate, len(samples), len(samples) * 1_000_000 // rate,
+            max(abs(s) for s in samples), total // len(samples))
+
+
+def ensure_adpcm_fixture(n_docs: int = 400,
+                         root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """Deterministic IMA-ADPCM eval fixture: ``adpcm_docs.parquet``
+    (doc_id, media_type, payload — REAL WAV/0x11 bytes from
+    stages/multimodal.encode_adpcm_batch) plus ``adpcm_eval.parquet``
+    with the stats the INDEPENDENT reference decoder above extracts —
+    the ground-truth table IS the DuckDB oracle for the stage decoder
+    (the d_lang_id sidecar pattern).  sf-independent (fixed n_docs,
+    seeded signals), so one untagged directory serves every scale.
+    Idempotent + atomic like ensure_corpus."""
+    from .stages.multimodal import encode_adpcm_batch
+
+    out_dir = Path(root) / "adpcm"
+    eval_path = out_dir / "adpcm_eval.parquet"
+    docs_path = out_dir / "adpcm_docs.parquet"
+    if eval_path.exists() and docs_path.exists():
+        return out_dir
+    docs = encode_adpcm_batch(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64())}))
+    stats = [_adpcm_reference_stats(p)
+             for p in docs["payload"].to_pylist()]
+    cols = list(zip(*stats))
+    ev = pa.table({
+        "doc_id": docs["doc_id"],
+        "sample_rate": pa.array(cols[0], pa.int64()),
+        "n_samples": pa.array(cols[1], pa.int64()),
+        "duration_us": pa.array(cols[2], pa.int64()),
+        "peak": pa.array(cols[3], pa.int64()),
+        "mean_amp": pa.array(cols[4], pa.int64()),
+    })
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for path, table in ((docs_path, docs), (eval_path, ev)):
+        tmp = out_dir / f".{path.name}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return out_dir
+
+
 def ensure_langid_fixture(tag: str, n_per_lang: int = 20, seed: int = 97,
                           root: str = "/tmp/alco_ray_fixtures") -> Path:
     """Deterministic labeled multilingual eval table for language ID:

@@ -1683,6 +1683,34 @@ def mm_wav_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.WavDecoder)
 
 
+def mm_png_meta(sf_dir: str):
+    """REAL COMPRESSED image decode — PNG: stdlib zlib inflates the
+    IDAT stream (an actual DEFLATE entropy coder, not a raw-byte
+    container like PPM), chunk CRC32s are verified, and all five spec
+    scanline filters (the fixture rotates through them per row) are
+    reconstructed before the exact integer channel means are reduced
+    in an actor pool — closed-form oracle as in mm_ppm_meta
+    (stages/multimodal.PngDecoder)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_png_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.PngDecoder)
+
+
+def mm_adpcm_meta(sf_dir: str):
+    """REAL COMPRESSED audio decode — IMA/DVI ADPCM (WAV tag 0x11,
+    4 bits per sample): the stage runs the adaptive-step-size state
+    machine over every block and reduces exact integer stats; the
+    oracle reads the ground-truth sidecar an INDEPENDENT naive
+    reference decoder produced at fixture time (the d_lang_id
+    pattern), so two implementations of the spec must agree
+    (stages/multimodal.AdpcmWavDecoder)."""
+    out_dir = fixtures.ensure_adpcm_fixture()
+    ds = ray.data.read_parquet(str(out_dir / "adpcm_docs.parquet"),
+                               columns=["doc_id", "payload"])
+    return multimodal.decode_media(ds, multimodal.AdpcmWavDecoder)
+
+
 def mm_ppm_resize(sf_dir: str):
     """REAL 2x box downsample over decoded pixels (exact integer 2x2
     block means) — decode + resize + re-reduce in one actor stage
@@ -3798,6 +3826,8 @@ REGISTRY = {
     "d_pack_bpe": d_pack_bpe,
     "d_chunk_bpe": d_chunk_bpe,
     "t_grep_after": t_grep_after,
+    "mm_png_meta": mm_png_meta,
+    "mm_adpcm_meta": mm_adpcm_meta,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

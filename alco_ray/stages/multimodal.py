@@ -404,3 +404,433 @@ class WavDecoder:
             "peak": _masked(3),
             "mean_amp": _masked(4),
         })
+
+
+# ------------------------------------------------------------- real PNG
+# PNG is the first REAL COMPRESSED image format here: zlib (a stdlib
+# battery, not an image codec) inflates the IDAT stream, and the five
+# spec filter types (None/Sub/Up/Average/Paeth, RFC 2083 s6) are
+# reconstructed in numpy — so this path exercises an actual
+# entropy-coded container end to end: signature, chunk walk with CRC32
+# verification, IHDR validation, inflate, per-scanline defiltering.
+# (JPEG/MP3/MP4 remain declared stubs: their entropy coders need a
+# codec library this container doesn't ship.)
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_filter_row(ftype: int, raw: np.ndarray, prev: np.ndarray,
+                    bpp: int = 3) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one raw scanline (encoder side —
+    predictors use RAW bytes, all five vectorizable)."""
+    r = raw.astype(np.int64)
+    left = np.concatenate([np.zeros(bpp, np.int64), r[:-bpp]])
+    up = prev.astype(np.int64)
+    upleft = np.concatenate([np.zeros(bpp, np.int64), up[:-bpp]])
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - up
+    elif ftype == 3:
+        out = r - (left + up) // 2
+    else:  # Paeth
+        p = left + up - upleft
+        pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up),
+                         np.abs(p - upleft))
+        pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                        np.where(pb_ <= pc_, up, upleft))
+        out = r - pred
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL RGB8 PNG payloads derived
+    from the id — width = (id % 7 + 1) * 2, height = (id % 5 + 1) * 2,
+    constant channels R = id % 256, G = id*11 % 256, B = id*17 % 256
+    (closed forms for the oracle) — with per-scanline filter type
+    (id + row) % 5, so every fixture batch exercises ALL FIVE spec
+    filters through the decoder's reconstruction math, and the IDAT
+    stream is genuinely zlib-compressed."""
+    import zlib
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(i % 7 + 1) * 2
+        h = int(i % 5 + 1) * 2
+        px = np.empty((h, w, 3), np.uint8)
+        px[..., 0] = i % 256
+        px[..., 1] = (i * 11) % 256
+        px[..., 2] = (i * 17) % 256
+        prev = np.zeros(w * 3, np.uint8)
+        lines = []
+        for y in range(h):
+            raw = px[y].reshape(-1)
+            ft = int((i + y) % 5)
+            lines.append(bytes([ft])
+                         + _png_filter_row(ft, raw, prev).tobytes())
+            prev = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payloads.append(_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                        + _png_chunk(b"IDAT",
+                                     zlib.compress(b"".join(lines), 9))
+                        + _png_chunk(b"IEND", b""))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["image/png"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class PngDecoder:
+    """Actor-pool REAL compressed-image decode: verify the PNG
+    signature, walk chunks verifying each CRC32, validate IHDR
+    (8-bit RGB, no interlace), inflate the concatenated IDAT stream
+    with stdlib zlib, reconstruct all five spec filter types, and emit
+    exact integer per-channel means.  None/Sub/Up rows are fully
+    numpy-vectorized (Sub is a mod-256 cumsum per byte lane);
+    Average/Paeth run the spec's sequential recurrence (the data
+    dependency on the reconstructed left pixel is inherent — real
+    codecs pay it too).  Malformed payloads (bad magic, CRC mismatch,
+    unsupported color mode, short stream) emit ``decode_ok = false``
+    rows — the poison-file dead-letter pattern."""
+
+    #: IHDR the decoder supports: bit depth 8, color type 2 (RGB),
+    #: compression 0, filter method 0, interlace 0
+    _IHDR_TAIL = (8, 2, 0, 0, 0)
+
+    def _chunks(self, p: bytes):
+        import struct
+        import zlib
+
+        pos, out = len(_PNG_SIG), []
+        while pos + 12 <= len(p):
+            (size,) = struct.unpack(">I", p[pos:pos + 4])
+            ctype = p[pos + 4:pos + 8]
+            data = p[pos + 8:pos + 8 + size]
+            if len(data) != size or pos + 12 + size > len(p):
+                return None
+            (crc,) = struct.unpack(">I", p[pos + 8 + size:pos + 12 + size])
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                return None
+            out.append((ctype, data))
+            pos += 12 + size
+            if ctype == b"IEND":
+                return out if pos == len(p) else None
+        return None
+
+    def _defilter(self, stream: bytes, w: int, h: int):
+        bpp = 3
+        stride = w * bpp
+        if len(stream) != h * (1 + stride):
+            return None
+        rows = np.frombuffer(stream, np.uint8).reshape(h, 1 + stride)
+        out = np.empty((h, stride), np.uint8)
+        prev = np.zeros(stride, np.int64)
+        for y in range(h):
+            ft = int(rows[y, 0])
+            f = rows[y, 1:].astype(np.int64)
+            if ft == 0:
+                recon = f
+            elif ft == 1:
+                recon = f.copy()
+                for c in range(bpp):          # mod-256 cumsum per lane
+                    recon[c::bpp] = np.cumsum(f[c::bpp]) % 256
+            elif ft == 2:
+                recon = (f + prev) % 256
+            elif ft in (3, 4):
+                recon = np.zeros(stride, np.int64)
+                for x in range(stride):
+                    a = recon[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    if ft == 3:
+                        recon[x] = (f[x] + (a + b) // 2) % 256
+                    else:
+                        c = prev[x - bpp] if x >= bpp else 0
+                        pp = a + b - c
+                        pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                        pred = a if pa_ <= pb_ and pa_ <= pc_ else \
+                            b if pb_ <= pc_ else c
+                        recon[x] = (f[x] + pred) % 256
+            else:
+                return None
+            out[y] = recon
+            prev = recon
+        return out.reshape(h, w, bpp)
+
+    def _decode(self, p: bytes):
+        import struct
+        import zlib
+
+        if not p or not p.startswith(_PNG_SIG):
+            return None
+        chunks = self._chunks(p)
+        if not chunks or chunks[0][0] != b"IHDR" \
+                or len(chunks[0][1]) != 13:
+            return None
+        w, h, *tail = struct.unpack(">IIBBBBB", chunks[0][1])
+        if tuple(tail) != self._IHDR_TAIL or w * h == 0:
+            return None
+        idat = b"".join(d for t, d in chunks if t == b"IDAT")
+        try:
+            stream = zlib.decompress(idat)
+        except zlib.error:
+            return None
+        px = self._defilter(stream, w, h)
+        return None if px is None else (w, h, px)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        dims = np.zeros((n, 2), np.int64)
+        means = np.zeros((n, 3), np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            d = self._decode(p)
+            if d is None:
+                continue
+            w, h, px = d
+            ok[i] = True
+            dims[i] = (w, h)
+            means[i] = px.reshape(-1, 3).astype(np.int64).sum(axis=0) \
+                // (w * h)
+        okm = pa.array(ok)
+
+        def _masked(vals):
+            return pc.if_else(okm, pa.array(vals, pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "width": _masked(dims[:, 0]),
+            "height": _masked(dims[:, 1]),
+            "mean_r": _masked(means[:, 0]),
+            "mean_g": _masked(means[:, 1]),
+            "mean_b": _masked(means[:, 2]),
+        })
+
+
+# ------------------------------------------------------- real IMA ADPCM
+# IMA/DVI ADPCM (4 bits per sample) is the audio analog of the PNG
+# path: a REAL COMPRESSED format decodable from the published spec
+# tables alone (IMA Digital Audio Pack, 1992; WAV format tag 0x11) —
+# an adaptive-step-size delta quantizer, so unlike PCM the decoder is
+# a genuine stateful codec, not byte reinterpretation.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], np.int64)
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+#: WAV IMA-ADPCM mono block: 4-byte header (int16 predictor = first
+#: sample, uint8 step index, reserved), then 2 samples per byte
+_ADPCM_BLOCK_ALIGN = 256
+_ADPCM_SPB = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1   # samples per block
+
+
+def _ima_reconstruct(nib: int, pred: int, index: int):
+    """One spec step: dequantize nibble -> new (pred, index).  Shared
+    by the encoder (which must track the decoder's state to stay in
+    sync — that is WHY lossy ADPCM round-trips deterministically)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+    return pred, index
+
+
+def _ima_encode_block(samples: np.ndarray, index: int):
+    """Encode one mono block (len == _ADPCM_SPB): header carries the
+    first sample verbatim + entry step index; the rest quantize to
+    nibbles, predictor tracked through the reconstruction above.
+    Returns (block_bytes, exit_index) so the caller can seed the next
+    block's header with the evolved step index."""
+    import struct
+
+    pred = int(samples[0])
+    out = bytearray(struct.pack("<hBB", pred, index, 0))
+    nibs = []
+    for s in samples[1:]:
+        step = int(_IMA_STEPS[index])
+        diff = int(s) - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, index = _ima_reconstruct(nib, pred, index)
+        nibs.append(nib)
+    for lo, hi in zip(nibs[0::2], nibs[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out), index
+
+
+def adpcm_fixture_signal(doc_id: int):
+    """Deterministic per-id test signal: (rate, int16 samples) — a
+    seeded ramp+noise mix, length an exact multiple of the block size
+    so fixtures never need partial-block padding."""
+    rng = np.random.RandomState(1000 + int(doc_id) % (2 ** 31 - 1000))
+    n = (int(doc_id) % 6 + 1) * _ADPCM_SPB
+    ramp = (np.arange(n, dtype=np.int64) * 37) % 8192 - 4096
+    noise = rng.randint(-3000, 3001, n)
+    rate = 8000 + (int(doc_id) % 3) * 8000
+    return rate, np.clip(ramp + noise, -32768, 32767).astype(np.int16)
+
+
+def encode_adpcm_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: REAL WAV(tag 0x11)-contained IMA-ADPCM payloads
+    over the deterministic per-id signal.  The ground-truth sidecar
+    (fixtures.ensure_adpcm_fixture) decodes the same payloads with an
+    INDEPENDENT naive reference decoder, so the oracle checks the
+    stage decoder against a second implementation of the spec, not
+    against itself."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        rate, samples = adpcm_fixture_signal(int(i))
+        n = len(samples)
+        blocks, index = [], 0
+        for b0 in range(0, n, _ADPCM_SPB):
+            blk = samples[b0:b0 + _ADPCM_SPB]
+            # spec: each block's header re-seeds predictor+index, so
+            # blocks are independently decodable (seek support);
+            # carrying the exit index forward just improves quality
+            block_bytes, index = _ima_encode_block(blk, index)
+            blocks.append(block_bytes)
+        data = b"".join(blocks)
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                          rate * _ADPCM_BLOCK_ALIGN // _ADPCM_SPB,
+                          _ADPCM_BLOCK_ALIGN, 4, 2, _ADPCM_SPB)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"fact" + struct.pack("<II", 4, n)
+                + b"data" + struct.pack("<I", len(data)) + data)
+        payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["audio/adpcm"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class AdpcmWavDecoder:
+    """Actor-pool REAL compressed-audio decode: walk the RIFF chunks,
+    validate fmt tag 0x11 / mono / 4-bit, then run the IMA state
+    machine over every block (predictor re-seeded per block header,
+    nibbles low-first) and emit exact integer stats over the DECODED
+    samples.  The per-nibble recurrence is inherently sequential (the
+    adaptive step depends on every prior nibble) — that loop IS the
+    codec, as in any real ADPCM implementation.  Malformed payloads
+    (bad container, unsupported format, step index > 88, short data)
+    emit ``decode_ok = false`` rows."""
+
+    def _decode(self, p: bytes):
+        import struct
+
+        if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        pos, fmt, data, fact = 12, None, None, None
+        while pos + 8 <= len(p):
+            cid = p[pos:pos + 4]
+            size = struct.unpack("<I", p[pos + 4:pos + 8])[0]
+            chunk = p[pos + 8:pos + 8 + size]
+            if len(chunk) != size:
+                return None
+            if cid == b"fmt ":
+                fmt = chunk
+            elif cid == b"data":
+                data = chunk
+            elif cid == b"fact":
+                fact = chunk
+            pos += 8 + size + (size & 1)
+        if fmt is None or data is None or fact is None or len(fmt) < 20:
+            return None
+        tag, channels, rate, _, balign, bits, _, spb = struct.unpack(
+            "<HHIIHHHH", fmt[:20])
+        if tag != 0x11 or channels != 1 or bits != 4 or balign < 5 \
+                or spb != (balign - 4) * 2 + 1:
+            return None
+        (n_total,) = struct.unpack("<I", fact[:4])
+        if len(data) % balign or n_total > (len(data) // balign) * spb:
+            return None
+        out = np.empty(n_total, np.int64)
+        w = 0
+        for b0 in range(0, len(data), balign):
+            if w >= n_total:
+                break
+            pred, index = struct.unpack("<hB", data[b0:b0 + 3])
+            if index > 88:
+                return None
+            out[w] = pred
+            w += 1
+            nibbles = np.frombuffer(
+                data[b0 + 4:b0 + balign], np.uint8)
+            for byte in nibbles:
+                for nib in (int(byte) & 0xF, int(byte) >> 4):
+                    if w >= n_total:
+                        break
+                    pred, index = _ima_reconstruct(nib, pred, index)
+                    out[w] = pred
+                    w += 1
+        return rate, out[:w]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        stats = np.zeros((n, 5), np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            d = self._decode(p)
+            if d is None or len(d[1]) == 0:
+                continue
+            rate, s = d
+            ok[i] = True
+            stats[i] = (rate, len(s), len(s) * 1_000_000 // rate,
+                        int(np.abs(s).max()), int(s.sum()) // len(s))
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(stats[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "sample_rate": _masked(0),
+            "n_samples": _masked(1),
+            "duration_us": _masked(2),
+            "peak": _masked(3),
+            "mean_amp": _masked(4),
+        })

@@ -262,3 +262,146 @@ def test_grep_cursor_pagination_matches_offset():
         top40.iloc[20:40][key].reset_index(drop=True))
     merged = page1[key].merge(page2[key], on=key)
     assert len(merged) == 0
+
+
+# --------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_all_filters_random_pixels():
+    """Encoder filters with RAW-byte predictors, decoder reconstructs
+    with RECONSTRUCTED-byte predictors — agreement across all five
+    spec filter types on random pixels pins both against RFC 2083."""
+    import struct
+    import zlib
+
+    from alco_ray.stages import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    w, h = 5, 5
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    for ft in range(5):
+        prev = np.zeros(w * 3, np.uint8)
+        lines = []
+        for y in range(h):
+            raw = px[y].reshape(-1)
+            lines.append(bytes([ft])
+                         + mm._png_filter_row(ft, raw, prev).tobytes())
+            prev = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+                   + mm._png_chunk(b"IDAT",
+                                   zlib.compress(b"".join(lines)))
+                   + mm._png_chunk(b"IEND", b""))
+        got = mm.PngDecoder()._decode(payload)
+        assert got is not None, f"filter {ft} failed to decode"
+        assert got[:2] == (w, h)
+        np.testing.assert_array_equal(got[2], px), f"filter {ft}"
+
+
+def test_png_decoder_spec_conformance_and_poison():
+    from alco_ray.stages.multimodal import (PngDecoder, _PNG_SIG,
+                                            _png_chunk, encode_png_batch)
+
+    enc = encode_png_batch(pa.table({
+        "doc_id": pa.array(list(range(25)), pa.int64())}))
+    good = enc["payload"][3].as_py()
+    # split the IDAT stream across two chunks — spec-legal, must decode
+    import struct
+    (size,) = struct.unpack(
+        ">I", good[len(_PNG_SIG) + 25:len(_PNG_SIG) + 29])
+    ihdr_blob = good[:len(_PNG_SIG) + 25]
+    idat = good[len(_PNG_SIG) + 33:len(_PNG_SIG) + 33 + size]
+    iend = _png_chunk(b"IEND", b"")
+    two_idat = (ihdr_blob + _png_chunk(b"IDAT", idat[:5])
+                + _png_chunk(b"IDAT", idat[5:]) + iend)
+    dec = PngDecoder()
+    one, two = dec._decode(good), dec._decode(two_idat)
+    assert one is not None and two is not None
+    np.testing.assert_array_equal(one[2], two[2])
+
+    # corrupting any single byte of the payload must yield decode_ok
+    # False (CRC catches it), never a crash or wrong pixels
+    corrupt = bytearray(good)
+    corrupt[len(_PNG_SIG) + 8 + 4] ^= 0xFF  # IHDR width byte
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([bytes(corrupt), b"", good[:-2]],
+                            pa.binary()),
+    })
+    out = dec(batch).to_pylist()
+    assert [r["decode_ok"] for r in out] == [False, False, False]
+    assert out[0]["mean_r"] is None
+
+
+def test_png_fixture_closed_forms():
+    from alco_ray.stages.multimodal import PngDecoder, encode_png_batch
+
+    ids = pa.table({"doc_id": pa.array(list(range(70)), pa.int64())})
+    out = PngDecoder()(encode_png_batch(ids)).to_pylist()
+    for r in out:
+        i = r["doc_id"]
+        assert r["decode_ok"]
+        assert (r["width"], r["height"]) == ((i % 7 + 1) * 2,
+                                             (i % 5 + 1) * 2)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) \
+            == (i % 256, (i * 11) % 256, (i * 17) % 256)
+
+
+# --------------------------------------------------------------- ADPCM
+
+
+def test_ima_reconstruct_hand_computed():
+    """Spec arithmetic by hand from the initial state (pred 0, index 0,
+    step 7): nibble 7 -> delta 0+1+3+7 = 11, index 0+8 = 8; nibble 8
+    (sign only, delta step>>3 = step/8 floor) -> pred -= step>>3."""
+    from alco_ray.stages.multimodal import _ima_reconstruct
+
+    assert _ima_reconstruct(7, 0, 0) == (11, 8)
+    assert _ima_reconstruct(0, 0, 0) == (0, 0)     # clamp index at 0
+    assert _ima_reconstruct(8, 100, 20) == (100 - (50 >> 3), 19)
+    # saturation: max positive step from top index clamps at int16
+    assert _ima_reconstruct(7, 32000, 88)[0] == 32767
+
+
+def test_adpcm_stage_matches_independent_reference():
+    from alco_ray.fixtures import _adpcm_reference_stats
+    from alco_ray.stages.multimodal import (AdpcmWavDecoder,
+                                            encode_adpcm_batch)
+
+    enc = encode_adpcm_batch(pa.table({
+        "doc_id": pa.array([0, 3, 11, 57, 123], pa.int64())}))
+    got = AdpcmWavDecoder()(enc).to_pylist()
+    for row, payload in zip(got, enc["payload"].to_pylist()):
+        assert row["decode_ok"]
+        ref = _adpcm_reference_stats(payload)
+        assert (row["sample_rate"], row["n_samples"], row["duration_us"],
+                row["peak"], row["mean_amp"]) == ref
+
+
+def test_adpcm_roundtrip_tracks_signal_and_poison():
+    from alco_ray.stages.multimodal import (AdpcmWavDecoder,
+                                            adpcm_fixture_signal,
+                                            encode_adpcm_batch)
+
+    enc = encode_adpcm_batch(pa.table({
+        "doc_id": pa.array([2], pa.int64())}))
+    payload = enc["payload"][0].as_py()
+    rate, sig = adpcm_fixture_signal(2)
+    d = AdpcmWavDecoder()._decode(payload)
+    assert d is not None and d[0] == rate and len(d[1]) == len(sig)
+    # lossy 4-bit codec: after step-size adaptation (skip the first
+    # block) the decoded signal tracks the original within one step
+    err = np.abs(d[1][505:] - sig[505:].astype(np.int64))
+    assert err.mean() < 1500 and np.median(err) < 1000
+    # poison payloads dead-letter, never crash
+    bad = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([
+            b"RIFFxxxxWAVE",                      # no chunks
+            payload[:-10],                        # truncated data chunk
+            payload.replace(b"\x11\x00\x01\x00",  # PCM tag, not 0x11
+                            b"\x01\x00\x01\x00", 1),
+        ], pa.binary()),
+    })
+    out = AdpcmWavDecoder()(bad).to_pylist()
+    assert [r["decode_ok"] for r in out] == [False, False, False]
