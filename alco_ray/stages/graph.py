@@ -1,48 +1,49 @@
-"""Distributed connected components over an edge Dataset.
+"""Distributed graph kernels (connected components, PageRank) over an
+edge Dataset — raw-task BSP exchanges.
 
 The near-dup APPLY step needs per-document cluster labels.
 ``dedup.dedup_apply`` (dedup.py:700) folds the edge list driver-side
 behind a checked ``max_edges`` limit — the right call when near-dup
 detection did its job and the edge list is tiny relative to the
-corpus.  This module is the unbounded-scale sibling: min-label
-propagation expressed entirely as hash-partitioned Ray Data stages,
-so the driver never holds the edge list and every shuffle is O(|E|).
+corpus.  This module is the unbounded-scale sibling.
 
-Shape per round (the classic BSP label-propagation loop, e.g.
-Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14 — re-expressed as Ray Data groupby kernels):
+Both kernels here are ITERATIVE FIXED POINTS — the one shape where the
+Dataset API genuinely can't express the semantics cheaply: every round
+re-visits the SAME edge partitioning, and a Dataset ``groupby`` re-pays
+a full all-to-all materialization (fixed scheduling latency + block
+shuffle) per round.  So the loops run as raw-task BSP supersteps
+instead (the brief's sanctioned escape hatch): the directed edge table
+is split ONCE by hash(src) into object-store partitions, and each
+round moves only node-sized vectors between two task waves —
 
-1. LOOKUP: edges keyed by ``src`` and the label table keyed by
-   ``node`` share one key-hash partitioning (``window.partition_by_key``
-   — THE package-wide partition primitive), so ``label[src]`` is a
-   partition-local sorted numpy lookup; each edge emits its source
-   label to ``dst``.  One all-to-all, volume |E| + |V|.
-2. FOLD: candidate labels partition by receiving node;
-   ``np.minimum.reduceat`` per partition computes the new label, and
-   the old label rides along so the round reports exactly how many
-   nodes strictly dropped.  One all-to-all, volume |E| + |V|.
-3. JUMP (optional, default on): ``label <- label[label]`` via the
-   same lookup kernel — pointer jumping, which turns diameter-bound
-   convergence into O(log diameter) for chain-shaped components.
+1. SEND: ``label[src]`` (a partition-local sorted ``searchsorted`` —
+   hash(src) co-locates all of a source's out-edges with its label
+   row) emitted per edge, PRE-FOLDED per destination (min for
+   components, integer sum for PageRank: at most |V_p| values leave a
+   partition, never |E_p|), split by hash(dst).
+2. FOLD: each partition combines the incoming partials onto its node
+   vector; for components the fold also reports how many labels
+   strictly dropped, so convergence is exact, not heuristic (no drop
+   anywhere => adjacent nodes agree => labels are per-component
+   constant and equal the component minimum).
+3. JUMP (components only, optional, default on): ``label <-
+   label[label]`` — pointer jumping, which turns diameter-bound
+   convergence into O(log diameter) for chain-shaped components; three
+   small waves (dedup + request by hash(label), partition-local
+   lookup, stitch) moving at most |V| values.
 
-Convergence is exact, not heuristic: a relaxation round where no
-label strictly drops means adjacent nodes agree everywhere, labels
-are per-component constant, and (labels only ever being node ids
-from the same component) each equals its component minimum.  The
-label table is materialized per round — it is O(|V|) and the loop
-needs a synchronization point anyway; the edge table is tagged and
-partitioned ONCE and reused by every round's union.
+The driver holds only ObjectRefs plus one tiny changed-counter per
+partition per round; exchange volume is O(|V|) per round with P^2
+small objects (P capped at 512 by default — beyond that partitions
+grow instead, keeping the object count bounded on a real cluster).
+The classic reference shape is Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-
-from .window import partition_by_key
-
-_SENT = np.iinfo(np.int64).min  # rides the max-fold; any real label wins
 
 
 def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
@@ -55,79 +56,6 @@ def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
     return np.flatnonzero(change)
 
 
-def _lookup_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    """tag 0 = store rows (k=node, v=label); tag 1 = request rows
-    (k=lookup key, v=requester payload).  Emits (k=payload,
-    cand=store[k], old=sentinel) for requests and (k=node, cand=label,
-    old=label) for store rows — PRE-FOLDED per destination key (the
-    combiner step: shuffle volume to the fold stage is <= |V| rows per
-    source partition instead of |E|)."""
-    tag = g["tag"].to_numpy()
-    store = tag == 0
-    sk = g["k"].to_numpy()[store]
-    sv = g["v"].to_numpy()[store]
-    order = np.argsort(sk)
-    sk, sv = sk[order], sv[order]
-    rk = g["k"].to_numpy()[~store]
-    rv = g["v"].to_numpy()[~store]
-    # every request key is a node with a store row in THIS partition
-    # (labels are node ids and both sides share the partitioning)
-    hit = sv[np.searchsorted(sk, rk)]
-    k = np.concatenate([rv, sk])
-    cand = np.concatenate([hit, sv])
-    old = np.concatenate([np.full(len(rv), _SENT, np.int64), sv])
-    o2 = np.argsort(k, kind="stable")
-    k, cand, old = k[o2], cand[o2], old[o2]
-    starts = _segment_starts(k)
-    return pd.DataFrame({
-        "k": k[starts],
-        "cand": np.minimum.reduceat(cand, starts),
-        "old": np.maximum.reduceat(old, starts),
-    })
-
-
-def _fold_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    k = g["k"].to_numpy()
-    cand = g["cand"].to_numpy()
-    old = g["old"].to_numpy()
-    order = np.argsort(k, kind="stable")
-    k, cand, old = k[order], cand[order], old[order]
-    starts = _segment_starts(k)
-    return pd.DataFrame({
-        "node": k[starts],
-        "label": np.minimum.reduceat(cand, starts),
-        "old": np.maximum.reduceat(old, starts),
-    })
-
-
-def _jump_kernel(g: pd.DataFrame) -> pd.DataFrame:
-    """Pointer jump: store rows (k=node, v=label) + request rows
-    (k=label, v=node) -> (node, label[label])."""
-    tag = g["tag"].to_numpy()
-    store = tag == 0
-    sk = g["k"].to_numpy()[store]
-    sv = g["v"].to_numpy()[store]
-    order = np.argsort(sk)
-    sk, sv = sk[order], sv[order]
-    rk = g["k"].to_numpy()[~store]
-    rv = g["v"].to_numpy()[~store]
-    return pd.DataFrame({"node": rv, "label": sv[np.searchsorted(sk, rk)]})
-
-
-def _tagged(ds, tag: int, n_parts: int):
-    def prep(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "k": pa.array(b["k"].to_numpy(zero_copy_only=False)
-                          .astype(np.int64)),
-            "v": pa.array(b["v"].to_numpy(zero_copy_only=False)
-                          .astype(np.int64)),
-            "tag": pa.array(np.full(b.num_rows, tag, np.int8)),
-        })
-
-    return partition_by_key(
-        ds.map_batches(prep, batch_format="pyarrow"), "k", n_parts)
-
-
 def _empty_result():
     import ray
 
@@ -136,121 +64,180 @@ def _empty_result():
         "component": pa.array([], pa.int64())}))
 
 
+def _cc_build_part(*chunks):
+    """Assemble one partition: edges sorted by src, sorted node vector,
+    and the FUSED ROUND-0 labels label(u) = min(u, neighbors(u)) —
+    partition-locally exact because hash(src) co-locates all of a
+    node's out-edges.  Returns (partition, labels, node_count)."""
+    half = len(chunks) // 2
+    sk = np.concatenate([c[0] for c in chunks[:half]]) if half else \
+        np.zeros(0, np.int64)
+    sv = np.concatenate([c[1] for c in chunks[:half]]) if half else \
+        np.zeros(0, np.int64)
+    order = np.argsort(sk, kind="stable")
+    sk, sv = sk[order], sv[order]
+    nodes = np.unique(np.concatenate(list(chunks[half:]))) if half else \
+        np.zeros(0, np.int64)
+    labels = nodes.copy()
+    starts = _segment_starts(sk)
+    if len(sk):
+        idx = np.searchsorted(nodes, sk[starts])
+        np.minimum.at(labels, idx, np.minimum.reduceat(sv, starts))
+    return (sk, sv, nodes), labels, len(nodes)
+
+
+def _cc_send(part, labels: np.ndarray, n_parts: int):
+    """SEND wave: label[src] per edge, pre-folded min per destination,
+    split by hash(dst)."""
+    sk, sv, nodes = part
+    if len(sk):
+        cand = labels[np.searchsorted(nodes, sk)]
+        order = np.argsort(sv, kind="stable")
+        dst, c = sv[order], cand[order]
+        starts = _segment_starts(dst)
+        dk = dst[starts]
+        dc = np.minimum.reduceat(c, starts)
+    else:
+        dk = dc = np.zeros(0, np.int64)
+    parts = _pr_split_arrays(_pr_hash(dk, n_parts), [dk, dc], n_parts)
+    return parts[0] if n_parts == 1 else parts
+
+
+def _cc_fold(part, labels: np.ndarray, *partials):
+    """FOLD wave: min the incoming candidates onto this partition's
+    labels; returns (new_labels, n_strictly_dropped) for num_returns=2
+    — the counter is the round's exact convergence signal."""
+    nodes = part[2]
+    new = labels.copy()
+    for dk, dc in partials:
+        if len(dk):
+            idx = np.searchsorted(nodes, dk)
+            # dk unique within one partial -> plain elementwise min
+            new[idx] = np.minimum(new[idx], dc)
+    return new, int((new < labels).sum())
+
+
+def _cc_jump_req(labels: np.ndarray, n_parts: int):
+    """JUMP wave 1: the partition's DEDUPED label values, split by
+    hash(label) — each is a node id whose own label row lives there."""
+    uniq = np.unique(labels)
+    parts = _pr_split_arrays(_pr_hash(uniq, n_parts), [uniq], n_parts)
+    return [c[0] for c in parts] if n_parts > 1 else parts[0][0]
+
+
+def _cc_jump_ans(part, labels: np.ndarray, *reqs):
+    """JUMP wave 2: partition-local label[value] lookups, one reply
+    array per requesting partition (answers align with the request)."""
+    nodes = part[2]
+    out = [labels[np.searchsorted(nodes, r)] for r in reqs]
+    return out if len(reqs) > 1 else out[0]
+
+
+def _cc_jump_apply(labels: np.ndarray, n_parts: int, *ans):
+    """JUMP wave 3: stitch the replies back (recomputing the request
+    split deterministically) and map every label to label[label]."""
+    uniq = np.unique(labels)
+    order = np.argsort(_pr_hash(uniq, n_parts), kind="stable")
+    jumped = np.empty_like(uniq)
+    jumped[order] = np.concatenate([np.asarray(a, np.int64) for a in ans])
+    return jumped[np.searchsorted(uniq, labels)]
+
+
+def _cc_emit(part, labels: np.ndarray) -> pa.Table:
+    return pa.table({"node": pa.array(part[2], pa.int64()),
+                     "component": pa.array(labels, pa.int64())})
+
+
 def connected_components(pairs, *, a_col: str = "doc_a",
                          b_col: str = "doc_b", pointer_jump: bool = True,
                          max_rounds: int = 64,
                          num_partitions: int | None = None):
     """(node, component) for every node in ``pairs``; component = the
     minimum node id reachable from it.  ``pairs`` is a Dataset of
-    undirected edges; all propagation runs as hash-partitioned Ray
-    stages (see module docstring), nothing edge-sized ever reaches
-    the driver.  Raises if ``max_rounds`` relaxations don't converge
-    (with pointer jumping that bounds component diameter at ~2^64)."""
+    undirected edges; propagation runs as the module-docstring BSP
+    loop — the edge table is split once by hash(src), each round moves
+    only node-sized pre-folded label vectors, and nothing edge-sized
+    ever reaches the driver.  Raises if ``max_rounds`` relaxations
+    don't converge (with pointer jumping that bounds component
+    diameter at ~2^64)."""
+    import ray
 
-    def both(t: pa.Table) -> pa.Table:
-        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"k": pa.array(np.concatenate([a, b])),
-                         "v": pa.array(np.concatenate([b, a]))})
-
-    # |E| from the PAIR dataset (metadata-cheap for table-backed and
-    # materialized inputs) — the directed view is exactly twice it, so
-    # the edge table needs only one execution (the materialize below).
-    n_dir = 2 * pairs.count()
-    if n_dir == 0:
+    n_edges = pairs.count()
+    if n_edges == 0:
         return _empty_result()
-    directed = pairs.map_batches(both, batch_format="pyarrow")
+    n_dir = 2 * n_edges
     if num_partitions:
-        n_parts = num_partitions
+        n_parts = int(num_partitions)
     else:
-        # Data-proportional WITHOUT suggest_key_partitions' 64-part
-        # floor: every round pays the fixed all-to-all latency per
-        # partitioned stage, so a small pair graph must not fan out to
-        # 64 groups (measured: the floor tripled wall time on a
-        # 400-node graph).  Floor = cluster CPUs keeps big-graph
-        # kernels parallel; cap matches suggest_key_partitions.
-        import ray as _ray
+        # data-proportional, no cpu floor — same rationale as pagerank:
+        # a wave over tiny partitions is pure launch overhead, big
+        # graphs hit the 250k-rows band on their own
+        n_parts = max(1, min(512, -(-n_dir // 250_000)))
 
-        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-            if _ray.is_initialized() else 8
-        want = max(cpus, min(1 << 16, -(-n_dir // 250_000)))
-        n_parts = 1 << (int(want) - 1).bit_length()
-    edges = _tagged(directed, 1, n_parts).materialize()
+    split_task = ray.remote(_pr_split_block).options(
+        num_returns=2 * n_parts)
+    build_task = ray.remote(_cc_build_part).options(num_returns=3)
+    send_task = ray.remote(_cc_send)
+    fold_task = ray.remote(_cc_fold).options(num_returns=2)
+    req_task = ray.remote(_cc_jump_req)
+    ans_task = ray.remote(_cc_jump_ans)
+    apply_task = ray.remote(_cc_jump_apply)
+    emit_task = ray.remote(_cc_emit)
 
-    # Round 0 fused into init: label(u) = min(u, neighbors(u)) via one
-    # fold over the directed edges alone (old = u itself).
-    def init_prep(b: pa.Table) -> pa.Table:
-        k = b["k"].to_numpy(zero_copy_only=False)
-        return pa.table({"k": b["k"], "cand": b["v"],
-                         "old": pa.array(k.astype(np.int64)),
-                         "part": b["part"]})
-
-    def init_fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = _fold_kernel(g)
-        return pd.DataFrame({
-            "node": out["node"],
-            "label": np.minimum(out["node"].to_numpy(),
-                                out["label"].to_numpy())})
-
-    labels = (edges.map_batches(init_prep, batch_format="pyarrow")
-              .groupby("part").map_groups(init_fold, batch_format="pandas")
-              .materialize())
+    splits = [split_task.remote(ref, a_col, b_col, True, n_parts)
+              for ref in pairs.to_arrow_refs()]
+    parts, labels = [], []
+    for p in range(n_parts):
+        pref, lref, _ = build_task.remote(
+            *([s[p] for s in splits] + [s[n_parts + p] for s in splits]))
+        parts.append(pref)
+        labels.append(lref)
 
     for rnd in range(max_rounds):
-        store = labels.map_batches(
-            lambda b: pa.table({"k": b["node"], "v": b["label"]}),
-            batch_format="pyarrow")
-        relaxed = (_tagged(store, 0, n_parts).union(edges)
-                   .groupby("part").map_groups(_lookup_kernel,
-                                               batch_format="pandas"))
-        new_labels = (partition_by_key(
-            relaxed.map_batches(
-                lambda b: b.select(["k", "cand", "old"]),
-                batch_format="pyarrow"), "k", n_parts)
-            .groupby("part").map_groups(_fold_kernel,
-                                        batch_format="pandas")
-            .materialize())
-
-        def changed_partial(b: pa.Table) -> pa.Table:
-            lab = b["label"].to_numpy(zero_copy_only=False)
-            old = b["old"].to_numpy(zero_copy_only=False)
-            return pa.table({"n": pa.array(
-                [int((lab < old).sum())], pa.int64())})
-
-        changed = new_labels.map_batches(
-            changed_partial, batch_format="pyarrow").sum("n")
-        # lazy map over the materialized fold — no extra job unless a
-        # pointer jump follows
-        labels = new_labels.map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["label"]}),
-            batch_format="pyarrow")
-        if not changed:
+        if n_parts == 1:
+            outs = [[send_task.remote(parts[0], labels[0], 1)]]
+        else:
+            outs = [send_task.options(num_returns=n_parts)
+                    .remote(parts[p], labels[p], n_parts)
+                    for p in range(n_parts)]
+        new_labels, changed_refs = [], []
+        for p in range(n_parts):
+            lref, cref = fold_task.remote(
+                parts[p], labels[p], *[outs[q][p] for q in range(n_parts)])
+            new_labels.append(lref)
+            changed_refs.append(cref)
+        labels = new_labels
+        if sum(ray.get(changed_refs)) == 0:
             break
         # Pointer jumping only once plain relaxation has run twice
-        # without converging: shallow graphs (the near-dup norm) then
-        # never pay the extra per-round shuffle, while chains still
-        # get O(log diameter) once jumping kicks in.
+        # without converging: shallow graphs (the near-dup norm) never
+        # pay the extra waves, chains get O(log diameter) once jumping
+        # kicks in.
         if pointer_jump and rnd >= 2:
-            stor = labels.map_batches(
-                lambda b: pa.table({"k": b["node"], "v": b["label"]}),
-                batch_format="pyarrow")
-            reqs = labels.map_batches(
-                lambda b: pa.table({"k": b["label"], "v": b["node"]}),
-                batch_format="pyarrow")
-            labels = (_tagged(stor, 0, n_parts)
-                      .union(_tagged(reqs, 1, n_parts))
-                      .groupby("part").map_groups(_jump_kernel,
-                                                  batch_format="pandas")
-                      .materialize())
+            if n_parts == 1:
+                reqs = [[req_task.remote(labels[0], 1)]]
+                answers = [[ans_task.remote(parts[0], labels[0],
+                                            reqs[0][0])]]
+            else:
+                reqs = [req_task.options(num_returns=n_parts)
+                        .remote(labels[p], n_parts)
+                        for p in range(n_parts)]
+                answers = [ans_task.options(num_returns=n_parts)
+                           .remote(parts[q], labels[q],
+                                   *[reqs[p][q] for p in range(n_parts)])
+                           for q in range(n_parts)]
+            labels = [apply_task.remote(
+                labels[p], n_parts,
+                *[answers[q][p] for q in range(n_parts)])
+                for p in range(n_parts)]
     else:
         raise ValueError(
             f"connected_components: no fixpoint after {max_rounds} "
             "rounds; raise max_rounds (or check for label cycles in a "
             "custom edge source)")
 
-    return labels.map_batches(
-        lambda b: pa.table({"node": b["node"], "component": b["label"]}),
-        batch_format="pyarrow")
+    return ray.data.from_arrow_refs(
+        [emit_task.remote(parts[p], labels[p]) for p in range(n_parts)])
 
 
 # ---------------------------------------------------------------------------
