@@ -113,48 +113,53 @@ def quality_features(batch: pa.Table, text_col: str = "text",
     })
 
 
+def _gd_block_partial(b: pa.Table, w: list[int], feat_cols: list[str],
+                      label_col: str):
+    """One block's gradient partial for one GD iteration: (d gradient
+    sums as Python ints, row count).  int64 inside the block (the
+    module-docstring overflow audit), arbitrary precision across
+    blocks (the driver fold)."""
+    if b.num_rows == 0 or feat_cols[0] not in b.schema.names:
+        return [0] * len(feat_cols), 0
+    F = np.column_stack([
+        b[c].to_numpy(zero_copy_only=False) for c in feat_cols
+    ]).astype(np.int64)
+    y = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    resid = F @ np.array(w, dtype=np.int64) - y * W_SCALE
+    g = F.T @ resid
+    return [int(v) for v in g], b.num_rows
+
+
 def fit_linear_gd(feature_ds, *, feat_cols: list[str] | None = None,
                   label_col: str = "y", iters: int = 16) -> list[int]:
     """Distributed exact fixed-point GD fit; returns d weights at
     scale W_SCALE as Python ints.
 
-    ``feature_ds`` is materialized once; each of the ``iters`` passes
-    maps a per-block partial (one 1-row table: d gradient sums + row
-    count) and folds the O(blocks x d) partials driver-side in
-    arbitrary precision."""
+    ``feature_ds`` is materialized once into object-store block refs;
+    each of the ``iters`` passes is then ONE RAW-TASK WAVE over those
+    refs (the graph.py BSP lesson: an iterative fixed point re-visits
+    the same data every pass, and a Dataset job per pass re-pays fixed
+    scheduling latency x ``iters``).  Each task returns d gradient
+    sums + a row count — O(blocks x d) tiny values folded driver-side
+    in arbitrary precision; only the d-vector ``w`` ships per wave."""
     import ray
 
     feat_cols = feat_cols or FEAT_COLS
     d = len(feat_cols)
     lr_den = d * FEAT_SCALE * FEAT_SCALE
-    mat = feature_ds.materialize()
+    refs = feature_ds.materialize().to_arrow_refs()
+    gd_task = ray.remote(_gd_block_partial)
     w = [0] * d
 
     for _ in range(iters):
-        w_arr = np.array(w, dtype=np.int64)
-
-        def partial(b: pa.Table, _w=w_arr) -> pa.Table:
-            F = np.column_stack([
-                b[c].to_numpy(zero_copy_only=False) for c in feat_cols
-            ]).astype(np.int64)
-            y = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            resid = F @ _w - y * W_SCALE
-            g = F.T @ resid
-            cols = {f"g{j}": pa.array([int(g[j])], pa.int64())
-                    for j in range(d)}
-            cols["n"] = pa.array([b.num_rows], pa.int64())
-            return pa.table(cols)
-
-        parts = ray.get(mat.map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs())
+        parts = ray.get([gd_task.remote(r, w, feat_cols, label_col)
+                         for r in refs])
         g_tot = [0] * d
         n_tot = 0
-        for p in parts:
-            if p.num_rows == 0 or p.num_columns == 0:
-                continue
+        for g, n in parts:
             for j in range(d):
-                g_tot[j] += sum(p[f"g{j}"].to_pylist())
-            n_tot += sum(p["n"].to_pylist())
+                g_tot[j] += g[j]
+            n_tot += n
         if n_tot == 0:
             return w
         w = [w[j] - _tdiv(g_tot[j], n_tot * lr_den) for j in range(d)]

@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     # median)
     "q_pagerank", "d_lm_score", "d_cross_dup",
     "q_fuzzy_names", "e_profile", "t_gap_median",
+    # round-4 operators (learned linear scorer, BPE tokenize+pack,
+    # distributed components, real compressed codecs)
+    "d_model_score", "d_pack_bpe", "d_components",
+    "mm_png_meta", "mm_adpcm_meta",
 ]
 
 
