@@ -347,6 +347,174 @@ def ensure_adpcm_fixture(n_docs: int = 400,
     return out_dir
 
 
+def _jpeg_reference_stats(payload: bytes):
+    """INDEPENDENT naive baseline-JPEG reference decoder — a second
+    implementation of ITU-T T.81 next to stages/jpeg.decode_baseline_
+    jpeg, sharing only the PINNED spec constants (zigzag order, the
+    integer-IDCT cosine table, the integer JFIF conversion formulas —
+    the module-docstring contract in stages/jpeg.py).  Everything
+    structural is rewritten: dict-based Huffman decode over code
+    strings, a generator bit reader, per-sample IDCT loops."""
+    import struct
+
+    from .stages.jpeg import IDCT_M, ZIGZAG
+
+    assert payload[:2] == b"\xff\xd8"
+    pos = 2
+    qts, huffs, sof = {}, {}, None
+    while True:
+        marker = payload[pos + 1]
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        seg = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            body = seg
+            while body:
+                qts[body[0] & 0xF] = list(body[1:65])
+                body = body[65:]
+        elif marker == 0xC4:
+            body = seg
+            while body:
+                cls, tid = body[0] >> 4, body[0] & 0xF
+                counts = list(body[1:17])
+                vals = list(body[17:17 + sum(counts)])
+                table, code, vi = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[format(code, f"0{length}b")] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huffs[(cls, tid)] = table
+                body = body[17 + sum(counts):]
+        elif marker == 0xC0:
+            _, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = [(seg[6 + 3 * i], seg[8 + 3 * i]) for i in range(nc)]
+            sof = (w, h, comps)
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_tables = [(seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                           for i in range(ns)]
+            break
+
+    def bit_stream(d: bytes):
+        i = 0
+        while i < len(d):
+            b = d[i]
+            i += 2 if b == 0xFF else 1
+            for k in range(7, -1, -1):
+                yield (b >> k) & 1
+
+    bits = bit_stream(payload[pos:])
+
+    def read_symbol(table):
+        code = ""
+        while code not in table:
+            code += str(next(bits))
+            assert len(code) <= 16
+        return table[code]
+
+    def read_extend(size):
+        if size == 0:
+            return 0
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | next(bits)
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    w, h, comps = sof
+    planes = [[[0] * w for _ in range(h)] for _ in range(len(comps))]
+    preds = [0] * len(comps)
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, (cid, tq) in enumerate(comps):
+                dct, act = scan_tables[ci]
+                zz = [0] * 64
+                preds[ci] += read_extend(read_symbol(huffs[(0, dct)]))
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(huffs[(1, act)])
+                    if sym == 0:
+                        break
+                    k += sym >> 4
+                    if sym & 0xF:
+                        zz[k] = read_extend(sym & 0xF)
+                    # ZRL (0xF0) skips 16 zeros: run 15 + this slot
+                    k += 1
+                # dequant + pinned integer IDCT, plain loops; F's row
+                # index is the VERTICAL frequency (natural zigzag
+                # layout), so u pairs with y and v with x
+                F = [[0] * 8 for _ in range(8)]
+                for k2 in range(64):
+                    nat = int(ZIGZAG[k2])
+                    F[nat // 8][nat % 8] = zz[k2] * qts[tq][k2]
+                for y in range(8):
+                    for x in range(8):
+                        acc = 0
+                        for u in range(8):
+                            for v in range(8):
+                                acc += (F[u][v] * int(IDCT_M[u][y])
+                                        * int(IDCT_M[v][x]))
+                        s = ((acc + (1 << 29)) >> 30) + 128
+                        planes[ci][by + y][bx + x] = \
+                            min(255, max(0, s))
+    sums = [0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            if len(comps) == 1:
+                r = g = b = planes[0][y][x]
+            else:
+                Y = planes[0][y][x]
+                cb = planes[1][y][x] - 128
+                cr = planes[2][y][x] - 128
+                r = min(255, max(0, Y + ((91881 * cr + 32768) >> 16)))
+                g = min(255, max(0, Y - ((22554 * cb + 46802 * cr
+                                          + 32768) >> 16)))
+                b = min(255, max(0, Y + ((116130 * cb + 32768) >> 16)))
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+    n = w * h
+    return (w, h, sums[0] // n, sums[1] // n, sums[2] // n)
+
+
+def ensure_jpeg_fixture(n_docs: int = 300,
+                        root: str = "/tmp/alco_ray_fixtures") -> Path:
+    """Deterministic baseline-JPEG eval fixture: ``jpeg_docs.parquet``
+    (REAL JPEG payloads from stages/jpeg.encode_jpeg_batch) plus
+    ``jpeg_eval.parquet`` with the INDEPENDENT reference decoder's
+    stats — the ground-truth table IS the DuckDB oracle for the stage
+    decoder (the adpcm/langid sidecar pattern).  sf-independent;
+    idempotent + atomic."""
+    from .stages.jpeg import encode_jpeg_batch
+
+    out_dir = Path(root) / "jpeg"
+    eval_path = out_dir / "jpeg_eval.parquet"
+    docs_path = out_dir / "jpeg_docs.parquet"
+    if eval_path.exists() and docs_path.exists():
+        return out_dir
+    docs = encode_jpeg_batch(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64())}))
+    stats = [_jpeg_reference_stats(p)
+             for p in docs["payload"].to_pylist()]
+    cols = list(zip(*stats))
+    ev = pa.table({
+        "doc_id": docs["doc_id"],
+        "width": pa.array(cols[0], pa.int64()),
+        "height": pa.array(cols[1], pa.int64()),
+        "mean_r": pa.array(cols[2], pa.int64()),
+        "mean_g": pa.array(cols[3], pa.int64()),
+        "mean_b": pa.array(cols[4], pa.int64()),
+    })
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for path, table in ((docs_path, docs), (eval_path, ev)):
+        tmp = out_dir / f".{path.name}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return out_dir
+
+
 def ensure_langid_fixture(tag: str, n_per_lang: int = 20, seed: int = 97,
                           root: str = "/tmp/alco_ray_fixtures") -> Path:
     """Deterministic labeled multilingual eval table for language ID:

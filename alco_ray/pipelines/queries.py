@@ -32,7 +32,7 @@ from .. import fixtures
 from ..sources import read_transcripts
 from ..specs import default_transcript_config
 from ..stages import aggregate as agg_stage
-from ..stages import (dedup, graph, join, model, multimodal, order,
+from ..stages import (dedup, graph, jpeg, join, model, multimodal, order,
                       similarity, text, window)
 from ..stages.dict_encode import DictEncoder, build_dict_table
 from ..stages.parse import make_parse_batch
@@ -1709,6 +1709,22 @@ def mm_adpcm_meta(sf_dir: str):
     ds = ray.data.read_parquet(str(out_dir / "adpcm_docs.parquet"),
                                columns=["doc_id", "payload"])
     return multimodal.decode_media(ds, multimodal.AdpcmWavDecoder)
+
+
+def mm_jpeg_meta(sf_dir: str):
+    """REAL COMPRESSED image decode — baseline JPEG (ITU-T T.81
+    sequential DCT, stages/jpeg.py): full marker parse, DHT
+    canonical-Huffman reconstruction, bit-unstuffed entropy decode
+    (RLE/EOB/ZRL + the extend rule), dequant, PINNED integer IDCT and
+    integer JFIF color conversion — exact channel means out.  Oracle =
+    ground-truth sidecar from an INDEPENDENT naive reference decoder
+    (dict-Huffman, generator bit reader, per-sample loops) sharing
+    only the spec constants — the adpcm/langid pattern, so two
+    implementations of the spec must agree bit-for-bit."""
+    out_dir = fixtures.ensure_jpeg_fixture()
+    ds = ray.data.read_parquet(str(out_dir / "jpeg_docs.parquet"),
+                               columns=["doc_id", "payload"])
+    return multimodal.decode_media(ds, jpeg.JpegDecoder)
 
 
 def mm_ppm_resize(sf_dir: str):
@@ -3828,6 +3844,7 @@ REGISTRY = {
     "t_grep_after": t_grep_after,
     "mm_png_meta": mm_png_meta,
     "mm_adpcm_meta": mm_adpcm_meta,
+    "mm_jpeg_meta": mm_jpeg_meta,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

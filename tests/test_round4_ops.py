@@ -405,3 +405,74 @@ def test_adpcm_roundtrip_tracks_signal_and_poison():
     })
     out = AdpcmWavDecoder()(bad).to_pylist()
     assert [r["decode_ok"] for r in out] == [False, False, False]
+
+
+# --------------------------------------------------------------- JPEG
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    """decode(encode(img)) must track the original within the error a
+    flat qt=16/24 baseline JPEG permits — a loose bound that still
+    catches orientation/zigzag/extend bugs (any of those produce
+    garbage, not small error)."""
+    from alco_ray.stages.jpeg import (decode_baseline_jpeg,
+                                      encode_baseline_jpeg,
+                                      jpeg_fixture_image)
+
+    for i in (0, 5, 17):
+        img = jpeg_fixture_image(i)
+        w, h, rgb = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        assert (h, w) == img.shape[:2]
+        err = np.abs(rgb.astype(np.int64) - img.astype(np.int64))
+        assert err.max() <= 64 and err.mean() < 12, (i, err.max())
+
+
+def test_jpeg_extend_rule_and_bitwriter_stuffing():
+    from alco_ray.stages.jpeg import _BitWriter, _extend, _extend_bits
+
+    # spec F.1.2.1 magnitude coding is its own inverse
+    for v in (-255, -128, -1, 1, 2, 127, 1023):
+        size, bits = _extend_bits(v)
+        assert _extend(bits, size) == v
+    assert _extend_bits(0) == (0, 0)
+    # a 0xFF byte in the entropy stream must be stuffed with 0x00
+    bw = _BitWriter()
+    bw.write(0xFF, 8)
+    out = bw.flush()
+    assert out[:2] == b"\xff\x00"
+
+
+def test_jpeg_stage_matches_independent_reference():
+    from alco_ray.fixtures import _jpeg_reference_stats
+    from alco_ray.stages.jpeg import JpegDecoder, encode_jpeg_batch
+
+    enc = encode_jpeg_batch(pa.table({
+        "doc_id": pa.array([0, 1, 7, 29, 113], pa.int64())}))
+    got = JpegDecoder()(enc).to_pylist()
+    for row, payload in zip(got, enc["payload"].to_pylist()):
+        assert row["decode_ok"]
+        assert (row["width"], row["height"], row["mean_r"],
+                row["mean_g"], row["mean_b"]) \
+            == _jpeg_reference_stats(payload)
+
+
+def test_jpeg_poison_payloads_dead_letter():
+    from alco_ray.stages.jpeg import JpegDecoder, encode_jpeg_batch
+
+    enc = encode_jpeg_batch(pa.table({
+        "doc_id": pa.array([4], pa.int64())}))
+    good = enc["payload"][0].as_py()
+    sos = good.index(b"\xff\xda")
+    bad = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "payload": pa.array([
+            b"",                                  # empty
+            b"\xff\xd8\xff\xd9",                  # SOI+EOI, no frame
+            good[:sos],                           # headers, no scan
+            good[:-20],                           # truncated entropy
+            good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF
+        ], pa.binary()),
+    })
+    out = JpegDecoder()(bad).to_pylist()
+    assert [r["decode_ok"] for r in out] == [False] * 5
+    assert all(r["mean_r"] is None for r in out)
