@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     # round-4 operators (learned linear scorer, BPE tokenize+pack,
     # distributed components, real compressed codecs)
     "d_model_score", "d_pack_bpe", "d_components",
-    "mm_png_meta", "mm_adpcm_meta",
+    "mm_png_meta", "mm_adpcm_meta", "mm_jpeg_meta",
 ]
 
 
