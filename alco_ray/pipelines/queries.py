@@ -2326,6 +2326,21 @@ def e_latest_event(sf_dir: str):
                                  descending=True)
 
 
+def v_kmeans(sf_dir: str):
+    """EXACT fixed-point Lloyd k-means over the embeddings table
+    (stages/similarity.kmeans_fixed_point): k=8 clusters, 3 update
+    iterations, scale-1024 quantization — every step (half-away
+    quantize, integer squared distance with lowest-index tie-break,
+    truncating-division centroid update, empty-cluster carry) is a
+    pinned integer recurrence, so the oracle unrolls the identical
+    iterations and the per-vector assignment table hash-matches.
+    Iterations run as raw-task waves over the materialized embedding
+    blocks (the graph.py doctrine); only the k x d centroid matrix
+    ships per wave."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.kmeans_fixed_point(ds, k=8, iters=3)
+
+
 def v_centroid(sf_dir: str):
     """Vector-column aggregation (the k-means centroid step as an
     oracle-checked operator): per label, dimension-wise integer-
@@ -3845,6 +3860,7 @@ REGISTRY = {
     "mm_png_meta": mm_png_meta,
     "mm_adpcm_meta": mm_adpcm_meta,
     "mm_jpeg_meta": mm_jpeg_meta,
+    "v_kmeans": v_kmeans,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

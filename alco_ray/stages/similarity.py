@@ -788,3 +788,142 @@ def gram_matrix(ds, *, vec_col: str = "embedding",
         p, ["i", "j"], [("s", "sum")],
         empty_schema=pa.schema([("i", pa.int64()), ("j", pa.int64()),
                                 ("s", pa.int64())]))
+
+
+# --------------------------------------------------- fixed-point k-means
+
+def _km_tdiv_vec(sums: list, n: int) -> list:
+    """Elementwise truncating division on Python ints (DuckDB ``//``
+    semantics — toward zero; Python's ``//`` floors)."""
+    out = []
+    for s in sums:
+        q = abs(s) // n
+        out.append(q if s >= 0 else -q)
+    return out
+
+
+def _km_quant(t: pa.Table, col: str, scale: int) -> np.ndarray:
+    """Half-away-from-zero quantization (DuckDB ``round`` / pyarrow
+    ``half_towards_infinity``) of the embedding matrix to int64."""
+    m = _matrix(t, col) * float(scale)
+    return np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
+
+
+def _km_init_block(t: pa.Table, col: str, id_col: str, scale: int,
+                   k: int):
+    """Per-block seed candidates: the block's k smallest ids + their
+    quantized vectors (the driver merges blocks and keeps the global
+    k smallest — deterministic seeding without assuming dense ids)."""
+    if t.num_rows == 0 or id_col not in t.schema.names:
+        return np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = _km_quant(t, col, scale)
+    order = np.argsort(ids, kind="stable")[:k]
+    return ids[order], q[order]
+
+
+def _km_assign_block(t: pa.Table, col: str, id_col: str, scale: int,
+                     cents: np.ndarray):
+    """One Lloyd assignment pass over one block: exact integer squared
+    distances via the |x|^2 + |c|^2 - 2<x,c> expansion (ties -> the
+    lowest cluster index, np.argmin's first-minimum rule), returning
+    per-cluster coordinate sums + counts (int64 within the block,
+    arbitrary-precision across blocks in the driver fold)."""
+    k, d = cents.shape
+    if t.num_rows == 0 or id_col not in t.schema.names:
+        return np.zeros((k, d), np.int64), np.zeros(k, np.int64)
+    q = _km_quant(t, col, scale)
+    dist = ((q * q).sum(1)[:, None] + (cents * cents).sum(1)[None, :]
+            - 2 * (q @ cents.T))
+    assign = np.argmin(dist, axis=1)
+    sums = np.zeros((k, d), np.int64)
+    np.add.at(sums, assign, q)
+    return sums, np.bincount(assign, minlength=k).astype(np.int64)
+
+
+def _km_emit_block(t: pa.Table, col: str, id_col: str, scale: int,
+                   cents: np.ndarray) -> pa.Table:
+    if t.num_rows == 0 or id_col not in t.schema.names:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    q = _km_quant(t, col, scale)
+    dist = ((q * q).sum(1)[:, None] + (cents * cents).sum(1)[None, :]
+            - 2 * (q @ cents.T))
+    return pa.table({
+        "vec_id": pa.array(t[id_col].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)),
+        "cluster": pa.array(np.argmin(dist, axis=1).astype(np.int64)),
+    })
+
+
+def kmeans_fixed_point(ds, k: int = 8, iters: int = 3, *,
+                       col: str = "embedding", id_col: str = "vec_id",
+                       scale: int = 1024):
+    """EXACT fixed-point Lloyd k-means with per-vector assignments out
+    — the oracle-checkable sibling of :func:`ivf_centroids` (which
+    stays float/rows-only as an ANN coarse quantizer).  Every step is
+    integer arithmetic with a pinned recurrence, so a SQL oracle can
+    unroll the identical iterations and the assignment table
+    hash-matches bit-for-bit:
+
+    * quantize:  x = round_half_away(embedding * scale) as int64;
+    * seed:      centroids = the k smallest ids' vectors, cluster
+                 index = rank of id in that sorted seed list;
+    * assign:    argmin of exact integer squared distance, ties to
+                 the LOWEST cluster index;
+    * update:    centroid = tdiv(coordinate sum, count) per dimension
+                 (truncating division — DuckDB ``//``), empty clusters
+                 keep their previous centroid;
+    * output:    assignments under the centroids after ``iters``
+                 updates (one final assignment pass).
+
+    Scale shape: the embedding blocks are materialized once into
+    object-store refs; each iteration is ONE RAW-TASK WAVE over those
+    refs (the graph.py / fit_linear_gd doctrine — a Dataset job per
+    Lloyd pass would re-pay fixed scheduling latency x iters), each
+    task returning a (k x d) int64 partial folded driver-side in
+    arbitrary precision.  Only the k x d centroid matrix ships per
+    wave; nothing row-sized ever reaches the driver."""
+    import ray
+
+    refs = ds.materialize().to_arrow_refs()
+    init_task = ray.remote(_km_init_block).options(num_returns=2)
+    assign_task = ray.remote(_km_assign_block).options(num_returns=2)
+    emit_task = ray.remote(_km_emit_block)
+
+    seeds = [init_task.remote(r, col, id_col, scale, k) for r in refs]
+    ids = np.concatenate(ray.get([s[0] for s in seeds])) if seeds else \
+        np.zeros(0, np.int64)
+    if len(ids) < k:
+        raise ValueError(f"kmeans_fixed_point: need >= {k} vectors, "
+                         f"got {len(ids)}")
+    vecs = np.concatenate(
+        [v for v in ray.get([s[1] for s in seeds]) if v.size],
+        axis=0)
+    order = np.argsort(ids, kind="stable")[:k]
+    cents = vecs[order].astype(np.int64)
+
+    for _ in range(iters):
+        waves = [assign_task.remote(r, col, id_col, scale, cents)
+                 for r in refs]
+        flat = ray.get([r for pair in waves for r in pair])
+        parts = list(zip(flat[0::2], flat[1::2]))
+        kk, d = cents.shape
+        sums = [[0] * d for _ in range(kk)]
+        counts = [0] * kk
+        for s, n in parts:
+            for c in range(kk):
+                counts[c] += int(n[c])
+                if n[c]:
+                    row = sums[c]
+                    sc = s[c]
+                    for j in range(d):
+                        row[j] += int(sc[j])
+        new = cents.copy()
+        for c in range(kk):
+            if counts[c]:
+                new[c] = np.array(_km_tdiv_vec(sums[c], counts[c]),
+                                  np.int64)
+        cents = new
+    return ray.data.from_arrow_refs(
+        [emit_task.remote(r, col, id_col, scale, cents) for r in refs])

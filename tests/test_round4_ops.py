@@ -476,3 +476,78 @@ def test_jpeg_poison_payloads_dead_letter():
     out = JpegDecoder()(bad).to_pylist()
     assert [r["decode_ok"] for r in out] == [False] * 5
     assert all(r["mean_r"] is None for r in out)
+
+
+# -------------------------------------------------------------- k-means
+
+
+def _km_reference(vecs, k, iters, scale=1024):
+    """Independent dict-and-loop replay of the pinned k-means
+    recurrence (quantize half-away, argmin with lowest-index ties,
+    truncating-division updates, empty-cluster carry)."""
+    import math
+
+    q = [[int(math.floor(abs(x * scale) + 0.5)) * (1 if x >= 0 else -1)
+          for x in v] for v in vecs]
+    cents = [list(q[i]) for i in range(k)]
+
+    def assign(c):
+        out = []
+        for v in q:
+            best, bd = 0, None
+            for ci, cv in enumerate(c):
+                d = sum((a - b) ** 2 for a, b in zip(v, cv))
+                if bd is None or d < bd:
+                    best, bd = ci, d
+            out.append(best)
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        new = [list(c) for c in cents]
+        for ci in range(k):
+            members = [q[i] for i in range(len(q)) if a[i] == ci]
+            if members:
+                n = len(members)
+                new[ci] = [
+                    (abs(s) // n) * (1 if s >= 0 else -1)
+                    for s in (sum(col) for col in zip(*members))]
+        cents = new
+    return assign(cents)
+
+
+def test_kmeans_matches_reference_and_partitioning(ray_session):
+    from alco_ray.stages.similarity import kmeans_fixed_point
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(60, 6)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = _km_reference([list(v) for v in vecs], k=4, iters=3)
+
+    def ds_with_blocks(nblocks):
+        t = pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        # float32 storage like the fixture table; reference quantizes
+        # the same float64-upcast values
+        return ray.data.from_arrow(t).repartition(nblocks)
+
+    # reference quantizes from the FLOAT32-rounded values too
+    f32 = np.array([np.array(v, np.float32) for v in vecs], np.float64)
+    want = _km_reference([list(v) for v in f32], k=4, iters=3)
+    for nblocks in (1, 3, 7):
+        out = kmeans_fixed_point(ds_with_blocks(nblocks), k=4, iters=3)
+        got = {r["vec_id"]: r["cluster"] for r in out.take_all()}
+        assert [got[i] for i in range(60)] == want, nblocks
+
+
+def test_kmeans_small_corpus_raises(ray_session):
+    from alco_ray.stages.similarity import kmeans_fixed_point
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]],
+                              pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="need >= 8"):
+        kmeans_fixed_point(ray.data.from_arrow(t), k=8, iters=1)
