@@ -3136,6 +3136,18 @@ def d_cross_dup(sf_dir: str):
         ds, n=5, approx_docs=_nrows(_tp(sf_dir, "documents")))
 
 
+def d_dup_spans(sf_dir: str):
+    """Exact substring-dedup APPLY (stages/text.dup_span_mask, n=5):
+    token positions covered by any word 5-gram shared by >= 2 distinct
+    documents are masked and the document re-emitted without those
+    spans — Lee et al.'s duplicated-span removal as a two-exchange
+    distributed operator.  Grams travel as literal strings, so the
+    oracle replays the identical rule collision-free."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.dup_span_mask(
+        ds, n=5, approx_docs=_nrows(_tp(sf_dir, "documents")))
+
+
 def _nation_name_lut(sf_dir: str) -> np.ndarray:
     nation = pq.read_table(_tp(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"])
@@ -3861,6 +3873,7 @@ REGISTRY = {
     "mm_adpcm_meta": mm_adpcm_meta,
     "mm_jpeg_meta": mm_jpeg_meta,
     "v_kmeans": v_kmeans,
+    "d_dup_spans": d_dup_spans,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

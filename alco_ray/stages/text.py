@@ -847,3 +847,132 @@ def cross_doc_ngram_share(ds, *, n: int = 5, text_col: str = "text",
                              n_parts, approx_rows=(approx_docs or 0) * 2
                              or None)
             .groupby("part").map_groups(doc_fold, batch_format="pandas"))
+
+
+def dup_span_mask(ds, *, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id", n_parts: int | None = None,
+                  approx_docs: int | None = None,
+                  grams_per_doc: int = 64):
+    """Cross-document duplicated-SPAN removal — the APPLY step of
+    exact substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22): every token position
+    covered by a word ``n``-gram that occurs in >= 2 DISTINCT
+    documents is masked, and the document is re-emitted without those
+    spans.  Sibling of :func:`cross_doc_ngram_share` (which only
+    SCORES the duplication); grams travel as literal strings, so the
+    SQL oracle replays the identical rule with zero collision risk.
+
+    Shape: two exchanges, both key-partitioned —
+
+    1. gram-keyed: every gram OCCURRENCE (doc, start position) ships
+       to its gram's partition, where distinct-doc frequency is
+       partition-locally exact and only occurrences of shared grams
+       survive (volume out <= volume in, usually far less);
+    2. doc-keyed: surviving (doc, pos) masks meet the document text
+       rows; the per-partition kernel re-tokenizes (the SAME
+       tokenizer), unions the [pos, pos+n) intervals and rebuilds
+       ``clean_text``.
+
+    Output: (doc_id, n_tokens, n_masked, clean_text) for EVERY doc.
+    """
+    import pandas as pd
+
+    from .window import partition_by_key, suggest_key_partitions
+
+    sep = pa.scalar(" ", pa.string())
+    n_docs = approx_docs if approx_docs is not None else ds.count()
+    if n_parts is None:
+        n_parts = suggest_key_partitions(n_docs * grams_per_doc)
+
+    def occ_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.string()),
+                          "pos": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokenize(b[text_col], b.num_rows)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        if m < n:
+            return empty
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        mask_np = par[: m - (n - 1)] == par[n - 1:]
+        mask = pa.array(mask_np)
+        pieces = [flat.slice(i, m - (n - 1)).filter(mask)
+                  for i in range(n)]
+        grams = pieces[0]
+        for p in pieces[1:]:
+            grams = pc.binary_join_element_wise(grams, p, sep)
+        owners = par[: m - (n - 1)][mask_np]
+        # window start relative to the doc's first flat token (par is
+        # nondecreasing, so searchsorted finds each doc's base index)
+        pos = np.flatnonzero(mask_np) - np.searchsorted(par, owners,
+                                                        side="left")
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(owners)),
+            "gram": grams,
+            "pos": pa.array(pos.astype(np.int64)),
+        })
+
+    occurrences = ds.map_batches(occ_partial, batch_format="pyarrow")
+
+    def gram_keep(g: pd.DataFrame) -> pd.DataFrame:
+        shared = g.groupby("gram")[id_col].transform("nunique") > 1
+        out = g.loc[shared, [id_col, "pos"]]
+        return pd.DataFrame({id_col: out[id_col].to_numpy(np.int64),
+                             "pos": out["pos"].to_numpy(np.int64)})
+
+    masks = (partition_by_key(occurrences, "gram", n_parts)
+             .groupby("part").map_groups(gram_keep,
+                                         batch_format="pandas"))
+    mask_rows = masks.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            text_col: pa.array([""] * b.num_rows, pa.string()),
+            "pos": b["pos"]}),
+        batch_format="pyarrow")
+    text_rows = ds.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            text_col: b[text_col],
+            "pos": pa.array(np.full(b.num_rows, -1, np.int64))}),
+        batch_format="pyarrow")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_text = g["pos"].to_numpy() == -1
+        docs = g.loc[is_text, [id_col, text_col]] \
+            .sort_values(id_col, kind="mergesort")
+        dids = docs[id_col].to_numpy(np.int64)
+        toks = tokenize(pa.array(docs[text_col].tolist(), pa.string()),
+                        len(docs))
+        offs = np.asarray(toks.offsets, np.int64)
+        flat = np.asarray(toks.values.to_pylist(), dtype=object)
+        mrows = g.loc[~is_text]
+        pos_by_doc: dict = {}
+        for d, p in zip(mrows[id_col].to_numpy(np.int64),
+                        mrows["pos"].to_numpy(np.int64)):
+            pos_by_doc.setdefault(d, []).append(p)
+        out_nt = np.zeros(len(dids), np.int64)
+        out_nm = np.zeros(len(dids), np.int64)
+        out_txt = []
+        for i, d in enumerate(dids):
+            tok_i = flat[offs[i]:offs[i + 1]]
+            nt = len(tok_i)
+            out_nt[i] = nt
+            covered = np.zeros(nt, bool)
+            if d in pos_by_doc:
+                ps = np.asarray(pos_by_doc[d], np.int64)
+                idx = (ps[:, None] + np.arange(n)).reshape(-1)
+                covered[np.clip(idx, 0, nt - 1)] = True
+            out_nm[i] = int(covered.sum())
+            out_txt.append(" ".join(tok_i[~covered]))
+        return pd.DataFrame({id_col: dids, "n_tokens": out_nt,
+                             "n_masked": out_nm,
+                             "clean_text": out_txt})
+
+    doc_parts = suggest_key_partitions(n_docs)
+    return (partition_by_key(text_rows.union(mask_rows), id_col,
+                             doc_parts)
+            .groupby("part").map_groups(rebuild, batch_format="pandas"))

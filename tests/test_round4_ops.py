@@ -551,3 +551,60 @@ def test_kmeans_small_corpus_raises(ray_session):
                               pa.list_(pa.float32()))})
     with pytest.raises(ValueError, match="need >= 8"):
         kmeans_fixed_point(ray.data.from_arrow(t), k=8, iters=1)
+
+
+# --------------------------------------------------------- dup spans
+
+
+def _span_reference(texts, n=5):
+    """Independent dict-and-loop replay of the span-masking rule."""
+    import re
+    from collections import defaultdict
+
+    toks = [
+        [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        for s in texts]
+    owner = defaultdict(set)
+    for d, tk in enumerate(toks):
+        for i in range(len(tk) - n + 1):
+            owner[tuple(tk[i:i + n])].add(d)
+    out = []
+    for d, tk in enumerate(toks):
+        covered = [False] * len(tk)
+        for i in range(len(tk) - n + 1):
+            if len(owner[tuple(tk[i:i + n])]) > 1:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(tk, covered) if not c]
+        out.append((len(tk), sum(covered), " ".join(kept)))
+    return out
+
+
+def test_dup_span_mask_matches_reference(ray_session):
+    from alco_ray.stages.text import dup_span_mask
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a quick brown fox jumps over the lazy dog yesterday",  # shared span
+        "completely unrelated words appear in this one only",
+        "short doc",                                    # < n tokens
+        "",                                             # empty
+        "the quick brown fox jumps over the lazy dog tonight",  # full dup
+        "repeat repeat repeat repeat repeat repeat me",  # within-doc only
+    ]
+    want = _span_reference(texts)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    for parts in (1, 4):
+        got = {r["doc_id"]: (r["n_tokens"], r["n_masked"], r["clean_text"])
+               for r in dup_span_mask(ds, n=5, n_parts=parts,
+                                      approx_docs=len(texts)).take_all()}
+        assert len(got) == len(texts)
+        for d in range(len(texts)):
+            assert got[d] == want[d], (parts, d, got[d], want[d])
+    # the fully-duplicated pair is entirely masked; the within-doc
+    # repeat is NOT (distinct-doc rule); the unrelated doc is intact
+    assert got[0][2] == "" and got[5][2] == ""
+    assert got[6] == (7, 0, texts[6])
+    assert got[2][1] == 0
