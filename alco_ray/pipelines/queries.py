@@ -1590,17 +1590,24 @@ def d_components(sf_dir: str):
 
     def rekey(off):
         def body(b: pa.Table) -> pa.Table:
+            # row-group pushdown below already pruned; keep the exact
+            # row filter for groups straddling the boundary
             b = b.filter(pc.less(b["doc_id"], 60))
             return b.set_column(
                 b.schema.get_field_index("doc_id"), "doc_id",
                 pc.add(b["doc_id"], pa.scalar(off, pa.int64())))
         return body
 
-    u = ds.union(
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(rekey(1_000_000), batch_format="pyarrow"),
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(rekey(2_000_000), batch_format="pyarrow"))
+    def head60(off):
+        # predicate-pushdown read: only row groups overlapping
+        # doc_id < 60 leave storage, not the whole text column
+        import pyarrow.dataset as pads
+
+        return _read(sf_dir, "documents", columns=["doc_id", "text"],
+                     filter=(pads.field("doc_id") < 60)) \
+            .map_batches(rekey(off), batch_format="pyarrow")
+
+    u = ds.union(head60(1_000_000), head60(2_000_000))
     pairs = dedup.simhash_near_pairs(u, max_hamming=7)
     pt = agg_stage.concat_nonempty(
         ray.get(pairs.to_arrow_refs())).select(["doc_a", "doc_b"])
