@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     # distributed components, real compressed codecs)
     "d_model_score", "d_pack_bpe", "d_components",
     "mm_png_meta", "mm_adpcm_meta", "mm_jpeg_meta",
+    "v_kmeans", "d_dup_spans",
 ]
 
 
