@@ -1883,6 +1883,20 @@ def e_approx_users(sf_dir: str):
     return ray.data.from_arrow(hll_distinct(ds, "event_type", "user_id"))
 
 
+def e_value_sketch(sf_dir: str):
+    """Mergeable-sketch QUANTILES (deterministic MRL, k=256):
+    approximate percentiles of the event value — the sketch-family
+    sibling of e_approx_users (HLL distinct) and d_heavy_tokens
+    (Misra-Gries frequency), and the 100-TB alternative to
+    e_value_quantiles' exact path.  Rows-only driver check — an
+    approximation has no exact SQL twin; the deterministic rank-error
+    bound and mergeability are pinned by pytest."""
+    from ..stages.sketch import quantile_sketch
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return quantile_sketch(ds, "value", k=256)
+
+
 def e_range_join(sf_dir: str):
     """Time-RANGE join (the non-equi-join shape): for every 'error'
     event, how many OTHER events of the same user fall within ±60 s.
@@ -3881,6 +3895,7 @@ REGISTRY = {
     "mm_jpeg_meta": mm_jpeg_meta,
     "v_kmeans": v_kmeans,
     "d_dup_spans": d_dup_spans,
+    "e_value_sketch": e_value_sketch,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

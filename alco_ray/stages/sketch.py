@@ -292,3 +292,120 @@ def bloom_from_dataset(ds, col: str, *, m_bits: int,
         for blob in parts["w"].to_pylist():
             words |= np.frombuffer(blob, np.uint64)
     return words
+
+
+# --------------------------------------------- deterministic quantile sketch
+
+def mrl_collapse(buf: np.ndarray):
+    """One MRL collapse: sort, keep every other element starting at a
+    FIXED offset (deterministic — the classic Munro-Paterson /
+    Manku-Rajagopalan-Lindsay compaction; randomizing the offset gives
+    KLL's tighter constants, but a fixed offset keeps the whole sketch
+    reproducible run-to-run).  Odd-length buffers leave one element
+    behind at the current level so total weight is EXACTLY preserved.
+    Returns (promoted, leftover)."""
+    s = np.sort(buf, kind="stable")
+    if len(s) % 2:
+        return s[1:][1::2], s[:1]
+    return s[1::2], s[:0]
+
+
+def mrl_build(values: np.ndarray, k: int = 256) -> list:
+    """Level-array sketch of ``values``: entries at level i carry
+    weight 2^i; any level holding >= 2k entries collapses into the
+    next.  Deterministic rank error per level <= weight/2, so the
+    total rank error is O(N log(N/k) / k) — the classic bound."""
+    levels: list[np.ndarray] = [np.asarray(values, np.int64)]
+    return _mrl_compact(levels, k)
+
+
+def _mrl_compact(levels: list, k: int) -> list:
+    i = 0
+    while i < len(levels):
+        while len(levels[i]) >= 2 * k:
+            promoted, leftover = mrl_collapse(levels[i])
+            levels[i] = leftover
+            if i + 1 == len(levels):
+                levels.append(np.zeros(0, np.int64))
+            levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+        i += 1
+    return levels
+
+
+def mrl_merge(a: list, b: list, k: int = 256) -> list:
+    """Merge two level-array sketches (same-level concat + re-collapse)
+    — the mergeability that makes the sketch a per-block partial."""
+    n = max(len(a), len(b))
+    out = []
+    for i in range(n):
+        av = a[i] if i < len(a) else np.zeros(0, np.int64)
+        bv = b[i] if i < len(b) else np.zeros(0, np.int64)
+        out.append(np.concatenate([av, bv]))
+    return _mrl_compact(out, k)
+
+
+def mrl_quantile(levels: list, q: float) -> int:
+    """Weighted-rank quantile from a level-array sketch."""
+    vals = np.concatenate([lv for lv in levels if len(lv)]) \
+        if any(len(lv) for lv in levels) else np.zeros(0, np.int64)
+    if not len(vals):
+        raise ValueError("mrl_quantile: empty sketch")
+    wts = np.concatenate([
+        np.full(len(lv), 1 << i, np.int64)
+        for i, lv in enumerate(levels) if len(lv)])
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    target = q * cum[-1]
+    return int(vals[np.searchsorted(cum, target, side="left")])
+
+
+def quantile_sketch(ds, col: str, *, k: int = 256,
+                    qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99)):
+    """APPROXIMATE quantiles via a mergeable deterministic MRL sketch —
+    the sketch-family sibling of hll_distinct (distinct) and
+    heavy_hitters (frequency): per-block ``mrl_build`` partials (a few
+    KiB each regardless of block size), tree-merged driver-side, so at
+    100 TB the exact sort/shuffle of e_value_quantiles is replaced by
+    an O(blocks x k log(N/k)) fold.  Rank error is deterministic (no
+    failure probability); the bound is pytest-pinned against the exact
+    quantiles.  Returns a pa.Table (q, value)."""
+    import pyarrow as pa
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        import io
+        import pickle
+
+        if b.num_rows == 0 or col not in b.schema.names:
+            payload = pickle.dumps([])
+        else:
+            v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            payload = pickle.dumps([lv for lv in mrl_build(v, k)])
+        return pa.table({"sk": pa.array([payload], pa.binary())})
+
+    import pickle
+
+    parts = ray.get(ds.map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs())
+    sketches = []
+    for p in parts:
+        if p.num_rows == 0 or "sk" not in p.schema.names:
+            continue
+        for blob in p["sk"].to_pylist():
+            lv = pickle.loads(blob)
+            if any(len(x) for x in lv):
+                sketches.append(lv)
+    if not sketches:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    # fixed left-fold merge order (block order is deterministic for a
+    # given input), so repeated runs produce identical sketches
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = mrl_merge(acc, s, k)
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "value": pa.array([mrl_quantile(acc, q) for q in qs],
+                          pa.int64()),
+    })

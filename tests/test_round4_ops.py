@@ -608,3 +608,62 @@ def test_dup_span_mask_matches_reference(ray_session):
     assert got[0][2] == "" and got[5][2] == ""
     assert got[6] == (7, 0, texts[6])
     assert got[2][1] == 0
+
+
+# ---------------------------------------------------- quantile sketch
+
+
+def test_mrl_sketch_rank_error_bound():
+    """Deterministic MRL: observed rank error of every queried
+    quantile stays within the level-weight budget (sum of collapse
+    weights), checked against exact quantiles on adversarial and
+    random inputs."""
+    from alco_ray.stages.sketch import mrl_build, mrl_quantile
+
+    rng = np.random.RandomState(17)
+    for vals in (rng.randint(-10**9, 10**9, 200_000),
+                 np.arange(200_000),           # sorted
+                 np.arange(200_000)[::-1],     # reverse-sorted
+                 np.repeat([5, -3, 11], 50_000)):
+        vals = vals.astype(np.int64)
+        sk = mrl_build(vals, k=256)
+        vs = np.sort(vals)
+        n = len(vs)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            got = mrl_quantile(sk, q)
+            # a duplicated value occupies a rank INTERVAL — error is
+            # the distance from q*n to [left, right)
+            lo = np.searchsorted(vs, got, side="left")
+            hi = np.searchsorted(vs, got, side="right")
+            err = max(lo - q * n, q * n - hi, 0)
+            # generous envelope: 2% of N for k=256 (measured ~0.5%)
+            assert err <= 0.02 * n + 256, (q, lo, hi, q * n)
+
+
+def test_mrl_merge_equals_monolithic_weight_and_bound():
+    from alco_ray.stages.sketch import (mrl_build, mrl_merge,
+                                        mrl_quantile)
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 10**6, 60_000).astype(np.int64)
+    b = rng.randint(0, 10**6, 90_000).astype(np.int64)
+    merged = mrl_merge(mrl_build(a, 256), mrl_build(b, 256), 256)
+    # total weight is exactly preserved by collapses and merges
+    tot = sum(len(lv) * (1 << i) for i, lv in enumerate(merged))
+    assert tot == len(a) + len(b)
+    allv = np.sort(np.concatenate([a, b]))
+    med = mrl_quantile(merged, 0.5)
+    rank = np.searchsorted(allv, med)
+    assert abs(rank - 0.5 * len(allv)) <= 0.02 * len(allv) + 256
+
+
+def test_quantile_sketch_dataset_roundtrip(ray_session):
+    from alco_ray.stages.sketch import quantile_sketch
+
+    vals = np.arange(50_000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(vals)})) \
+        .repartition(8)
+    out = quantile_sketch(ds, "value", k=256)
+    got = {r["q"]: r["value"] for r in out.to_pylist()}
+    for q, v in got.items():
+        assert abs(v - q * 50_000) <= 0.02 * 50_000 + 256, (q, v)
