@@ -264,14 +264,23 @@ def main() -> None:
 
     qs = entrymod.queries()
     per_query: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for _ in range(query_trials):
         for name in BENCH_QUERIES:
             if name not in qs:
                 continue
             t0 = time.perf_counter()
-            _consume(qs[name](SF_DIR))
+            try:
+                _consume(qs[name](SF_DIR))
+            except Exception as e:  # noqa: BLE001
+                # One transient (worker death, object-store flake) must
+                # not lose the whole bench record — report the failure
+                # alongside the surviving timings instead.
+                failed[name] = f"{type(e).__name__}: {e}"[:200]
+                continue
             dt = round(time.perf_counter() - t0, 3)
             per_query[name] = min(per_query.get(name, dt), dt)
+    extra = {"failed_queries": failed} if failed else {}
 
     print(json.dumps({
         "metric": "flagship parse->enrich->route->aggregate wall time",
@@ -284,6 +293,7 @@ def main() -> None:
         "num_cpus": CPUS,
         "turns": flagship["turns"],
         "turns_per_sec": round(flagship["turns_per_sec"], 1),
+        **extra,
     }))
     ray.shutdown()
 
