@@ -1897,6 +1897,18 @@ def e_value_sketch(sf_dir: str):
     return quantile_sketch(ds, "value", k=256)
 
 
+def e_type_sketch(sf_dir: str):
+    """Per-GROUP approximate quantiles (MRL sketch per event_type) —
+    grouped percentiles without the exact per-group sort: per-block
+    {group: sketch} partials, driver tree-merge per group (bounded
+    key domain).  Rows-only driver check; bounds pytest-pinned with
+    the global sibling e_value_sketch."""
+    from ..stages.sketch import quantile_sketch_grouped
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return quantile_sketch_grouped(ds, "event_type", "value", k=256)
+
+
 def e_range_join(sf_dir: str):
     """Time-RANGE join (the non-equi-join shape): for every 'error'
     event, how many OTHER events of the same user fall within ±60 s.
@@ -3896,6 +3908,7 @@ REGISTRY = {
     "v_kmeans": v_kmeans,
     "d_dup_spans": d_dup_spans,
     "e_value_sketch": e_value_sketch,
+    "e_type_sketch": e_type_sketch,
     # ---- tail: all 105 entries below carry a driver-green
     # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
     # relative order preserved from round 3.  Per-operator pin

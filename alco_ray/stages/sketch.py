@@ -409,3 +409,53 @@ def quantile_sketch(ds, col: str, *, k: int = 256,
         "value": pa.array([mrl_quantile(acc, q) for q in qs],
                           pa.int64()),
     })
+
+
+def quantile_sketch_grouped(ds, group_col: str, col: str, *, k: int = 256,
+                            qs: tuple = (0.25, 0.5, 0.75)):
+    """Per-GROUP approximate quantiles via the MRL sketch — grouped
+    percentiles without the exact per-group sort/shuffle: each block
+    emits one pickled {group: levels} dict (bounded: groups x k
+    entries), the driver tree-merges per group.  Bounded-key doctrine
+    (group domain is schema-scale, like interval_counts' sink x level).
+    Returns a pa.Table (group, q, value) sorted by (group, q)."""
+    import pickle
+
+    import pyarrow as pa
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        by_group = {}
+        if b.num_rows and col in b.schema.names:
+            import pandas as pd  # noqa: F811
+
+            g = pd.DataFrame({
+                "g": b[group_col].to_pandas(),
+                "v": b[col].to_numpy(zero_copy_only=False)
+                .astype(np.int64)})
+            for key, sub in g.groupby("g", sort=False):
+                by_group[key] = mrl_build(sub["v"].to_numpy(), k)
+        return pa.table({"sk": pa.array([pickle.dumps(by_group)],
+                                        pa.binary())})
+
+    parts = ray.get(ds.map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs())
+    merged: dict = {}
+    for p in parts:
+        if p.num_rows == 0 or "sk" not in p.schema.names:
+            continue
+        for blob in p["sk"].to_pylist():
+            for key, lv in pickle.loads(blob).items():
+                merged[key] = mrl_merge(merged[key], lv, k) \
+                    if key in merged else lv
+    g_out, q_out, v_out = [], [], []
+    for key in sorted(merged):
+        for q in qs:
+            g_out.append(key)
+            q_out.append(q)
+            v_out.append(mrl_quantile(merged[key], q))
+    return pa.table({
+        group_col: pa.array(g_out),
+        "q": pa.array(q_out, pa.float64()),
+        "value": pa.array(v_out, pa.int64()),
+    })

@@ -667,3 +667,28 @@ def test_quantile_sketch_dataset_roundtrip(ray_session):
     got = {r["q"]: r["value"] for r in out.to_pylist()}
     for q, v in got.items():
         assert abs(v - q * 50_000) <= 0.02 * 50_000 + 256, (q, v)
+
+
+def test_quantile_sketch_grouped_bounds(ray_session):
+    from alco_ray.stages.sketch import quantile_sketch_grouped
+
+    rng = np.random.RandomState(9)
+    groups = np.repeat(["a", "b", "c"], 30_000)
+    vals = np.concatenate([
+        rng.randint(0, 1000, 30_000),
+        rng.randint(5000, 9000, 30_000),
+        np.arange(30_000)])
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(groups),
+        "value": pa.array(vals.astype(np.int64))})).repartition(6)
+    out = quantile_sketch_grouped(ds, "event_type", "value", k=256)
+    rows = out.to_pylist()
+    assert sorted({r["event_type"] for r in rows}) == ["a", "b", "c"]
+    by_g = {g: np.sort(vals[groups == g]) for g in "abc"}
+    for r in rows:
+        vs = by_g[r["event_type"]]
+        lo = np.searchsorted(vs, r["value"], side="left")
+        hi = np.searchsorted(vs, r["value"], side="right")
+        n = len(vs)
+        err = max(lo - r["q"] * n, r["q"] * n - hi, 0)
+        assert err <= 0.02 * n + 256, r
