@@ -3827,22 +3827,36 @@ REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
     # exactly the FIRST 50 registry entries each round (verified in
-    # rounds 1-3; the windows rotate).  Rounds 1-3 cumulatively
-    # driver-checked 105 of the 155 entries; the round-4 window below
-    # holds PRECISELY the 50 entries never yet driver-checked, so the
-    # cumulative driver-checked set reaches 155/155 this round
-    # (VERDICT r3 item 3).  Every entry -- window and tail -- stays
-    # hash-verified at sf0.001/sf0.01/sf0.1 by
-    # scripts/check_contract.py, which since round 3i also replicates
-    # the driver's dtype sensitivity (engine/oracle pandas dtype
-    # equality demanded before value compare).
-    # Within the window: three entries are rows-only BY DESIGN
-    # (e_approx_users: approximate HLL; v_knn_lsh / v_knn_ivf:
-    # approximate ANN probes -- recall pytest-pinned, exact retrieval
-    # driver-checked via v_knn in r03); the other 47 carry full SQL
-    # oracles.  Round-4 additions (d_model_score, BPE family, ...)
-    # ride the FRONT of the tail as the round-5 window candidates.
+    # rounds 1-4; the windows rotate).  Rounds 1-4 cumulatively
+    # driver-checked 155 of the 167 round-4 entries; the round-5
+    # window below LEADS with (a) the 12 round-4 additions the driver
+    # has never seen, (b) e_event_gaps + q_asof_join (the only two
+    # driver-recorded FAILs in project history -- fixed in r4 commit
+    # b3a6c65, locally green, but the driver never witnessed the fix),
+    # and (c) the round-5 additions, per VERDICT r4 item 1.  The rest
+    # of the window is back-filled with r04-green entries.  Every
+    # entry -- window and tail -- stays hash-verified at
+    # sf0.001/sf0.01/sf0.1 by scripts/check_contract.py, which
+    # replicates the driver's dtype sensitivity.
     # ------------------------------------------------------------------
+    # (a) never driver-checked round-4 additions
+    "d_model_score": d_model_score,
+    "d_bpe_tokens": d_bpe_tokens,
+    "d_pack_bpe": d_pack_bpe,
+    "d_chunk_bpe": d_chunk_bpe,
+    "t_grep_after": t_grep_after,
+    "mm_png_meta": mm_png_meta,
+    "mm_adpcm_meta": mm_adpcm_meta,
+    "mm_jpeg_meta": mm_jpeg_meta,
+    "v_kmeans": v_kmeans,
+    "d_dup_spans": d_dup_spans,
+    "e_value_sketch": e_value_sketch,
+    "e_type_sketch": e_type_sketch,
+    # (b) the two r03 driver FAILs whose fix needs a driver witness
+    "e_event_gaps": e_event_gaps,
+    "q_asof_join": q_asof_join,
+    # (c) round-5 additions slot here (inserted as they are built)
+    # ---- round-5 window back-fill (r04-green) -----------------------
     "e_dense_rank": e_dense_rank,
     "q_ship_priority": q_ship_priority,
     "d_ngram_top": d_ngram_top,
@@ -3893,27 +3907,10 @@ REGISTRY = {
     "q_supplier_variety": q_supplier_variety,
     "mm_ppm_resize": mm_ppm_resize,
     "e_asof_lookup": e_asof_lookup,
-    # ---- gate-window edge (position 50) ----------------------------
-    # Round-4 additions: never driver-checked, lead the tail so a
-    # round-5 window picks them up first.  (See BASELINE.md "Driver
-    # gate window".)
-    "d_model_score": d_model_score,
-    "d_bpe_tokens": d_bpe_tokens,
-    "d_pack_bpe": d_pack_bpe,
-    "d_chunk_bpe": d_chunk_bpe,
-    "t_grep_after": t_grep_after,
-    "mm_png_meta": mm_png_meta,
-    "mm_adpcm_meta": mm_adpcm_meta,
-    "mm_jpeg_meta": mm_jpeg_meta,
-    "v_kmeans": v_kmeans,
-    "d_dup_spans": d_dup_spans,
-    "e_value_sketch": e_value_sketch,
-    "e_type_sketch": e_type_sketch,
-    # ---- tail: all 105 entries below carry a driver-green
-    # CORRECTNESS row from rounds 1-3 (union of CORRECTNESS_r01/2/3);
-    # relative order preserved from round 3.  Per-operator pin
-    # rationale lives in git history (round-3 registry comments) and
-    # docs/OPERATORS.md.
+    # ---- tail: every entry below carries a driver-green CORRECTNESS
+    # row from rounds 1-4 (union of CORRECTNESS_r01/2/3/4); relative
+    # order preserved.  Per-operator pin rationale lives in git
+    # history (round-3 registry comments) and docs/OPERATORS.md.
     "q_pagerank": q_pagerank,
     "q_fuzzy_names": q_fuzzy_names,
     "e_densify": e_densify,
@@ -3952,10 +3949,8 @@ REGISTRY = {
     "q_order_priority": q_order_priority,
     "d_source_cap": d_source_cap,
     "e_pivot": e_pivot,
-    "e_event_gaps": e_event_gaps,
     "e_user_cumsum": e_user_cumsum,
     "q_full_join": q_full_join,
-    "q_asof_join": q_asof_join,
     "e_unpivot": e_unpivot,
     "v_centroid": v_centroid,
     "e_value_corr": e_value_corr,
