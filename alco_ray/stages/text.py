@@ -191,6 +191,23 @@ def hash_tokens(tokens: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(tokens.astype(object), categorize=False)
 
 
+def hash_strings(arr: pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash per element of an Arrow string array.
+
+    Prefers polars' native hash kernel (zero Python-object round trip
+    — the string buffers are hashed in place); job-internal use only
+    (never persisted), so cross-version hash stability is not needed.
+    Falls back to :func:`hash_tokens` when polars is unavailable."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        import polars as pl
+        return pl.from_arrow(arr).hash(seed=0) \
+            .to_numpy().astype(np.uint64, copy=False)
+    except ImportError:  # pragma: no cover - polars is baked in
+        return hash_tokens(arr.to_numpy(zero_copy_only=False))
+
+
 def segmented_window_hashes(vals: np.ndarray, offs: np.ndarray, k: int,
                             B: np.uint64, mod: np.uint64 | None = None,
                             ) -> tuple[np.ndarray, np.ndarray]:
@@ -772,42 +789,39 @@ def cross_doc_ngram_share(ds, *, n: int = 5, text_col: str = "text",
     signal (cf. Lee et al., "Deduplicating Training Data Makes
     Language Models Better", ACL'22) at n-gram granularity.
 
-    Shape: per-batch (doc, gram) distinct partials (a document lives
-    wholly in one batch) -> gram-hash partitions where a gram's
-    document frequency is partition-locally exact; each partition
-    PRE-FOLDS to per-doc (grams-seen, grams-shared) counts, so the
-    second (doc-keyed) exchange moves <= |docs| rows per partition, not
-    the gram stream.  Documents shorter than ``n`` tokens surface with
-    zero counts via a doc-id base union — no driver materialization
-    anywhere.  Output: (doc_id, n_grams, n_dup, dup_share)."""
+    Shape: per-batch (doc, gram-hash) distinct partials (a document
+    lives wholly in one batch; :func:`segmented_window_hashes` emits
+    the per-doc DISTINCT uint64 window hashes directly, so no literal
+    gram string is ever materialized or shuffled — 8 bytes/gram on the
+    wire) -> gram-hash partitions where a gram's document frequency is
+    partition-locally exact; each partition PRE-FOLDS to per-doc
+    (grams-seen, grams-shared) counts, so the second (doc-keyed)
+    exchange moves <= |docs| rows per partition, not the gram stream.
+    Documents shorter than ``n`` tokens surface with zero counts via a
+    doc-id base union — no driver materialization anywhere.  The SQL
+    oracle replays the literal-gram rule; divergence requires a 64-bit
+    cross-gram collision (P ~ G^2/2^65).  Output: (doc_id, n_grams,
+    n_dup, dup_share)."""
     from .window import partition_by_key, suggest_key_partitions
-
-    sep = pa.scalar(" ", pa.string())
 
     def gram_partial(b: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], b[id_col].type),
-                          "gram": pa.array([], pa.string())})
+                          "gram": pa.array([], pa.uint64())})
         if b.num_rows == 0:
             return empty
         toks = tokenize(b[text_col], b.num_rows)
         flat = pc.list_flatten(toks)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        m = len(flat)
-        if m < n:
+        if len(flat) < n:
             return empty
-        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        mask_np = par[: m - (n - 1)] == par[n - 1:]
-        mask = pa.array(mask_np)
-        pieces = [flat.slice(i, m - (n - 1)).filter(mask) for i in range(n)]
-        grams = pieces[0]
-        for p in pieces[1:]:
-            grams = pc.binary_join_element_wise(grams, p, sep)
-        owners = par[: m - (n - 1)][mask_np]
-        ids = pc.take(b[id_col], pa.array(owners))
-        t = pa.table({id_col: ids, "gram": grams})
-        return (t.group_by([id_col, "gram"]).aggregate([])
-                .rename_columns([id_col, "gram"]))
+        hv = hash_strings(flat)
+        offs = np.asarray(toks.offsets, np.int64)
+        win, woffs = segmented_window_hashes(hv, offs, n, _TRIGRAM_B)
+        owners = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                           np.diff(woffs))
+        return pa.table({id_col: pc.take(b[id_col], pa.array(owners)),
+                         "gram": pa.array(win)})
 
     grams = ds.map_batches(gram_partial, batch_format="pyarrow")
     if n_parts is None:
@@ -859,19 +873,31 @@ def dup_span_mask(ds, *, n: int = 5, text_col: str = "text",
     covered by a word ``n``-gram that occurs in >= 2 DISTINCT
     documents is masked, and the document is re-emitted without those
     spans.  Sibling of :func:`cross_doc_ngram_share` (which only
-    SCORES the duplication); grams travel as literal strings, so the
-    SQL oracle replays the identical rule with zero collision risk.
+    SCORES the duplication).
+
+    Grams travel through the gram-keyed exchange as uint64 ROLLING
+    HASHES (per-token :func:`hash_strings` values combined by the same
+    order-sensitive polynomial as :func:`segmented_window_hashes`),
+    NOT literal strings — shuffle volume is 8 bytes/window instead of
+    ~n x the corpus text bytes, which is what makes this exchange
+    survivable at 100 TB.  The SQL oracle replays the literal-gram
+    rule; a divergence needs two DIFFERENT n-grams colliding on 64
+    bits inside one frequency test (P ~ G^2/2^65 — vanishing at any
+    testable scale, and an error only ADDS a masked span, never drops
+    one).
 
     Shape: two exchanges, both key-partitioned —
 
     1. gram-keyed: every gram OCCURRENCE (doc, start position) ships
-       to its gram's partition, where distinct-doc frequency is
+       to its gram hash's partition, where distinct-doc frequency is
        partition-locally exact and only occurrences of shared grams
        survive (volume out <= volume in, usually far less);
     2. doc-keyed: surviving (doc, pos) masks meet the document text
        rows; the per-partition kernel re-tokenizes (the SAME
-       tokenizer), unions the [pos, pos+n) intervals and rebuilds
-       ``clean_text``.
+       tokenizer), unions the [pos, pos+n) intervals with one
+       interval-diff pass over the flat token array, and rebuilds
+       ``clean_text`` with Arrow filter + ``pc.binary_join`` — no
+       per-document Python loop.
 
     Output: (doc_id, n_tokens, n_masked, clean_text) for EVERY doc.
     """
@@ -879,14 +905,14 @@ def dup_span_mask(ds, *, n: int = 5, text_col: str = "text",
 
     from .window import partition_by_key, suggest_key_partitions
 
-    sep = pa.scalar(" ", pa.string())
+    B = _TRIGRAM_B
     n_docs = approx_docs if approx_docs is not None else ds.count()
     if n_parts is None:
         n_parts = suggest_key_partitions(n_docs * grams_per_doc)
 
     def occ_partial(b: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "gram": pa.array([], pa.string()),
+                          "gram": pa.array([], pa.uint64()),
                           "pos": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
@@ -899,12 +925,11 @@ def dup_span_mask(ds, *, n: int = 5, text_col: str = "text",
             return empty
         par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         mask_np = par[: m - (n - 1)] == par[n - 1:]
-        mask = pa.array(mask_np)
-        pieces = [flat.slice(i, m - (n - 1)).filter(mask)
-                  for i in range(n)]
-        grams = pieces[0]
-        for p in pieces[1:]:
-            grams = pc.binary_join_element_wise(grams, p, sep)
+        hv = hash_strings(flat)
+        with np.errstate(over="ignore"):
+            acc = hv[: m - (n - 1)].copy()
+            for j in range(1, n):
+                acc = acc * B + hv[j: m - (n - 1) + j]
         owners = par[: m - (n - 1)][mask_np]
         # window start relative to the doc's first flat token (par is
         # nondecreasing, so searchsorted finds each doc's base index)
@@ -912,7 +937,7 @@ def dup_span_mask(ds, *, n: int = 5, text_col: str = "text",
                                                         side="left")
         return pa.table({
             id_col: pc.take(b[id_col], pa.array(owners)),
-            "gram": grams,
+            "gram": pa.array(acc[mask_np]),
             "pos": pa.array(pos.astype(np.int64)),
         })
 
@@ -945,32 +970,40 @@ def dup_span_mask(ds, *, n: int = 5, text_col: str = "text",
         docs = g.loc[is_text, [id_col, text_col]] \
             .sort_values(id_col, kind="mergesort")
         dids = docs[id_col].to_numpy(np.int64)
-        toks = tokenize(pa.array(docs[text_col].tolist(), pa.string()),
-                        len(docs))
+        if len(dids) == 0:
+            return pd.DataFrame({id_col: dids,
+                                 "n_tokens": np.zeros(0, np.int64),
+                                 "n_masked": np.zeros(0, np.int64),
+                                 "clean_text": []})
+        toks = tokenize(pa.array(docs[text_col], pa.string(),
+                                 from_pandas=True), len(docs))
         offs = np.asarray(toks.offsets, np.int64)
-        flat = np.asarray(toks.values.to_pylist(), dtype=object)
+        total = int(offs[-1])
+        nt = np.diff(offs)
         mrows = g.loc[~is_text]
-        pos_by_doc: dict = {}
-        for d, p in zip(mrows[id_col].to_numpy(np.int64),
-                        mrows["pos"].to_numpy(np.int64)):
-            pos_by_doc.setdefault(d, []).append(p)
-        out_nt = np.zeros(len(dids), np.int64)
-        out_nm = np.zeros(len(dids), np.int64)
-        out_txt = []
-        for i, d in enumerate(dids):
-            tok_i = flat[offs[i]:offs[i + 1]]
-            nt = len(tok_i)
-            out_nt[i] = nt
-            covered = np.zeros(nt, bool)
-            if d in pos_by_doc:
-                ps = np.asarray(pos_by_doc[d], np.int64)
-                idx = (ps[:, None] + np.arange(n)).reshape(-1)
-                covered[np.clip(idx, 0, nt - 1)] = True
-            out_nm[i] = int(covered.sum())
-            out_txt.append(" ".join(tok_i[~covered]))
-        return pd.DataFrame({id_col: dids, "n_tokens": out_nt,
-                             "n_masked": out_nm,
-                             "clean_text": out_txt})
+        mdid = mrows[id_col].to_numpy(np.int64)
+        mpos = mrows["pos"].to_numpy(np.int64)
+        # Interval union over the FLAT token array: one diff pass for
+        # every mask in the partition (no per-document Python loop).
+        ridx = np.searchsorted(dids, mdid)
+        starts = offs[ridx] + np.clip(mpos, 0,
+                                      np.maximum(nt[ridx] - 1, 0))
+        ends = np.minimum(starts + n, offs[ridx + 1])
+        delta = np.zeros(total + 1, np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        kept = np.cumsum(delta[:-1]) <= 0
+        cum = np.concatenate([[0], np.cumsum(kept)])
+        kept_per_doc = cum[offs[1:]] - cum[offs[:-1]]
+        # Segmented rebuild: filter the flat Arrow values, re-list with
+        # the kept-prefix-sum offsets, join — zero Python strings.
+        kept_vals = toks.values.filter(pa.array(kept))
+        lists = pa.ListArray.from_arrays(
+            pa.array(cum[offs], pa.int64()).cast(pa.int32()), kept_vals)
+        clean = pc.binary_join(lists, " ")
+        return pd.DataFrame({id_col: dids, "n_tokens": nt,
+                             "n_masked": nt - kept_per_doc,
+                             "clean_text": clean.to_pandas()})
 
     doc_parts = suggest_key_partitions(n_docs)
     return (partition_by_key(text_rows.union(mask_rows), id_col,
