@@ -42,8 +42,19 @@ from ..state.checkpoint import (CheckpointManifest,
                                 cleanup_uncommitted_outputs, make_waves)
 
 
+#: Dictionary-encoded columns are the LOW-cardinality enum-ish ones
+#: (role, tool): every dict is broadcast whole to every ingest actor
+#: and grown via a driver-side set, so a high-cardinality column
+#: (user text, ids) pointed at this path would silently build a
+#: giant driver-resident dict.  Guarded: past this cap the build
+#: RAISES naming the column instead of degrading.
+MAX_DICT_CARDINALITY = 100_000
+
+
 def build_or_load_dicts(files: list[str], cfg: PipelineConfig,
-                        cache_dir: str | Path) -> dict[str, pa.Table]:
+                        cache_dir: str | Path,
+                        max_cardinality: int = MAX_DICT_CARDINALITY,
+                        ) -> dict[str, pa.Table]:
     """J1 build: role/tool dicts from a column-pruned distinct pass,
     cached as Parquet artifacts and grown **insert-if-absent**.
 
@@ -94,6 +105,14 @@ def build_or_load_dicts(files: list[str], cfg: PipelineConfig,
                         dicts[c] = grown
                 else:
                     dicts[c] = fresh[c]
+                if dicts[c].num_rows > max_cardinality:
+                    raise ValueError(
+                        f"dictionary column {c!r} has cardinality "
+                        f"{dicts[c].num_rows} > max_cardinality="
+                        f"{max_cardinality}: dictionary encoding is "
+                        "for low-cardinality enum columns (the dict "
+                        "is broadcast whole to every actor); exclude "
+                        "this column or raise the cap explicitly")
                 tmp = cache / f".{c}.parquet.tmp.{os.getpid()}"
                 pq.write_table(dicts[c], tmp)
                 os.replace(tmp, cache / f"{c}.parquet")

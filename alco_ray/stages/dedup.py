@@ -513,6 +513,52 @@ def lsh_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             .groupby("part2").map_groups(sum_pairs, batch_format="pandas"))
 
 
+def _count_block_rows(refs) -> list:
+    """Per-block row counts for a list of Arrow block refs, counted
+    remotely (colocated with each block) — the driver never pulls a
+    block just to count it."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def block_rows(t) -> int:
+        return t.num_rows
+
+    return ray.get([block_rows.remote(r) for r in refs])
+
+
+def _verify_in_waves(ds, refs, counts, threshold, *, text_col, id_col,
+                     k, max_candidates):
+    """Bounded-wave driver loop behind :func:`verify_pairs`: greedily
+    pack candidate block refs into <= max_candidates-pair shards and
+    verify each shard independently.  Exact — every pair is in exactly
+    one shard and Jaccard verification is per-pair."""
+    import ray
+
+    from .aggregate import concat_nonempty
+
+    waves: list[list] = []
+    cur: list = []
+    cur_n = 0
+    for r, c in zip(refs, counts):
+        if cur and cur_n + c > max_candidates:
+            waves.append(cur)
+            cur, cur_n = [], 0
+        cur.append(r)
+        cur_n += c
+    if cur:
+        waves.append(cur)
+    outs = []
+    for w in waves:
+        t = concat_nonempty(ray.get(w))
+        outs.append(verify_pairs(ds, t, threshold, text_col=text_col,
+                                 id_col=id_col, k=k,
+                                 max_candidates=max_candidates))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
 def verify_pairs(ds, candidates, threshold: float = 0.5, *,
                  text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3, max_candidates: int = 50_000_000):
@@ -530,6 +576,18 @@ def verify_pairs(ds, candidates, threshold: float = 0.5, *,
     makes that a checked limit), run the exact bucketed pair kernel
     over that subset (cost ~ |involved|, not corpus), then intersect
     with the candidate set.  Returns Dataset(doc_a, doc_b, inter, uni).
+
+    Above ``max_candidates`` the verification runs in bounded WAVES
+    instead of raising: candidate blocks are greedily packed into
+    <= max_candidates-pair shards (one candidate block held on the
+    driver at a time, never the full table), each shard is verified
+    independently against its own semi-joined corpus subset, and the
+    per-shard result datasets are unioned.  A pair lands in exactly
+    one shard, so the union is exact.  Each wave re-scans the corpus
+    for its semi-join — at W waves that is W corpus scans, the price
+    of bounding driver/broadcast memory; callers with pathological
+    candidate volume should raise ``max_candidates`` toward what a
+    single broadcast can hold rather than paying many scans.
     """
     import ray
     import ray.data
@@ -537,11 +595,25 @@ def verify_pairs(ds, candidates, threshold: float = 0.5, *,
     from .aggregate import concat_nonempty
 
     if hasattr(candidates, "to_arrow_refs"):
-        candidates = concat_nonempty(ray.get(candidates.to_arrow_refs()))
+        refs = candidates.to_arrow_refs()
+        counts = _count_block_rows(refs)
+        if sum(counts) > max_candidates:
+            return _verify_in_waves(
+                ds, refs, counts, threshold, text_col=text_col,
+                id_col=id_col, k=k, max_candidates=max_candidates)
+        candidates = concat_nonempty(ray.get(refs))
     if candidates.num_rows > max_candidates:
-        raise ValueError(
-            f"verify_pairs: {candidates.num_rows} candidates exceed "
-            f"max_candidates={max_candidates}; verify in shards")
+        # Table input over the cap: zero-copy slice into waves.
+        slices = [candidates.slice(i, max_candidates)
+                  for i in range(0, candidates.num_rows, max_candidates)]
+        outs = [verify_pairs(ds, s, threshold, text_col=text_col,
+                             id_col=id_col, k=k,
+                             max_candidates=max_candidates)
+                for s in slices]
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.union(o)
+        return res
     if candidates.num_rows == 0:
         empty = pa.table({"doc_a": pa.array([], pa.int64()),
                           "doc_b": pa.array([], pa.int64()),

@@ -342,3 +342,40 @@ def test_watch_mode_appends_equal_fresh_run(t_small_dir, tmp_path):
     a = pq.read_table(out / "aggregates" / "interval_counts")
     b = pq.read_table(out_fresh / "aggregates" / "interval_counts")
     assert a.equals(b)
+
+
+def test_dict_build_rejects_high_cardinality_column(tmp_path):
+    """The dictionary path is for enum-ish columns (dicts broadcast
+    whole, grown driver-side): a high-cardinality column must fail
+    loudly, naming the column, before anything is cached."""
+    import pyarrow as pa
+
+    from alco_ray.pipelines.flagship import build_or_load_dicts
+    from alco_ray.specs import ColumnSpec, LoggerSpec, PipelineConfig
+
+    n = 500
+    t = pa.table({
+        "conv_id": pa.array([f"c{i // 4}" for i in range(n)]),
+        "turn_idx": pa.array([i % 4 for i in range(n)], pa.int32()),
+        "role": pa.array(["user", "assistant"][i % 2] for i in range(n)),
+        "text": pa.array([f"msg {i}" for i in range(n)]),
+        "tool": pa.array([f"tool-{i}" for i in range(n)]),  # all distinct
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                       pa.timestamp("us")),
+    })
+    shard = tmp_path / "corpus.parquet"
+    pq.write_table(t, shard)
+    cfg = PipelineConfig(
+        columns=[ColumnSpec("role", filtered=True),
+                 ColumnSpec("tool", filtered=True)],
+        loggers=[LoggerSpec("all", ("user", "assistant"))],
+    )
+    cache = tmp_path / "dict_cache"
+    with pytest.raises(ValueError, match="'tool'.*cardinality"):
+        build_or_load_dicts([str(shard)], cfg, cache, max_cardinality=100)
+    assert not (cache / "tool.parquet").exists()  # nothing poisoned
+    # Under the cap the same corpus builds fine; role stays tiny.
+    dicts = build_or_load_dicts([str(shard)], cfg, tmp_path / "cache2",
+                                max_cardinality=1_000)
+    assert dicts["role"].num_rows == 2
+    assert dicts["tool"].num_rows == n

@@ -471,6 +471,44 @@ def test_verify_pairs_filters_false_positives():
     assert pairs <= {(0, 1), (0, 2), (0, 3)}
 
 
+def test_verify_pairs_waves_match_single_pass():
+    # Above max_candidates verify_pairs must shard into bounded waves
+    # (not raise) and the waved union must equal the single-pass
+    # answer pair-for-pair — for Table input (zero-copy slices) and
+    # Dataset input (block-ref packing) alike.
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lamda mu").split()
+    texts = []
+    for i in range(30):
+        w = list(words)
+        w[i % len(w)] = f"tok{i}"          # 1-token edits: mixed Jaccard
+        if i % 3 == 0:
+            w[(i + 5) % len(w)] = f"alt{i}"
+        texts.append(" ".join(w))
+    corpus = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                       "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(corpus)
+    pairs = [(a, b) for a in range(30) for b in range(a + 1, 30)]
+    cands = pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                      "doc_b": pa.array([p[1] for p in pairs], pa.int64())})
+
+    def norm(df):
+        return sorted(map(tuple, df[["doc_a", "doc_b", "inter",
+                                     "uni"]].itertuples(index=False)))
+
+    want = norm(dedup.verify_pairs(ds, cands, threshold=0.3,
+                                   max_candidates=10_000).to_pandas())
+    assert want, "fixture must keep at least one pair"
+    got_table = norm(dedup.verify_pairs(ds, cands, threshold=0.3,
+                                        max_candidates=50).to_pandas())
+    assert got_table == want
+    cand_ds = ray.data.from_arrow(
+        [cands.slice(i, 40) for i in range(0, cands.num_rows, 40)])
+    got_ds = norm(dedup.verify_pairs(ds, cand_ds, threshold=0.3,
+                                     max_candidates=90).to_pandas())
+    assert got_ds == want
+
+
 def test_simhash_near_pairs_exhaustive_vs_bruteforce():
     # Pigeonhole banding must find EXACTLY the pairs with hamming <=
     # max_hamming (recall and precision 1.0) — compare against the
