@@ -1798,7 +1798,9 @@ def _index_fresh(idx: Path, sig: str) -> bool:
         return False
     m = json.loads(meta.read_text())
     # version gate: v1 indexes lack positional postings (phrase probe)
-    return m.get("corpus_sig") == sig and m.get("version", 1) >= 2
+    # version gate: v1 lacks positional postings (phrase probe);
+    # v2 lacks doclen postings + token totals (BM25 probe)
+    return m.get("corpus_sig") == sig and m.get("version", 1) >= 3
 
 
 def v_knn_lsh(sf_dir: str):
@@ -3464,6 +3466,21 @@ def t_search_ranked(sf_dir: str):
                         _nrows(_corpus(sf_dir)), k=20)
 
 
+
+def t_search_bm25(sf_dir: str):
+    """Full BM25 ranking (k1=1.2, b=0.75) from the persisted v3 index
+    (stages/textindex.ranked_bm25_probe): top-20 turns for
+    {'shuffle', 'stream'} with exact-integer length normalization —
+    dl rides on every posting row, avgdl comes from meta.json token
+    totals, and the whole score is integer arithmetic, so the oracle
+    replays the identical ranking bit-for-bit.  The length-normalized
+    sibling of t_search_ranked (long turns stop winning on raw tf)."""
+    from ..stages.textindex import ranked_bm25_probe
+
+    idx = _ensure_text_index(sf_dir)
+    return ranked_bm25_probe(idx, ["shuffle", "stream"], k=20)
+
+
 def e_mad(sf_dir: str):
     """Robust spread: EXACT median absolute deviation per event type
     in integer cents — two histogram-quantile passes
@@ -3856,6 +3873,7 @@ REGISTRY = {
     "e_event_gaps": e_event_gaps,
     "q_asof_join": q_asof_join,
     # (c) round-5 additions slot here (inserted as they are built)
+    "t_search_bm25": t_search_bm25,
     # ---- round-5 window back-fill (r04-green) -----------------------
     "e_dense_rank": e_dense_rank,
     "q_ship_priority": q_ship_priority,

@@ -75,10 +75,17 @@ def posting_explode(batch: pa.Table, n_buckets: int,
         plist = pa.array([], pa.list_(pa.int32()))
     kept_tokens = flat[keep]
     kept_rows = rows[keep]
+    doclens = np.diff(offs)[kept_rows] if len(keep) \
+        else np.zeros(0, np.int64)
     cols = {
         "bucket": pa.array(_bucket_of(kept_tokens, n_buckets)),
         "token": pa.array(kept_tokens, pa.string()),
         "positions": plist,
+        # total token count of the owning turn (v3): BM25 length
+        # normalization needs dl per candidate at score time, and
+        # carrying it on the posting row (4 bytes) beats a corpus-
+        # sized docstore join per query.
+        "doclen": pa.array(doclens.astype(np.int32)),
     }
     for c in POSTING_COLS:
         cols[c] = batch[c].take(pa.array(kept_rows))
@@ -133,11 +140,29 @@ def build_text_index(parsed_ds, index_dir: str | Path, *,
     parsed_ds.map_batches(docstore, batch_format="pyarrow") \
         .map_batches(doc_writer, batch_format="pyarrow").materialize()
 
-    meta = {"kind": "text_inverted", "version": 2,
+    n_turns, total_tokens = _corpus_token_totals(parsed_ds, text_col)
+    meta = {"kind": "text_inverted", "version": 3,
             "n_buckets": n_buckets,
+            "n_turns": n_turns, "total_tokens": total_tokens,
             "text_col": text_col, **(extra_meta or {})}
     (build / "meta.json").write_text(json.dumps(meta))
     _swap_in_index(build, d)
+
+
+def _corpus_token_totals(parsed_ds, text_col: str) -> tuple[int, int]:
+    """(n_turns, total token count) of a parsed corpus — the BM25
+    avgdl inputs, recorded in meta.json at build/update time so probes
+    never re-scan.  One distributed pass emitting one row per block."""
+
+    def totals(b: pa.Table) -> pa.Table:
+        toks = tokenize(b[text_col], b.num_rows)
+        t = pc.sum(pc.list_value_length(toks)).as_py() or 0
+        return pa.table({"rows": pa.array([b.num_rows], pa.int64()),
+                         "toks": pa.array([int(t)], pa.int64())})
+
+    per_block = parsed_ds.map_batches(
+        totals, batch_format="pyarrow").to_pandas()
+    return int(per_block["rows"].sum()), int(per_block["toks"].sum())
 
 
 def grep_probe(index_dir: str | Path, term: str, *, level: str | None = None,
@@ -446,6 +471,17 @@ def update_text_index(parsed_delta_ds, index_dir: str | Path, *,
         .map_batches(doc_writer, batch_format="pyarrow").materialize()
 
     new_meta = {**meta, **(extra_meta or {})}
+    if "total_tokens" in meta and \
+            (extra_meta or {}).get("corpus_sig") != meta.get("corpus_sig"):
+        # v3: keep the BM25 avgdl inputs exact.  Rides the existing
+        # commit protocol: totals advance only when the corpus
+        # signature does, so a crash before the meta swap re-adds
+        # exactly once on retry, and a RE-APPLIED already-committed
+        # delta (same sig — the content-hashed files just overwrite
+        # themselves) adds nothing.
+        d_rows, d_toks = _corpus_token_totals(parsed_delta_ds, text_col)
+        new_meta["n_turns"] = meta["n_turns"] + d_rows
+        new_meta["total_tokens"] = meta["total_tokens"] + d_toks
     tmp = d / "meta.json.tmp"
     tmp.write_text(json.dumps(new_meta))
     os.replace(tmp, d / "meta.json")
@@ -767,6 +803,141 @@ def ranked_probe(index_dir: str | Path, terms: list[str], n_docs: int,
                       "turn_idx": b["turn_idx"],
                       "parsed_ts": b["parsed_ts"],
                       "s": pa.array(s)})
+        g = t.group_by(["conv_id", "turn_idx"]).aggregate(
+            [("s", "sum"), ("parsed_ts", "min")])
+        return g.rename_columns(["conv_id", "turn_idx", "score",
+                                 "parsed_ts"])
+
+    import pyarrow.parquet as pq_
+
+    approx = sum(pq_.read_metadata(f).num_rows for f in pfiles)
+    scored = partition_by_key(
+        hits.map_batches(score_partial, batch_format="pyarrow"),
+        ["conv_id", "turn_idx"], approx_rows=approx)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["conv_id", "turn_idx"], as_index=False)
+               .agg(score=("score", "sum"), parsed_ts=("parsed_ts",
+                                                       "min")))
+        out["turn_idx"] = out["turn_idx"].astype(np.int32)
+        out["score"] = out["score"].astype(np.int64)
+        return out
+
+    totals = scored.groupby("part").map_groups(fold,
+                                               batch_format="pandas")
+    topk = top_k(totals, ["score", "conv_id", "turn_idx"], k,
+                 descending=[True, False, False]).to_pandas()
+    if not len(topk):
+        return ray.data.from_arrow(empty)
+    return _fetch_texts(d, text_col, topk, empty, stats_out)
+
+
+def ranked_bm25_probe(index_dir: str | Path, terms: list[str], *,
+                      k: int = 20, idf_scale: int = 1_000_000,
+                      tf_scale: int = 10_000,
+                      stats_out: dict | None = None):
+    """Full BM25 (k1 = 1.2, b = 0.75) top-``k`` retrieval, computed
+    ENTIRELY in integer arithmetic so any engine reproduces the
+    ranking bit-for-bit:
+
+        score(turn) = sum_t  w_t * tfc_t(turn)
+        w_t         = ((2*N - 2*df_t + 1) * idf_scale) // (2*df_t + 1)
+        tfc_t       = (22 * tf * avgdl_q * tf_scale)
+                      // (10*avgdl_q*tf + 3*avgdl_q + 9000*dl)
+        avgdl_q     = (total_tokens * 1000) // N     (milli-tokens)
+
+    — tfc is the BM25 term-frequency component tf*(k1+1) / (tf +
+    k1*(1 - b + b*dl/avgdl)) with numerator and denominator both
+    multiplied by ``10 * avgdl_q`` (k1 = 12/10, b = 3/4 exactly), then
+    quantized at ``tf_scale``; w_t is the same exact-integer BM25 idf
+    as :func:`ranked_probe`.  This is the length-normalized ranking
+    :func:`ranked_probe` lacks (long turns stop winning on raw tf).
+
+    Needs a v3 index: ``dl`` rides on every posting row (``doclen``)
+    and N / total_tokens come from meta.json — both maintained by
+    build AND incremental update, so no probe-time corpus pass.
+    Overflow-safe in int64 for dl, avgdl <= ~10^5 tokens and
+    N <= ~10^9 turns.  Ties break (conv_id, turn_idx) ascending."""
+    import pandas as pd
+    import ray.data
+
+    from .order import top_k
+    from .window import partition_by_key
+
+    want = sorted({t.lower() for t in terms})
+    if not want:
+        raise ValueError("ranked_bm25_probe: need at least one term")
+    d = Path(index_dir)
+    meta = json.loads((d / "meta.json").read_text())
+    if meta.get("version", 1) < 3:
+        raise ValueError("ranked_bm25_probe needs a v3 index "
+                         "(doclen postings + corpus token totals); "
+                         "rebuild with build_text_index")
+    n_docs = int(meta["n_turns"])
+    avgdl_q = (int(meta["total_tokens"]) * 1000) // max(1, n_docs)
+    buckets = sorted({int(b) for b in _bucket_of(
+        np.array(want, dtype=object), meta["n_buckets"])})
+    pfiles = sorted(str(p) for b in buckets
+                    for p in (d / "postings" / f"bucket={b}")
+                    .glob("*.parquet"))
+    if stats_out is not None:
+        stats_out["posting_files"] = pfiles
+        stats_out["doc_files"] = []
+    text_col = meta["text_col"]
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "score": pa.array([], pa.int64()),
+                      "parsed_ts": pa.array([], pa.timestamp("us")),
+                      text_col: pa.array([], pa.string())})
+    if not pfiles:
+        return ray.data.from_arrow(empty)
+    term_set = pa.array(want, pa.string())
+
+    def match(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["token"], value_set=term_set))
+        tf = pc.list_value_length(f["positions"])
+        return pa.table({"conv_id": f["conv_id"],
+                         "turn_idx": f["turn_idx"],
+                         "parsed_ts": f["parsed_ts"],
+                         "token": f["token"],
+                         "tf": pc.cast(tf, pa.int64()),
+                         "doclen": pc.cast(f["doclen"], pa.int64())})
+
+    hits = (ray.data.read_parquet(pfiles)
+            .map_batches(match, batch_format="pyarrow",
+                         batch_size=None).materialize())
+
+    from .aggregate import fold_partials
+
+    df_t = fold_partials(
+        hits.map_batches(
+            lambda b: (pa.table({"token": b["token"],
+                                 "df": pa.array(
+                                     np.ones(b.num_rows, np.int64))})
+                       .group_by(["token"]).aggregate([("df", "sum")])
+                       .rename_columns(["token", "df"])),
+            batch_format="pyarrow"),
+        ["token"], [("df", "sum")],
+        empty_schema=pa.schema([("token", pa.string()),
+                                ("df", pa.int64())]))
+    weights = {r["token"]: ((2 * n_docs - 2 * int(r["df"]) + 1)
+                            * idf_scale) // (2 * int(r["df"]) + 1)
+               for r in df_t.to_pylist()}
+    if not weights:
+        return ray.data.from_arrow(empty)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        toks = b["token"].to_numpy(zero_copy_only=False)
+        w = np.array([weights[t] for t in toks], np.int64) \
+            if len(toks) else np.zeros(0, np.int64)
+        tf = b["tf"].to_numpy(zero_copy_only=False)
+        dl = b["doclen"].to_numpy(zero_copy_only=False)
+        den = 10 * avgdl_q * tf + 3 * avgdl_q + 9000 * dl
+        tfc = (22 * tf * avgdl_q * tf_scale) // np.maximum(den, 1)
+        t = pa.table({"conv_id": b["conv_id"],
+                      "turn_idx": b["turn_idx"],
+                      "parsed_ts": b["parsed_ts"],
+                      "s": pa.array(w * tfc)})
         g = t.group_by(["conv_id", "turn_idx"]).aggregate(
             [("s", "sum"), ("parsed_ts", "min")])
         return g.rename_columns(["conv_id", "turn_idx", "score",

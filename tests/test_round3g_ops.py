@@ -755,3 +755,74 @@ def test_fold_partials_empty_schema():
     assert out.column_names == ["k", "v"]
     with pytest.raises(Exception):
         fold_partials(empty, ["k"], [("v", "sum")])  # unknowable schema
+
+
+def test_bm25_probe_and_incremental_totals(tmp_path):
+    """BM25 ranking against a Python brute force, and v3 token-total
+    maintenance: an incrementally-updated index must score exactly
+    like a full rebuild (avgdl inputs advance with each committed
+    delta, and a re-applied delta adds nothing)."""
+    import json
+
+    import ray.data
+
+    from alco_ray.stages.parse import TOKENIZE_SPLIT
+    from alco_ray.stages.textindex import (build_text_index,
+                                           ranked_bm25_probe,
+                                           update_text_index)
+
+    parsed = _parsed_corpus()
+    full_idx = tmp_path / "tidx_bm_full"
+    build_text_index(ray.data.from_arrow(parsed), full_idx, n_buckets=64,
+                     approx_rows=parsed.num_rows)
+    terms = ["wanta", "wantb"]
+    got = ranked_bm25_probe(full_idx, terms, k=10).to_pandas()
+
+    # brute-force the integer BM25 in Python
+    import re
+
+    toks = [[t for t in re.split(TOKENIZE_SPLIT, s.lower()) if t]
+            for s in parsed["text"].to_pylist()]
+    n = len(toks)
+    tot = sum(len(t) for t in toks)
+    avgdl_q = (tot * 1000) // n
+    df = {w: sum(w in t for t in toks) for w in terms}
+    want_scores = {}
+    for i, t in enumerate(toks):
+        s = 0
+        for w in terms:
+            tf = t.count(w)
+            if not tf or not df[w]:
+                continue
+            wt = ((2 * n - 2 * df[w] + 1) * 1_000_000) // (2 * df[w] + 1)
+            den = 10 * avgdl_q * tf + 3 * avgdl_q + 9000 * len(t)
+            s += wt * ((22 * tf * avgdl_q * 10_000) // den)
+        if s:
+            key = (parsed["conv_id"][i].as_py(),
+                   parsed["turn_idx"][i].as_py())
+            want_scores[key] = s
+    for _, r in got.iterrows():
+        assert want_scores[(r.conv_id, r.turn_idx)] == r.score
+    assert len(got) == min(10, len(want_scores))
+    # length normalization is live: scores differ from pure tf*w
+    assert got["score"].nunique() > 1
+
+    # incremental: build half, update half -> identical BM25 ranking
+    half1, half2 = parsed.slice(0, 120), parsed.slice(120)
+    inc_idx = tmp_path / "tidx_bm_inc"
+    build_text_index(ray.data.from_arrow(half1), inc_idx, n_buckets=64,
+                     approx_rows=half1.num_rows,
+                     extra_meta={"corpus_sig": "half"})
+    update_text_index(ray.data.from_arrow(half2), inc_idx,
+                      extra_meta={"corpus_sig": "full"})
+    meta = json.loads((inc_idx / "meta.json").read_text())
+    assert meta["n_turns"] == n and meta["total_tokens"] == tot
+    inc = ranked_bm25_probe(inc_idx, terms, k=10).to_pandas()
+    assert inc.sort_values(["conv_id", "turn_idx"]).reset_index(
+        drop=True).equals(got.sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True))
+    # re-applying the committed delta must not drift the totals
+    update_text_index(ray.data.from_arrow(half2), inc_idx,
+                      extra_meta={"corpus_sig": "full"})
+    meta2 = json.loads((inc_idx / "meta.json").read_text())
+    assert meta2["n_turns"] == n and meta2["total_tokens"] == tot
