@@ -1734,6 +1734,22 @@ def mm_jpeg_meta(sf_dir: str):
     return multimodal.decode_media(ds, jpeg.JpegDecoder)
 
 
+
+def mm_mp4_meta(sf_dir: str):
+    """REAL MP4/ISO-BMFF CONTAINER parse (stages/multimodal.
+    Mp4MetaParser): what a multimodal sweep needs first from video
+    files — duration, track table, codec fourccs — is pure box
+    structure (ISO/IEC 14496-12), no entropy decoding.  Real
+    containers are box-walked (largesize and mvhd v0/v1 branches
+    both exercised by the fixture rotation) in an actor pool; the
+    oracle states the closed forms the fixture was built from.  The
+    entropy-coded track payloads (H.264/AAC) remain declared stubs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_mp4_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.Mp4MetaParser)
+
+
 def mm_ppm_resize(sf_dir: str):
     """REAL 2x box downsample over decoded pixels (exact integer 2x2
     block means) — decode + resize + re-reduce in one actor stage
@@ -3874,6 +3890,7 @@ REGISTRY = {
     "q_asof_join": q_asof_join,
     # (c) round-5 additions slot here (inserted as they are built)
     "t_search_bm25": t_search_bm25,
+    "mm_mp4_meta": mm_mp4_meta,
     # ---- round-5 window back-fill (r04-green) -----------------------
     "e_dense_rank": e_dense_rank,
     "q_ship_priority": q_ship_priority,

@@ -413,8 +413,11 @@ class WavDecoder:
 # reconstructed in numpy — so this path exercises an actual
 # entropy-coded container end to end: signature, chunk walk with CRC32
 # verification, IHDR validation, inflate, per-scanline defiltering.
-# (JPEG/MP3/MP4 remain declared stubs: their entropy coders need a
-# codec library this container doesn't ship.)
+# (JPEG has a full decoder in stages/jpeg.py; the MP4 CONTAINER is
+# parsed for real below (Mp4MetaParser — ISO/IEC 14496-12 box walk);
+# MP3 and the entropy-coded A/V payloads INSIDE MP4 tracks (H.264,
+# AAC) remain declared stubs: their entropy coders need a codec
+# library this container doesn't ship.)
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
@@ -833,4 +836,209 @@ class AdpcmWavDecoder:
             "duration_us": _masked(2),
             "peak": _masked(3),
             "mean_amp": _masked(4),
+        })
+
+
+# ------------------------------------------------------ real MP4 (ISO BMFF)
+# What a 100-TB multimodal sweep needs FIRST from video files is the
+# container metadata — duration, track table, codec fourccs — which
+# ISO/IEC 14496-12 defines as a pure box structure: no entropy
+# decoding required.  The parser below is a real conforming box walk
+# (32-bit sizes, size==1 largesize, size==0 to-end, nested
+# containers, mvhd version 0 AND 1); only the entropy-coded track
+# PAYLOADS (H.264/AAC samples inside mdat) stay stubbed.
+
+_MP4_CONTAINERS = frozenset(
+    (b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def _mp4_box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    import struct
+
+    if largesize:
+        return (struct.pack(">I", 1) + btype
+                + struct.pack(">Q", len(payload) + 16) + payload)
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+_MP4_MATRIX = (b"\x00\x01\x00\x00" + b"\x00" * 12
+               + b"\x00\x01\x00\x00" + b"\x00" * 12
+               + b"\x40\x00\x00\x00")
+
+
+def encode_mp4_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL ISO BMFF containers with
+    closed forms for the oracle — timescale = 600*(id%3+1), duration
+    units = (id%50+1)*100, n_tracks = id%2+1 (track 1 'avc1' video,
+    track 2 'mp4a' audio), mdat payload length = id%64+8.  Coverage
+    rotation: mvhd version = id%2 (32- vs 64-bit times) and ids
+    divisible by 5 write mdat with a 64-bit largesize header, so the
+    parser's every branch sees real data at every scale."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        tscale = 600 * int(i % 3 + 1)
+        dur = int(i % 50 + 1) * 100
+        n_tracks = int(i % 2 + 1)
+        ver = int(i % 2)
+        ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                        + b"isom" + b"mp42")
+        if ver == 1:
+            mvhd_body = (b"\x01\x00\x00\x00"
+                         + struct.pack(">QQIQ", 0, 0, tscale, dur))
+        else:
+            mvhd_body = (b"\x00\x00\x00\x00"
+                         + struct.pack(">IIII", 0, 0, tscale, dur))
+        mvhd_body += (struct.pack(">I", 0x00010000)   # rate 1.0
+                      + struct.pack(">H", 0x0100)     # volume 1.0
+                      + b"\x00" * 10 + _MP4_MATRIX
+                      + b"\x00" * 24
+                      + struct.pack(">I", n_tracks + 1))
+        traks = []
+        for k in range(n_tracks):
+            tkhd = _mp4_box(b"tkhd", b"\x00\x00\x00\x07"
+                            + struct.pack(">III", 0, 0, k + 1)
+                            + b"\x00" * 4 + struct.pack(">I", dur)
+                            + b"\x00" * 16 + _MP4_MATRIX + b"\x00" * 8)
+            mdhd = _mp4_box(b"mdhd", b"\x00\x00\x00\x00"
+                            + struct.pack(">IIII", 0, 0, tscale, dur)
+                            + struct.pack(">HH", 0x55C4, 0))
+            handler = b"vide" if k == 0 else b"soun"
+            hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + handler
+                            + b"\x00" * 12 + b"trk\x00")
+            fourcc = b"avc1" if k == 0 else b"mp4a"
+            entry_len = 86 if k == 0 else 36
+            entry = (struct.pack(">I", entry_len) + fourcc
+                     + b"\x00" * (entry_len - 8))
+            stsd = _mp4_box(b"stsd", b"\x00" * 4
+                            + struct.pack(">I", 1) + entry)
+            stbl = _mp4_box(b"stbl", stsd)
+            minf = _mp4_box(b"minf", stbl)
+            mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+            traks.append(_mp4_box(b"trak", tkhd + mdia))
+        moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_body)
+                        + b"".join(traks))
+        mdat_len = int(i % 64 + 8)
+        mdat = _mp4_box(b"mdat",
+                        bytes((int(i) + j) % 256 for j in range(mdat_len)),
+                        largesize=(i % 5 == 0))
+        payloads.append(ftyp + moov + mdat)
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["video/mp4"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class Mp4MetaParser:
+    """Actor-pool REAL MP4/ISO-BMFF container parse (ISO/IEC 14496-12
+    box walk): recursive descent over {moov, trak, mdia, minf, stbl},
+    32-bit sizes plus the size==1 largesize and size==0 to-end forms,
+    mvhd version 0 and 1 — emitting per-file (brand, n_tracks,
+    duration_us, codec fourcc list, mdat byte count).  No entropy
+    decoding — the track payloads stay opaque (H.264/AAC stubs).
+    Malformed containers (truncated box, size underrun, missing ftyp
+    or mvhd) emit ``decode_ok = false`` — the poison-file dead-letter
+    pattern shared by every decoder in this module."""
+
+    def _walk(self, p: bytes, start: int, end: int, out: dict) -> bool:
+        pos = start
+        while pos < end:
+            if pos + 8 > end:
+                return False
+            size = int.from_bytes(p[pos:pos + 4], "big")
+            btype = p[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return False
+                size = int.from_bytes(p[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return False
+            b0, b1 = pos + hdr, pos + size
+            if btype in _MP4_CONTAINERS:
+                if btype == b"trak":
+                    out["n_tracks"] += 1
+                if not self._walk(p, b0, b1, out):
+                    return False
+            elif btype == b"ftyp":
+                if b1 - b0 < 4:
+                    return False
+                out["brand"] = p[b0:b0 + 4].decode("ascii", "replace")
+            elif btype == b"mvhd":
+                if b1 - b0 < 20:
+                    return False
+                ver = p[b0]
+                if ver == 1:
+                    if b1 - b0 < 32:
+                        return False
+                    out["timescale"] = int.from_bytes(
+                        p[b0 + 20:b0 + 24], "big")
+                    out["duration"] = int.from_bytes(
+                        p[b0 + 24:b0 + 32], "big")
+                else:
+                    out["timescale"] = int.from_bytes(
+                        p[b0 + 12:b0 + 16], "big")
+                    out["duration"] = int.from_bytes(
+                        p[b0 + 16:b0 + 20], "big")
+            elif btype == b"stsd":
+                if b1 - b0 < 8:
+                    return False
+                if int.from_bytes(p[b0 + 4:b0 + 8], "big") >= 1:
+                    if b0 + 16 > b1:
+                        return False
+                    out["codecs"].append(
+                        p[b0 + 12:b0 + 16].decode("ascii", "replace"))
+            elif btype == b"mdat":
+                out["mdat_bytes"] += b1 - b0
+            pos += size
+        return pos == end
+
+    def _decode(self, p: bytes):
+        out = {"brand": None, "timescale": 0, "duration": 0,
+               "n_tracks": 0, "codecs": [], "mdat_bytes": 0}
+        if len(p) < 8 or p[4:8] != b"ftyp":
+            return None
+        if not self._walk(p, 0, len(p), out):
+            return None
+        if out["brand"] is None or out["timescale"] <= 0:
+            return None
+        return (out["brand"], out["n_tracks"],
+                out["duration"] * 1_000_000 // out["timescale"],
+                ",".join(out["codecs"]), out["mdat_bytes"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        brands: list = [None] * n
+        codecs: list = [None] * n
+        ints = np.zeros((n, 3), np.int64)
+        for i in range(n):
+            v = payloads[i].as_py()
+            d = self._decode(v) if v is not None else None
+            if d is None:
+                continue
+            ok[i] = True
+            brands[i], codecs[i] = d[0], d[3]
+            ints[i] = (d[1], d[2], d[4])
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(ints[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "brand": pa.array(brands, pa.string()),
+            "n_tracks": _masked(0),
+            "duration_us": _masked(1),
+            "codecs": pa.array(codecs, pa.string()),
+            "mdat_bytes": _masked(2),
         })

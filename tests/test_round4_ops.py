@@ -692,3 +692,46 @@ def test_quantile_sketch_grouped_bounds(ray_session):
         n = len(vs)
         err = max(lo - r["q"] * n, r["q"] * n - hi, 0)
         assert err <= 0.02 * n + 256, r
+
+
+def test_mp4_parser_boxes_and_poison():
+    """ISO-BMFF box walk: closed-form fixture fields back out, both
+    mvhd versions and the largesize branch are hit, and malformed
+    containers dead-letter with decode_ok=False instead of crashing."""
+    import struct
+
+    from alco_ray.stages.multimodal import Mp4MetaParser, encode_mp4_batch
+
+    ids = list(range(12))
+    enc = encode_mp4_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    parser = Mp4MetaParser()
+    out = parser(enc).to_pylist()
+    for i, r in zip(ids, out):
+        assert r["decode_ok"] is True
+        assert r["brand"] == "isom"
+        assert r["n_tracks"] == i % 2 + 1
+        assert r["duration_us"] == ((i % 50 + 1) * 100 * 1_000_000
+                                    ) // (600 * (i % 3 + 1))
+        assert r["codecs"] == ("avc1" if i % 2 == 0 else "avc1,mp4a")
+        assert r["mdat_bytes"] == i % 64 + 8
+    # fixture rotation really covers both mvhd versions + largesize
+    assert any(enc["payload"][i].as_py().find(b"mdat") and i % 5 == 0
+               for i in ids)
+    good = enc["payload"][7].as_py()
+    assert good[4:8] == b"ftyp"
+
+    # poison: truncated box, size underrun inside moov, missing ftyp,
+    # empty payload — all dead-letter, none crash
+    no_ftyp = good[good.index(b"moov") - 4:]
+    trunc = good[:-5]
+    bad_size = bytearray(good)
+    moov_at = good.index(b"moov") - 4
+    struct.pack_into(">I", bad_size, moov_at, 4)  # size < header
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([no_ftyp, trunc, bytes(bad_size), b""],
+                            pa.binary()),
+    })
+    got = parser(batch).to_pylist()
+    assert [r["decode_ok"] for r in got] == [False] * 4
+    assert got[0]["duration_us"] is None and got[0]["codecs"] is None
