@@ -1819,6 +1819,32 @@ def _index_fresh(idx: Path, sig: str) -> bool:
     return m.get("corpus_sig") == sig and m.get("version", 1) >= 3
 
 
+
+#: Fixed probe text for v_text_knn — __ray_entry__'s oracle generator
+#: encodes the SAME string with the SAME TextEncoder to inline the
+#: query vector constants into the SQL.
+TEXT_KNN_PROBE = "streaming shuffle of arrow batches through the object store"
+
+
+def v_text_knn(sf_dir: str):
+    """Embedding INFERENCE -> ANN, end to end from raw text
+    (stages/similarity.TextEncoder + knn_brute): the actor-pool
+    encoder builds its (deterministic, seed-derived) model once per
+    actor in __init__ — the exact shape of a GPU checkpoint-load
+    inference stage — and emits the embedding column the existing
+    kNN/LSH paths consume; top-10 cosine neighbors of a fixed probe
+    string.  The oracle re-derives the integer embeddings and the
+    probe vector in closed form, so a projection or count bug
+    hash-mismatches."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = ds.map_batches(similarity.TextEncoder,
+                         batch_format="pyarrow", concurrency=(1, 4))
+    q = similarity.TextEncoder().encode(
+        pa.array([TEXT_KNN_PROBE], pa.string()))[0]
+    res = similarity.knn_brute(emb, q, k=10, id_col="doc_id")
+    return res.select_columns(["doc_id", "rank"])
+
+
 def v_knn_lsh(sf_dir: str):
     """Two-phase ANN: build the persisted LSH index ONCE (bucket-
     partitioned Parquet under /tmp/alco_ray_cache/<sf>/ann_lsh), then
@@ -3891,6 +3917,7 @@ REGISTRY = {
     # (c) round-5 additions slot here (inserted as they are built)
     "t_search_bm25": t_search_bm25,
     "mm_mp4_meta": mm_mp4_meta,
+    "v_text_knn": v_text_knn,
     # ---- round-5 window back-fill (r04-green) -----------------------
     "e_dense_rank": e_dense_rank,
     "q_ship_priority": q_ship_priority,

@@ -927,3 +927,61 @@ def kmeans_fixed_point(ds, k: int = 8, iters: int = 3, *,
         cents = new
     return ray.data.from_arrow_refs(
         [emit_task.remote(r, col, id_col, scale, cents) for r in refs])
+
+
+# ----------------------------------------------- embedding inference stage
+# The canonical "model loaded once per actor" inference pattern that
+# turns RAW TEXT into the embedding column every ANN path here
+# consumes (knn_brute / build_lsh_index / build_ivf_index) — on a GPU
+# cluster swap `_load_model` for a checkpoint load and size the pool
+# with map_batches(concurrency=..., num_gpus=...); nothing downstream
+# changes.
+
+_ENC_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+class TextEncoder:
+    """Actor-pool text -> ``embedding`` (list<double>) inference.
+
+    The stand-in model is DETERMINISTIC and exactly replayable by the
+    SQL oracle: 26 letter-count features (vectorized
+    ``pc.count_substring`` over the lowercased text — no Python row
+    loop) projected by a seed-derived integer matrix
+    ``R[i][j] = ((3*i + 5*j + i*j + seed) % 7) - 3`` (the i*j cross
+    term keeps the rows independent — rank 7), built ONCE per actor
+    in ``__init__`` exactly where a real checkpoint load would go.
+    Outputs are integers (exactly float64-representable), so the
+    cosine ranking downstream is engine-independent to the same
+    degree as v_knn's.
+    """
+
+    def __init__(self, d_out: int = 8, seed: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.R = self._load_model(d_out, seed)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def _load_model(d_out: int, seed: int) -> np.ndarray:
+        # Real impl: torch.load / onnx session init, once per actor.
+        i = np.arange(d_out, dtype=np.int64)[:, None]
+        j = np.arange(len(_ENC_ALPHABET), dtype=np.int64)[None, :]
+        return ((3 * i + 5 * j + i * j + seed) % 7) - 3
+
+    def encode(self, text: pa.Array) -> np.ndarray:
+        """(n, d_out) int64 embedding matrix for a string array."""
+        lt = pc.utf8_lower(text)
+        cols = [pc.count_substring(lt, ch).to_numpy(zero_copy_only=False)
+                for ch in _ENC_ALPHABET]
+        counts = np.stack(cols, axis=1).astype(np.int64)
+        return counts @ self.R.T
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = self.encode(batch[self.text_col])
+        n, d = e.shape
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64))
+            .cast(pa.int32()),
+            pa.array(e.reshape(-1).astype(np.float64), pa.float64()))
+        return pa.table({self.id_col: batch[self.id_col],
+                         "embedding": emb})

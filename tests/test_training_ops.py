@@ -992,3 +992,50 @@ def test_source_cap_partition_stable():
         assert out.groupby("source").size().max() <= 5
         picks.append(set(out["doc_id"]))
     assert picks[0] == picks[1]
+
+
+def test_text_encoder_feeds_ann_paths():
+    """Embedding inference end to end from raw text: the actor-pool
+    TextEncoder's integer embeddings must (a) match a per-row Python
+    re-derivation of the projection, (b) rank with knn_brute exactly
+    like a local numpy cosine, and (c) drive the LSH path with the
+    probe's own document recalled at rank 1 (the self-query recall
+    law all ANN indexes here are pinned by)."""
+    from alco_ray.stages.similarity import (_ENC_ALPHABET, TextEncoder,
+                                            knn_brute, knn_lsh)
+
+    rng = np.random.RandomState(21)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    texts = [" ".join(rng.choice(words, rng.randint(3, 30)))
+             for _ in range(80)] + [""]
+    t = pa.table({"doc_id": pa.array(range(81), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    enc = TextEncoder()
+    E = enc.encode(t["text"])
+    # (a) projection law, re-derived per row in plain Python
+    for i in (0, 7, 80):
+        counts = [texts[i].lower().count(ch) for ch in _ENC_ALPHABET]
+        want = [sum(int(enc.R[d, j]) * counts[j] for j in range(26))
+                for d in range(enc.R.shape[0])]
+        assert E[i].tolist() == want
+    assert np.linalg.matrix_rank(enc.R) == min(enc.R.shape) - 1
+
+    ds = ray.data.from_arrow(t)
+    emb = ds.map_batches(TextEncoder, batch_format="pyarrow",
+                         concurrency=(1, 2))
+    q = E[7].astype(np.float64)
+    got = knn_brute(emb, q, k=5, id_col="doc_id").to_pandas()
+    # (b) exact agreement with a local cosine ranking
+    Ef = E.astype(np.float64)
+    sims = (Ef @ (q / np.linalg.norm(q))) \
+        / np.maximum(np.linalg.norm(Ef, axis=1), 1e-30)
+    want_ids = np.lexsort((np.arange(81), -sims))[:5]
+    assert got["doc_id"].tolist() == want_ids.tolist()
+    # (c) LSH path from raw text: self-query recalled at rank 1
+    emb2 = ds.map_batches(TextEncoder, batch_format="pyarrow",
+                          concurrency=(1, 2))
+    lsh = knn_lsh(emb2, q, k=5, id_col="doc_id").to_pandas()
+    assert lsh["doc_id"].tolist()[0] == 7
+    assert lsh["sim"].tolist()[0] == pytest.approx(1.0)
