@@ -1750,6 +1750,22 @@ def mm_mp4_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.Mp4MetaParser)
 
 
+
+def mm_mp3_meta(sf_dir: str):
+    """REAL MP3 frame-header walk (stages/multimodal.Mp3MetaParser,
+    ISO/IEC 11172-3): duration, sample rate and the exact mean
+    bitrate come from the frame headers alone — plain bit fields
+    hopped by the header-implied frame length, VBR-correct (the
+    fixture rotates the bitrate per frame).  Real frame streams are
+    parsed in an actor pool; the oracle states the closed forms the
+    fixture rotation was built from.  The Huffman-coded audio payload
+    remains a declared stub."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_mp3_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.Mp3MetaParser)
+
+
 def mm_ppm_resize(sf_dir: str):
     """REAL 2x box downsample over decoded pixels (exact integer 2x2
     block means) — decode + resize + re-reduce in one actor stage
@@ -3918,6 +3934,7 @@ REGISTRY = {
     "t_search_bm25": t_search_bm25,
     "mm_mp4_meta": mm_mp4_meta,
     "v_text_knn": v_text_knn,
+    "mm_mp3_meta": mm_mp3_meta,
     # ---- round-5 window back-fill (r04-green) -----------------------
     "e_dense_rank": e_dense_rank,
     "q_ship_priority": q_ship_priority,

@@ -1042,3 +1042,129 @@ class Mp4MetaParser:
             "codecs": pa.array(codecs, pa.string()),
             "mdat_bytes": _masked(2),
         })
+
+
+# --------------------------------------------------- real MP3 (frame headers)
+# Like MP4: what a sweep needs from MP3 files first — duration,
+# bitrate profile, sample rate — lives in the FRAME HEADERS (ISO/IEC
+# 11172-3 s2.4.1.3), plain bit fields walked frame to frame by the
+# header's own length formula.  Only the Huffman-coded audio payload
+# inside each frame stays stubbed.
+
+#: MPEG-1 Layer III bitrate table (kbit/s), index 1..14 (0 = free, 15
+#: = forbidden) and sampling-rate table (Hz), index 0..2.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _mp3_frame_len(bitrate_kbps: int, rate_hz: int, padding: int) -> int:
+    # MPEG-1 Layer III: floor(144 * bitrate / rate) + padding
+    return 144 * bitrate_kbps * 1000 // rate_hz + padding
+
+
+def encode_mp3_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL MPEG-1 Layer III frame
+    streams with closed forms for the oracle — n_frames = id%40+1,
+    sampling-rate index = id%3, per-frame bitrate index rotating
+    (id + frame) % 14 + 1 (so VBR streams exist whenever n_frames > 1
+    — the parser must not assume CBR), padding bit = (id + frame) % 2.
+    Each frame is a spec header plus zero payload bytes of exactly the
+    header-implied length."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        n_frames = int(i % 40 + 1)
+        rate_idx = int(i % 3)
+        rate = _MP3_RATES[rate_idx]
+        out = bytearray()
+        for f in range(n_frames):
+            br_idx = int((i + f) % 14 + 1)
+            pad = int((i + f) % 2)
+            # sync(11)=all 1 | version(2)=11 (MPEG-1) | layer(2)=01
+            # (III) | prot(1)=1 | bitrate(4) | rate(2) | padding(1) |
+            # private(1)=0 | mode(2)=11 (mono) | rest 0
+            b0 = 0xFF
+            b1 = 0xFB                      # 1111 1011
+            b2 = (br_idx << 4) | (rate_idx << 2) | (pad << 1)
+            b3 = 0xC0
+            flen = _mp3_frame_len(_MP3_BITRATES[br_idx], rate, pad)
+            frame = bytes((b0, b1, b2, b3)) + bytes(flen - 4)
+            out += frame
+        payloads.append(bytes(out))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["audio/mpeg"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class Mp3MetaParser:
+    """Actor-pool REAL MP3 frame-header walk (ISO/IEC 11172-3): verify
+    the 11-bit sync, decode version/layer/bitrate/rate/padding bit
+    fields, hop frame to frame by the header-implied length, and emit
+    (n_frames, sample_rate, total bitrate-sum for the exact mean,
+    duration) — VBR-correct: duration accumulates 1152 samples per
+    frame regardless of each frame's bitrate.  duration_us =
+    (n_frames * 1152 * 1_000_000) // rate, exact integer.  Malformed
+    streams (bad sync mid-stream, truncated frame, forbidden
+    bitrate/rate index, rate changes mid-stream) dead-letter with
+    ``decode_ok = false``.  The Huffman-coded payload is never
+    touched — that part stays a declared stub."""
+
+    def _decode(self, p: bytes):
+        pos, n_frames, rate, br_sum = 0, 0, None, 0
+        while pos < len(p):
+            if pos + 4 > len(p):
+                return None
+            b0, b1, b2, _ = p[pos:pos + 4]
+            if b0 != 0xFF or (b1 & 0xFE) != 0xFA:  # MPEG-1 Layer III
+                return None
+            br_idx = b2 >> 4
+            rate_idx = (b2 >> 2) & 0x3
+            pad = (b2 >> 1) & 0x1
+            if not 1 <= br_idx <= 14 or rate_idx > 2:
+                return None
+            r = _MP3_RATES[rate_idx]
+            if rate is None:
+                rate = r
+            elif r != rate:
+                return None
+            flen = _mp3_frame_len(_MP3_BITRATES[br_idx], r, pad)
+            if pos + flen > len(p):
+                return None
+            br_sum += _MP3_BITRATES[br_idx]
+            n_frames += 1
+            pos += flen
+        if n_frames == 0:
+            return None
+        return (n_frames, rate,
+                n_frames * 1152 * 1_000_000 // rate,
+                br_sum // n_frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        ints = np.zeros((n, 4), np.int64)
+        for i in range(n):
+            v = payloads[i].as_py()
+            d = self._decode(v) if v else None
+            if d is None:
+                continue
+            ok[i] = True
+            ints[i] = d
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(ints[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "n_frames": _masked(0),
+            "sample_rate": _masked(1),
+            "duration_us": _masked(2),
+            "mean_bitrate_kbps": _masked(3),
+        })

@@ -735,3 +735,40 @@ def test_mp4_parser_boxes_and_poison():
     got = parser(batch).to_pylist()
     assert [r["decode_ok"] for r in got] == [False] * 4
     assert got[0]["duration_us"] is None and got[0]["codecs"] is None
+
+
+def test_mp3_parser_vbr_and_poison():
+    """Frame-header walk: closed forms back out (VBR — per-frame
+    bitrates rotate, duration must count frames not bytes), and bad
+    sync / truncation / mid-stream rate changes dead-letter."""
+    from alco_ray.stages.multimodal import (_MP3_BITRATES, Mp3MetaParser,
+                                            encode_mp3_batch)
+
+    ids = list(range(10))
+    enc = encode_mp3_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    parser = Mp3MetaParser()
+    out = parser(enc).to_pylist()
+    rates = (44100, 48000, 32000)
+    for i, r in zip(ids, out):
+        nf = i % 40 + 1
+        assert r["decode_ok"] is True
+        assert r["n_frames"] == nf
+        assert r["sample_rate"] == rates[i % 3]
+        assert r["duration_us"] == nf * 1152 * 1_000_000 // rates[i % 3]
+        assert r["mean_bitrate_kbps"] == sum(
+            _MP3_BITRATES[(i + f) % 14 + 1] for f in range(nf)) // nf
+
+    good = enc["payload"][3].as_py()
+    bad_sync = b"\x00" + good[1:]
+    trunc = good[:-1]
+    # two individually-valid streams at different sampling rates,
+    # concatenated: every frame parses, the rate change must reject
+    mixed_rate = enc["payload"][0].as_py() + enc["payload"][2].as_py()
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([bad_sync, trunc, mixed_rate, b""],
+                            pa.binary()),
+    })
+    got = parser(batch).to_pylist()
+    assert [r["decode_ok"] for r in got] == [False, False, False, False]
+    assert got[0]["duration_us"] is None
