@@ -3229,6 +3229,20 @@ def d_cross_dup(sf_dir: str):
         ds, n=5, approx_docs=_nrows(_tp(sf_dir, "documents")))
 
 
+
+def d_longest_dup(sf_dir: str):
+    """Per-document VARIABLE-LENGTH duplicate-span measure
+    (stages/text.longest_shared_span, cap 12): the longest token span
+    each document shares verbatim with any OTHER document — the
+    per-doc answer a corpus suffix array would give for spans up to
+    the cap, via ONE fused gram-keyed exchange over all lengths.
+    Complements d_dup_spans (fixed n=5 APPLY) and d_cross_dup (fixed
+    n=5 SCORE)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.longest_shared_span(
+        ds, max_len=12, approx_docs=_nrows(_tp(sf_dir, "documents")))
+
+
 def d_dup_spans(sf_dir: str):
     """Exact substring-dedup APPLY (stages/text.dup_span_mask, n=5):
     token positions covered by any word 5-gram shared by >= 2 distinct
@@ -3935,6 +3949,7 @@ REGISTRY = {
     "mm_mp4_meta": mm_mp4_meta,
     "v_text_knn": v_text_knn,
     "mm_mp3_meta": mm_mp3_meta,
+    "d_longest_dup": d_longest_dup,
     # ---- round-5 window back-fill (r04-green) -----------------------
     "e_dense_rank": e_dense_rank,
     "q_ship_priority": q_ship_priority,

@@ -1009,3 +1009,98 @@ def dup_span_mask(ds, *, n: int = 5, text_col: str = "text",
     return (partition_by_key(text_rows.union(mask_rows), id_col,
                              doc_parts)
             .groupby("part").map_groups(rebuild, batch_format="pandas"))
+
+
+def longest_shared_span(ds, *, max_len: int = 16, text_col: str = "text",
+                        id_col: str = "doc_id", n_parts: int | None = None,
+                        approx_docs: int | None = None,
+                        grams_per_doc: int = 64):
+    """Per-document VARIABLE-LENGTH duplicate-span measure: the length
+    (in tokens) of the longest token span that also occurs verbatim in
+    at least one OTHER document, capped at ``max_len`` (0 = no shared
+    token at all) — the variable-length generalization of
+    :func:`dup_span_mask`'s fixed n, i.e. the per-doc answer a corpus
+    suffix array would give, for spans up to the cap.
+
+    Shape: ONE fused gram-keyed exchange instead of a pass per
+    length — every doc emits its DISTINCT window hashes for ALL
+    lengths n = 1..max_len (:func:`segmented_window_hashes` per n
+    over the same per-token u64 hashes; 8 bytes/window), so exchange
+    volume is <= max_len x corpus tokens x 8B.  Each gram partition
+    computes sharedness exactly per (n, hash) and PRE-FOLDS to one
+    (doc, local max shared n) row, so the doc-keyed exchange moves
+    <= |docs| rows per partition.  A corpus-suffix-array formulation
+    would avoid the max_len factor for unbounded spans; at the span
+    caps curation uses (dozens of tokens) the fused ladder is one
+    exchange and embarrassingly parallel.  The SQL oracle replays the
+    literal rule over all lengths (64-bit collisions: P ~ G^2/2^65,
+    and a collision can only INFLATE a length, never drop one).
+
+    Output: (doc_id, max_shared_len) for EVERY doc.
+    """
+    import pandas as pd
+
+    from .window import partition_by_key, suggest_key_partitions
+
+    n_docs = approx_docs if approx_docs is not None else ds.count()
+    if n_parts is None:
+        n_parts = suggest_key_partitions(
+            n_docs * grams_per_doc * max(1, max_len // 4))
+
+    def occ_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.uint64())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokenize(b[text_col], b.num_rows)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return empty
+        hv = hash_strings(flat)
+        offs = np.asarray(toks.offsets, np.int64)
+        ids_np = b[id_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for n in range(1, max_len + 1):
+            win, woffs = segmented_window_hashes(hv, offs, n, _TRIGRAM_B)
+            if not len(win):
+                break
+            owners = np.repeat(ids_np, np.diff(woffs))
+            parts.append(pa.table({
+                id_col: pa.array(owners.astype(np.int64)),
+                "n": pa.array(np.full(len(win), n, np.int64)),
+                "gram": pa.array(win)}))
+        return pa.concat_tables(parts) if parts else empty
+
+    occurrences = ds.map_batches(occ_partial, batch_format="pyarrow")
+
+    def gram_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # per (n, gram) sharedness is partition-locally exact; rows
+        # are already distinct per doc, so size == distinct docs
+        shared = g.groupby(["n", "gram"])[id_col].transform("size") > 1
+        hit = g.loc[shared, [id_col, "n"]]
+        out = (hit.groupby(id_col, as_index=False)
+               .agg(max_shared_len=("n", "max")))
+        out["max_shared_len"] = out["max_shared_len"].astype(np.int64)
+        return out
+
+    per_part = (partition_by_key(occurrences, "gram", n_parts)
+                .groupby("part").map_groups(gram_fold,
+                                            batch_format="pandas"))
+    base = ds.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            "max_shared_len": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(id_col, as_index=False)
+               .agg(max_shared_len=("max_shared_len", "max")))
+        out["max_shared_len"] = out["max_shared_len"].astype(np.int64)
+        return out
+
+    return (partition_by_key(per_part.union(base), id_col,
+                             suggest_key_partitions(n_docs))
+            .groupby("part").map_groups(doc_fold, batch_format="pandas"))

@@ -1039,3 +1039,32 @@ def test_text_encoder_feeds_ann_paths():
     lsh = knn_lsh(emb2, q, k=5, id_col="doc_id").to_pandas()
     assert lsh["doc_id"].tolist()[0] == 7
     assert lsh["sim"].tolist()[0] == pytest.approx(1.0)
+
+
+def test_longest_shared_span_matches_bruteforce():
+    """Fused variable-length ladder == per-pair Python brute force,
+    including the cap, the zero base for unshared docs, and exact
+    dups maxing out at min(doc len, cap)."""
+    t = _docs_table()
+    got = text.longest_shared_span(
+        ray.data.from_arrow(t), max_len=10, n_parts=4).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["max_shared_len"]))
+
+    texts = [_py_tokens(s) for s in t["text"].to_pylist()]
+    want = {}
+    for i, ti in enumerate(texts):
+        best = 0
+        for n in range(1, 11):
+            grams_i = {tuple(ti[s:s + n])
+                       for s in range(len(ti) - n + 1)}
+            hit = any(
+                grams_i & {tuple(tj[s:s + n])
+                           for s in range(len(tj) - n + 1)}
+                for j, tj in enumerate(texts) if j != i)
+            if hit:
+                best = n
+        want[i] = best
+    assert got_map == want
+    assert want[0] == 10 and want[1] == 10      # exact dups hit the cap
+    assert 1 <= want[2] <= 10                    # near-dup shares spans
+    assert want[6] == 0                          # empty doc shares nothing
