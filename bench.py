@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "d_model_score", "d_pack_bpe", "d_components",
     "mm_png_meta", "mm_adpcm_meta", "mm_jpeg_meta",
     "v_kmeans", "d_dup_spans",
+    # round-5 operators (BM25 ranking, MP4/MP3 container walks,
+    # embedding-inference kNN, variable-length dup spans)
+    "t_search_bm25", "mm_mp4_meta", "mm_mp3_meta",
+    "v_text_knn", "d_longest_dup",
 ]
 
 
