@@ -1861,6 +1861,39 @@ def v_text_knn(sf_dir: str):
     return res.select_columns(["doc_id", "rank"])
 
 
+#: Fixed BM25 terms for v_hybrid_rrf — present in the documents
+#: corpus at every sf (the probe text's own content words).
+HYBRID_TERMS = ["stream", "batch"]
+
+
+def v_hybrid_rrf(sf_dir: str):
+    """HYBRID retrieval: exact-integer BM25 (lexical leg,
+    stages/textindex.bm25_docs_topk — index-free two-pass: a
+    per-block stats partial folded on the driver, then a shuffle-free
+    scoring map) fused with embedding kNN (semantic leg,
+    TextEncoder -> knn_brute) by exact-integer reciprocal-rank fusion
+    (stages/similarity.hybrid_rrf, scale // (60 + rank)).  Top-10
+    documents for the fixed probe; both legs at depth 50.  The modern
+    retrieval stack's default ranker (lexical + dense + RRF), every
+    stage of which the oracle replays bit-for-bit."""
+    from ..stages.textindex import bm25_docs_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bm = bm25_docs_topk(ds, HYBRID_TERMS, k=50)
+    emb = ds.map_batches(similarity.TextEncoder,
+                         batch_format="pyarrow", concurrency=(1, 4))
+    q = similarity.TextEncoder().encode(
+        pa.array([TEXT_KNN_PROBE], pa.string()))[0]
+    kn_tbl = pa.concat_tables(
+        [pa.table(b) for b in
+         similarity.knn_brute(emb, q, k=50, id_col="doc_id")
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    fused = similarity.hybrid_rrf(
+        [bm.select(["doc_id", "rank"]),
+         kn_tbl.select(["doc_id", "rank"])], k=10)
+    return ray.data.from_arrow(fused)
+
+
 def v_knn_lsh(sf_dir: str):
     """Two-phase ANN: build the persisted LSH index ONCE (bucket-
     partitioned Parquet under /tmp/alco_ray_cache/<sf>/ann_lsh), then
@@ -4108,5 +4141,8 @@ REGISTRY = {
     "mm_features": mm_features,
     "v_knn_lsh": v_knn_lsh,
     "v_knn_ivf": v_knn_ivf,
+    # late round-5 addition (registry tail: outside every past and the
+    # current driver window; local-gate + pytest evidence)
+    "v_hybrid_rrf": v_hybrid_rrf,
 }
 

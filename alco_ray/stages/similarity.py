@@ -985,3 +985,33 @@ class TextEncoder:
             pa.array(e.reshape(-1).astype(np.float64), pa.float64()))
         return pa.table({self.id_col: batch[self.id_col],
                          "embedding": emb})
+
+
+def hybrid_rrf(legs: list[pa.Table], *, k: int = 10, rrf_k: int = 60,
+               scale: int = 10 ** 12, id_col: str = "doc_id") -> pa.Table:
+    """Reciprocal-rank fusion of retrieval legs (BM25 + ANN is the
+    canonical pair): ``rrf(doc) = sum_leg scale // (rrf_k + rank)``
+    with a missing leg contributing 0 — the standard RRF law
+    (Cormack et al., SIGIR'09) made EXACT-integer by the scaled
+    floor division, so any engine reproduces the fused ranking
+    bit-for-bit (a float 1/(60+r) sum is ulp-fragile in the ties).
+
+    Each leg is a small ``(id_col, ..., rank)`` Arrow table — the
+    top-k output of :func:`knn_brute` /
+    :func:`textindex.bm25_docs_topk` — so the fold is a driver-side
+    merge of ``legs x k`` rows, bounded by the query constants, never
+    by the corpus.  Ties break ascending id.  Returns
+    ``(id_col, rrf_score, rank)`` with rank 1..k, int64 throughout
+    (max score legs x scale // (rrf_k+1) << 2^63)."""
+    acc: dict[int, int] = {}
+    for t in legs:
+        ids = t[id_col].to_pylist()
+        ranks = t["rank"].to_pylist()
+        for i, r in zip(ids, ranks):
+            acc[i] = acc.get(i, 0) + scale // (rrf_k + int(r))
+    rows = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table({id_col: pa.array([r[0] for r in rows], pa.int64()),
+                     "rrf_score": pa.array([r[1] for r in rows],
+                                           pa.int64()),
+                     "rank": pa.array(np.arange(1, len(rows) + 1,
+                                                dtype=np.int64))})

@@ -965,3 +965,94 @@ def ranked_bm25_probe(index_dir: str | Path, terms: list[str], *,
     if not len(topk):
         return ray.data.from_arrow(empty)
     return _fetch_texts(d, text_col, topk, empty, stats_out)
+
+
+def bm25_docs_topk(ds, terms: list[str], *, k: int = 50,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   idf_scale: int = 1_000_000, tf_scale: int = 10_000):
+    """Index-free exact-integer BM25 top-``k`` over a document Dataset
+    — the same integer law as :func:`ranked_bm25_probe` (k1 = 1.2,
+    b = 0.75, identical w/tfc/avgdl quantization, ties (score desc,
+    id asc)) computed directly from the corpus in TWO passes, for
+    corpora that don't carry a persisted index:
+
+    1. a stats pass whose per-block partial is ``2 + len(terms)``
+       integers (doc count, token total, per-term df) folded on the
+       driver — the combine-inside-map_batches shape, nothing
+       data-sized moves;
+    2. a pure scoring map: each document's tf/dl live entirely in its
+       own row, so with (N, avgdl, w_t) broadcast the score needs NO
+       shuffle at all — at 100 TB this leg is embarrassingly parallel
+       and only ``blocks x k`` survivor rows reach the driver via
+       :func:`order.top_k`.
+
+    Returns an Arrow table ``(id_col, score, rank)`` with rank 1..k.
+    Overflow bounds match ranked_bm25_probe (int64-safe to ~10^9 docs
+    of ~10^5 tokens)."""
+    import ray.data
+
+    from .order import top_k
+
+    want = sorted({t.lower() for t in terms})
+    if not want:
+        raise ValueError("bm25_docs_topk: need at least one term")
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize(b[text_col], b.num_rows)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        row = {"n_docs": [b.num_rows],
+               "total_tokens": [int(len(flat))]}
+        for i, t in enumerate(want):
+            row[f"df_{i}"] = [int(np.unique(parents[flat == t]).size)]
+        return pa.table(row)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    total_tokens = sum(r["total_tokens"] for r in parts)
+    dfs = [sum(r[f"df_{i}"] for r in parts) for i in range(len(want))]
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+    if n_docs == 0 or not any(dfs):
+        return empty
+    avgdl_q = (total_tokens * 1000) // n_docs
+    ws = [((2 * n_docs - 2 * df + 1) * idf_scale) // (2 * df + 1)
+          for df in dfs]
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        toks = tokenize(b[text_col], b.num_rows)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        dl = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        score = np.zeros(b.num_rows, np.int64)
+        for t, w in zip(want, ws):
+            tf = np.bincount(parents[flat == t],
+                             minlength=b.num_rows).astype(np.int64)
+            den = 10 * avgdl_q * tf + 3 * avgdl_q + 9000 * dl
+            score += w * ((22 * tf * avgdl_q * tf_scale)
+                          // np.maximum(den, 1))
+        keep = score > 0
+        ids = b[id_col].combine_chunks() \
+            if isinstance(b[id_col], pa.ChunkedArray) else b[id_col]
+        return pa.table({id_col: ids.filter(pa.array(keep)),
+                         "score": pa.array(score[keep])})
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow",
+                            batch_size=None)
+    import ray
+
+    from .aggregate import concat_nonempty
+
+    topk = top_k(scored, ["score", id_col], k,
+                 descending=[True, False])
+    merged = concat_nonempty(ray.get(topk.to_arrow_refs()))
+    if merged.num_columns == 0 or merged.num_rows == 0:
+        return empty
+    return merged.append_column(
+        "rank", pa.array(np.arange(1, merged.num_rows + 1,
+                                   dtype=np.int64)))

@@ -74,7 +74,7 @@ BENCH_QUERIES = [
     # round-5 operators (BM25 ranking, MP4/MP3 container walks,
     # embedding-inference kNN, variable-length dup spans)
     "t_search_bm25", "mm_mp4_meta", "mm_mp3_meta",
-    "v_text_knn", "d_longest_dup",
+    "v_text_knn", "d_longest_dup", "v_hybrid_rrf",
 ]
 
 

@@ -1068,3 +1068,48 @@ def test_longest_shared_span_matches_bruteforce():
     assert want[0] == 10 and want[1] == 10      # exact dups hit the cap
     assert 1 <= want[2] <= 10                    # near-dup shares spans
     assert want[6] == 0                          # empty doc shares nothing
+
+
+def test_bm25_docs_and_hybrid_rrf_match_bruteforce():
+    """bm25_docs_topk reproduces the exact-integer BM25 law computed
+    by a sequential Python oracle, and hybrid_rrf fuses two rank
+    lists by the scaled-integer RRF law — including a doc present in
+    only one leg."""
+    from alco_ray.stages.textindex import bm25_docs_topk
+
+    tbl = _docs_table()
+    terms = ["the", "ray"]
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = bm25_docs_topk(ds, terms, k=4)
+
+    # Sequential oracle: identical integer law, brute force.
+    toks = [_py_tokens(s) for s in tbl["text"].to_pylist()]
+    n, tt = len(toks), sum(len(t) for t in toks)
+    avgdl = (tt * 1000) // n
+    scores = {}
+    for i, tk in enumerate(toks):
+        s = 0
+        for t in sorted(set(terms)):
+            df = sum(1 for u in toks if t in u)
+            w = ((2 * n - 2 * df + 1) * 1_000_000) // (2 * df + 1)
+            tf = tk.count(t)
+            den = 10 * avgdl * tf + 3 * avgdl + 9000 * len(tk)
+            s += w * ((22 * tf * avgdl * 10_000) // max(den, 1))
+        if s > 0:
+            scores[i] = s
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:4]
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    assert got["score"].to_pylist() == [s for _, s in want]
+    assert got["rank"].to_pylist() == list(range(1, len(want) + 1))
+
+    # RRF fold: doc 99 appears only in leg B and must still score.
+    leg_a = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "rank": pa.array([1, 2, 3], pa.int64())})
+    leg_b = pa.table({"doc_id": pa.array([2, 99], pa.int64()),
+                      "rank": pa.array([1, 2], pa.int64())})
+    fused = similarity.hybrid_rrf([leg_a, leg_b], k=4)
+    S = 10 ** 12
+    exp = {1: S // 61, 2: S // 62 + S // 61, 3: S // 63, 99: S // 62}
+    order = sorted(exp.items(), key=lambda x: (-x[1], x[0]))
+    assert fused["doc_id"].to_pylist() == [d for d, _ in order]
+    assert fused["rrf_score"].to_pylist() == [s for _, s in order]
