@@ -1283,6 +1283,21 @@ def d_pack_greedy(sf_dir: str):
     return pref.map_batches(pack, batch_format="pyarrow")
 
 
+def d_html_clean(sf_dir: str):
+    """Web-crawl BOILERPLATE REMOVAL (stages/text.strip_html over the
+    stages/text.wrap_html_batch fixture — the mm_* synthetic-payload
+    pattern applied to markup): drop script/style/nav/footer/title
+    WITH content, strip remaining tags, unescape entities, normalize
+    whitespace.  Pure map, zero shuffle, six RE2 passes per batch.
+    The oracle is the independent closed form the escape/unescape
+    round-trip guarantees — whitespace-normalized original text — so
+    a boilerplate leak, entity-order bug, or glued-word tag strip all
+    hash-mismatch."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(text.wrap_html_batch, batch_format="pyarrow")
+              .map_batches(text.strip_html, batch_format="pyarrow"))
+
+
 def d_redact(sf_dir: str):
     """Vectorized masking / redaction (the PII-scrub shape): whole-word
     replace via one RE2 pass per batch (Arrow and DuckDB both speak
@@ -4141,8 +4156,9 @@ REGISTRY = {
     "mm_features": mm_features,
     "v_knn_lsh": v_knn_lsh,
     "v_knn_ivf": v_knn_ivf,
-    # late round-5 addition (registry tail: outside every past and the
+    # late round-5 additions (registry tail: outside every past and the
     # current driver window; local-gate + pytest evidence)
     "v_hybrid_rrf": v_hybrid_rrf,
+    "d_html_clean": d_html_clean,
 }
 

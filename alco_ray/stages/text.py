@@ -1104,3 +1104,63 @@ def longest_shared_span(ds, *, max_len: int = 16, text_col: str = "text",
     return (partition_by_key(per_part.union(base), id_col,
                              suggest_key_partitions(n_docs))
             .groupby("part").map_groups(doc_fold, batch_format="pandas"))
+
+
+def wrap_html_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Deterministic single-line HTML page per document — the
+    web-crawl fixture for :func:`strip_html` (the mm_* synthetic-
+    payload pattern applied to markup).  The payload text is
+    entity-escaped (& first, then < >) so the wrap/strip pair
+    round-trips exactly even when documents contain markup
+    characters; boilerplate (title, style, nav, script, footer)
+    varies with doc_id so a leak is id-dependent and hash-visible."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    esc = pc.replace_substring(batch[text_col], "&", "&amp;")
+    esc = pc.replace_substring(esc, "<", "&lt;")
+    esc = pc.replace_substring(esc, ">", "&gt;")
+    body = esc.to_numpy(zero_copy_only=False).astype(object)
+    html = np.array([
+        f'<html><head><title>doc {i}</title>'
+        f'<style>p{{margin:{i % 7}px}}</style></head>'
+        f'<body><nav>home | about | section {i % 5}</nav>'
+        f'<div class="c{i % 3}"><p>{t}</p>'
+        f'<script>track({i});</script></div>'
+        f'<footer>(c) site {i % 11}</footer></body></html>'
+        for i, t in zip(ids, body)], dtype=object)
+    return pa.table({id_col: batch[id_col],
+                     "html": pa.array(html, pa.string())})
+
+
+#: Boilerplate elements stripped WITH their content (one global
+#: non-greedy RE2 pass each; pyarrow and DuckDB both run RE2, so the
+#: oracle semantics are identical by construction).
+_HTML_BOILER = ("script", "style", "nav", "footer", "title")
+
+
+def strip_html(batch: pa.Table, html_col: str = "html",
+               id_col: str = "doc_id") -> pa.Table:
+    """Boilerplate removal + tag strip + entity unescape + whitespace
+    normalization — the web-corpus cleaning step every crawl pipeline
+    runs before quality scoring.  Fully vectorized (six RE2 passes +
+    three substring passes per batch, no Python row loop) and
+    embarrassingly parallel: at 100 TB this is a pure map with zero
+    shuffle.  Unescape order (&lt;/&gt; before &amp;) makes the
+    :func:`wrap_html_batch` round-trip exact."""
+    s = batch[html_col]
+    for el in _HTML_BOILER:
+        s = pc.replace_substring_regex(
+            s, f"<{el}\\b[^>]*>.*?</{el}>", " ")
+    s = pc.replace_substring_regex(s, "<[^>]+>", " ")
+    s = pc.replace_substring(s, "&lt;", "<")
+    s = pc.replace_substring(s, "&gt;", ">")
+    s = pc.replace_substring(s, "&amp;", "&")
+    # RE2 trim (NOT utf8_trim_whitespace: that trims the Unicode ws
+    # class, which \s does not match — the oracle's regexp trim and
+    # this one must share one whitespace definition)
+    s = pc.replace_substring_regex(
+        pc.replace_substring_regex(s, "\\s+", " "),
+        "^ | $", "")
+    return pa.table({id_col: batch[id_col], "clean_text": s,
+                     "clean_len": pc.cast(pc.utf8_length(s),
+                                          pa.int64())})

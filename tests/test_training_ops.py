@@ -1113,3 +1113,42 @@ def test_bm25_docs_and_hybrid_rrf_match_bruteforce():
     order = sorted(exp.items(), key=lambda x: (-x[1], x[0]))
     assert fused["doc_id"].to_pylist() == [d for d, _ in order]
     assert fused["rrf_score"].to_pylist() == [s for _, s in order]
+
+
+def test_strip_html_roundtrip_and_boilerplate():
+    """wrap_html_batch -> strip_html round-trips exactly to the
+    whitespace-normalized original — including documents that
+    themselves contain markup characters and pre-escaped entities —
+    and leaks no boilerplate token."""
+    texts = [
+        "plain words only",
+        "contains <b>literal</b> tags & ampersands",
+        "already escaped &lt;tag&gt; and &amp; stay intact",
+        "  leading and   trailing   whitespace  ",
+        "",
+        "a < b > c & d </script> fake closer",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = text.strip_html(text.wrap_html_batch(tbl))
+    import re
+    want = [re.sub(r"^ | $", "", re.sub(r"\s+", " ", t)) for t in texts]
+    got = out["clean_text"].to_pylist()
+    assert got == want
+    assert out["clean_len"].to_pylist() == [len(w) for w in want]
+    # no boilerplate leak, ever
+    for g in got:
+        for tok in ("home", "about", "track", "margin", "(c) site",
+                    "doc 0", "<nav", "<script"):
+            assert tok not in g
+
+    # multiple script/style blocks in one page strip independently
+    # (non-greedy per block, not one greedy span eating the payload)
+    page = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "html": pa.array(["<p>keep one</p><script>a;</script>"
+                          "<p>keep two</p><script>b;</script>"
+                          "<style>x</style><p>keep three</p>"],
+                         pa.string())})
+    got2 = text.strip_html(page)["clean_text"].to_pylist()[0]
+    assert got2 == "keep one keep two keep three"
