@@ -1152,3 +1152,23 @@ def test_strip_html_roundtrip_and_boilerplate():
                          pa.string())})
     got2 = text.strip_html(page)["clean_text"].to_pylist()[0]
     assert got2 == "keep one keep two keep three"
+
+
+def test_bm25_docs_topk_no_match_and_empty():
+    """No-match terms and empty corpora return the typed empty
+    (doc_id, score, rank) table, not a crash — the approximate-miss
+    contract knn_brute follows."""
+    from alco_ray.stages.textindex import bm25_docs_topk
+
+    ds = ray.data.from_arrow(_docs_table())
+    out = bm25_docs_topk(ds, ["zzznotpresent"], k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "score", "rank"]
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out2 = bm25_docs_topk(empty, ["stream"], k=5)
+    assert out2.num_rows == 0
+    with pytest.raises(ValueError):
+        bm25_docs_topk(ds, [], k=5)
