@@ -1909,6 +1909,27 @@ def v_hybrid_rrf(sf_dir: str):
     return ray.data.from_arrow(fused)
 
 
+def v_text_clusters(sf_dir: str):
+    """End-to-end TEXT CLUSTERING: actor-pool embedding inference
+    (stages/similarity.TextEncoder) feeding the exact fixed-point
+    Lloyd k-means (kmeans_fixed_point, k=8, 3 iterations) — raw text
+    in, per-document cluster assignment out, the corpus-organization
+    step (topic bucketing, dedup scoping, mixture design) of a
+    training-data pipeline.  Every stage is a pinned integer
+    recurrence, so the oracle unrolls the identical iterations over
+    the closed-form embeddings and the assignment table hash-matches
+    bit-for-bit."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = ds.map_batches(similarity.TextEncoder,
+                         batch_format="pyarrow", concurrency=(1, 4))
+    res = similarity.kmeans_fixed_point(emb, k=8, iters=3,
+                                        id_col="doc_id")
+    # the assignment kernel emits the generic (vec_id, cluster) pair
+    return res.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster"]),
+        batch_format="pyarrow")
+
+
 def v_knn_lsh(sf_dir: str):
     """Two-phase ANN: build the persisted LSH index ONCE (bucket-
     partitioned Parquet under /tmp/alco_ray_cache/<sf>/ann_lsh), then
@@ -4160,5 +4181,6 @@ REGISTRY = {
     # current driver window; local-gate + pytest evidence)
     "v_hybrid_rrf": v_hybrid_rrf,
     "d_html_clean": d_html_clean,
+    "v_text_clusters": v_text_clusters,
 }
 

@@ -1172,3 +1172,44 @@ def test_bm25_docs_topk_no_match_and_empty():
     assert out2.num_rows == 0
     with pytest.raises(ValueError):
         bm25_docs_topk(ds, [], k=5)
+
+
+def test_text_clusters_composition_matches_pinned_parts():
+    """TextEncoder -> kmeans_fixed_point composes exactly: running
+    Lloyd's pinned integer recurrence by hand over the encoder's own
+    embeddings reproduces the distributed assignment per doc, at
+    several partitionings."""
+    from alco_ray.stages.similarity import (TextEncoder,
+                                            kmeans_fixed_point)
+
+    texts = [f"doc {i} " + "word " * (i % 5) + "tail" * (i % 3)
+             for i in range(30)]
+    tbl = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    enc = TextEncoder()
+    emb = enc.encode(tbl["text"]).astype(np.int64)  # integers: exact
+
+    k, iters, scale = 4, 2, 1024
+    q = emb * scale
+    cents = q[:k].copy()
+    for it in range(iters + 1):
+        d = ((q * q).sum(1)[:, None] + (cents * cents).sum(1)[None, :]
+             - 2 * (q @ cents.T))
+        a = np.argmin(d, axis=1)
+        if it == iters:
+            break
+        new = cents.copy()
+        for ci in range(k):
+            m = q[a == ci]
+            if len(m):
+                s = m.sum(0)
+                new[ci] = np.sign(s) * (np.abs(s) // len(m))
+        cents = new
+
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        e = ds.map_batches(TextEncoder, batch_format="pyarrow",
+                           concurrency=2)
+        out = kmeans_fixed_point(e, k=k, iters=iters, id_col="doc_id")
+        got = {r["vec_id"]: r["cluster"] for r in out.take_all()}
+        assert [got[i] for i in range(30)] == list(a), nblocks
