@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     # embedding-inference kNN, variable-length dup spans)
     "t_search_bm25", "mm_mp4_meta", "mm_mp3_meta",
     "v_text_knn", "d_longest_dup", "v_hybrid_rrf",
+    "v_text_clusters",
 ]
 
 
