@@ -1502,6 +1502,60 @@ def d_dedup_exact_rows(sf_dir: str):
         approx_rows=_nrows(_tp(sf_dir, "documents")) + 50)
 
 
+def d_split_leakage(sf_dir: str):
+    """Train/val/test LEAKAGE audit (the eval-integrity check every
+    training pipeline must run after splitting): identical document
+    texts whose copies land in >= 2 distinct splits.  Splits use
+    d_split_assign's pinned multiplicative-hash law; duplicates are
+    guaranteed at every scale by the d_dedup_exact_rows planted
+    re-keyed copy (mirrored in the oracle).  ONE text-keyed exchange,
+    then a vectorized per-partition fold emitting (group_id = min
+    doc_id, n_docs, n_splits) for leak groups only — group count is
+    bounded by the duplicate count, never the corpus."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["doc_id"], 50))
+        return b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())))
+
+    planted = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(rekey, batch_format="pyarrow")
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((ids * np.uint64(2654435761)) % np.uint64(4294967296)
+             % np.uint64(100)).astype(np.int64)
+        split = np.where(h < 80, "train",
+                         np.where(h < 90, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "split": pa.array(split, pa.string())})
+
+    tagged = ds.union(planted).map_batches(assign,
+                                           batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("text", as_index=False)
+               .agg(group_id=("doc_id", "min"),
+                    n_docs=("doc_id", "size"),
+                    n_splits=("split", "nunique")))
+        out = out[out["n_splits"] >= 2]
+        return pd.DataFrame({
+            "group_id": out["group_id"].astype(np.int64),
+            "n_docs": out["n_docs"].astype(np.int64),
+            "n_splits": out["n_splits"].astype(np.int64)})
+
+    from ..stages.window import partition_by_key, suggest_key_partitions
+
+    parts = partition_by_key(
+        tagged, "text",
+        suggest_key_partitions(_nrows(_tp(sf_dir, "documents")) + 50))
+    return parts.groupby("part").map_groups(fold,
+                                            batch_format="pandas")
+
+
 def d_dedup_apply(sf_dir: str):
     """End-to-end near-dedup: Jaccard pairs -> connected components ->
     keep the min-id representative per cluster."""
@@ -4182,5 +4236,6 @@ REGISTRY = {
     "v_hybrid_rrf": v_hybrid_rrf,
     "d_html_clean": d_html_clean,
     "v_text_clusters": v_text_clusters,
+    "d_split_leakage": d_split_leakage,
 }
 

@@ -1213,3 +1213,58 @@ def test_text_clusters_composition_matches_pinned_parts():
         out = kmeans_fixed_point(e, k=k, iters=iters, id_col="doc_id")
         got = {r["vec_id"]: r["cluster"] for r in out.take_all()}
         assert [got[i] for i in range(30)] == list(a), nblocks
+
+
+def test_split_leakage_bruteforce():
+    """The leakage audit finds exactly the text groups whose copies
+    straddle >= 2 splits under the pinned multiplicative-hash law."""
+    from alco_ray.pipelines.queries import d_split_leakage  # noqa: F401 (law lives inline)
+
+    # ids chosen so duplicates land in DIFFERENT splits (hash law
+    # below) and one duplicate pair lands in the SAME split
+    ids = [0, 1, 2, 3, 4, 5, 6, 7]
+    texts = ["dup a", "dup a", "dup b", "dup b",
+             "uniq 1", "uniq 2", "dup c", "dup c"]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    def split_of(i):
+        h = (i * 2654435761) % 4294967296 % 100
+        return "train" if h < 80 else ("val" if h < 90 else "test")
+
+    groups = {}
+    for i, t in zip(ids, texts):
+        groups.setdefault(t, []).append(i)
+    want = sorted(
+        (min(g), len(g), len({split_of(i) for i in g}))
+        for g in groups.values()
+        if len({split_of(i) for i in g}) >= 2)
+
+    import pandas as pd
+    from alco_ray.stages.window import partition_by_key
+
+    def assign(b):
+        h = (b["doc_id"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296) % np.uint64(100)
+        sp = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return b.append_column("split", pa.array(sp, pa.string()))
+
+    tagged = ray.data.from_arrow(tbl).repartition(3) \
+        .map_batches(assign, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("text", as_index=False)
+               .agg(group_id=("doc_id", "min"),
+                    n_docs=("doc_id", "size"),
+                    n_splits=("split", "nunique")))
+        out = out[out["n_splits"] >= 2]
+        return out[["group_id", "n_docs", "n_splits"]]
+
+    got = sorted(
+        (r["group_id"], r["n_docs"], r["n_splits"])
+        for r in partition_by_key(tagged, "text", 2)
+        .groupby("part").map_groups(fold, batch_format="pandas")
+        .take_all())
+    assert got == want
+    assert want  # the fixture must actually plant a leak
