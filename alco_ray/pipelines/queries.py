@@ -1556,6 +1556,66 @@ def d_split_leakage(sf_dir: str):
                                             batch_format="pandas")
 
 
+def d_chunk_dedup(sf_dir: str):
+    """CHUNK-granularity dedup stats (dedup at the model-context
+    level, not the document level — the pretraining variant that
+    catches boilerplate shared by otherwise-distinct pages): per doc,
+    how many of its 64-token chunks are duplicates of an EARLIER
+    chunk anywhere in the corpus (first occurrence = lexicographic
+    min (doc_id, chunk_idx); duplicates planted at every scale via
+    the re-keyed copy of the first 50 docs, mirrored in the oracle).
+    Chunks travel the exchange as u64 hashes (the d_dup_spans
+    doctrine — 8 B/chunk on the wire, literal text only in the
+    oracle), then a chunk-hash-keyed first-wins pass and a doc-keyed
+    fold: two bounded exchanges, no driver materialization."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["doc_id"], 50))
+        return b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())))
+
+    planted = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(rekey, batch_format="pyarrow")
+
+    def to_hashed_chunks(b: pa.Table) -> pa.Table:
+        c = text.chunk_documents(b)
+        h = text.hash_strings(c["chunk_text"])
+        return pa.table({"doc_id": c["doc_id"],
+                         "chunk_idx": c["chunk_idx"],
+                         "chunk_h": pa.array(h.view(np.int64))})
+
+    chunks = ds.union(planted).map_batches(to_hashed_chunks,
+                                           batch_format="pyarrow")
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk_h", "doc_id", "chunk_idx"],
+                          kind="mergesort")
+        dup = g.groupby("chunk_h", sort=False).cumcount() > 0
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "is_dup": dup.astype(np.int64).to_numpy()})
+
+    from ..stages.window import partition_by_key, suggest_key_partitions
+
+    n_parts = suggest_key_partitions(
+        _nrows(_tp(sf_dir, "documents")) + 50)
+    marked = partition_by_key(chunks, "chunk_h", n_parts) \
+        .groupby("part").map_groups(first_wins, batch_format="pandas")
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(n_chunks=("is_dup", "size"),
+                    n_dup_chunks=("is_dup", "sum")))
+        out["n_chunks"] = out["n_chunks"].astype(np.int64)
+        out["n_dup_chunks"] = out["n_dup_chunks"].astype(np.int64)
+        return out
+
+    return partition_by_key(marked, "doc_id", n_parts) \
+        .groupby("part").map_groups(doc_fold, batch_format="pandas")
+
+
 def d_dedup_apply(sf_dir: str):
     """End-to-end near-dedup: Jaccard pairs -> connected components ->
     keep the min-id representative per cluster."""
@@ -4237,5 +4297,6 @@ REGISTRY = {
     "d_html_clean": d_html_clean,
     "v_text_clusters": v_text_clusters,
     "d_split_leakage": d_split_leakage,
+    "d_chunk_dedup": d_chunk_dedup,
 }
 

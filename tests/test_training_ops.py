@@ -1268,3 +1268,68 @@ def test_split_leakage_bruteforce():
         .take_all())
     assert got == want
     assert want  # the fixture must actually plant a leak
+
+
+def test_chunk_dedup_first_wins_bruteforce():
+    """Chunk-level dedup marks exactly the chunks whose text repeats
+    an earlier (doc_id, chunk_idx) occurrence, corpus-wide, at any
+    partitioning — brute-forced over a corpus with whole-doc dups,
+    an intra-doc repeated chunk, and unique docs."""
+    import pandas as pd
+
+    from alco_ray.stages.window import partition_by_key
+
+    w = lambda n, tag: " ".join(f"{tag}{i % 17}" for i in range(n))
+    texts = [
+        w(128, "a"),            # doc 0: 2 chunks
+        w(128, "a"),            # doc 1: exact dup of doc 0
+        w(64, "b") + " " + w(64, "b"),  # doc 2: same chunk twice
+        w(200, "c"),            # doc 3: unique, ragged tail chunk
+        "",                     # doc 4: empty -> absent from output
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    # brute force: first occurrence by (doc, chunk_idx) over literal
+    # chunk text
+    seen, want = set(), {}
+    for d, t in enumerate(texts):
+        toks = _py_tokens(t)
+        chunks = [" ".join(toks[i:i + 64])
+                  for i in range(0, len(toks), 64)]
+        if not chunks:
+            continue
+        n_dup = 0
+        for c in chunks:
+            if c in seen:
+                n_dup += 1
+            seen.add(c)
+        want[d] = (len(chunks), n_dup)
+
+    def to_hashed(b):
+        c = text.chunk_documents(b)
+        return pa.table({
+            "doc_id": c["doc_id"], "chunk_idx": c["chunk_idx"],
+            "chunk_h": pa.array(
+                text.hash_strings(c["chunk_text"]).view(np.int64))})
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk_h", "doc_id", "chunk_idx"],
+                          kind="mergesort")
+        dup = g.groupby("chunk_h", sort=False).cumcount() > 0
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "is_dup": dup.astype(np.int64).to_numpy()})
+
+    for nblocks in (1, 3):
+        chunks = (ray.data.from_arrow(tbl).repartition(nblocks)
+                  .map_batches(to_hashed, batch_format="pyarrow"))
+        marked = partition_by_key(chunks, "chunk_h", 2) \
+            .groupby("part").map_groups(first_wins,
+                                        batch_format="pandas")
+        got = {}
+        agg = {}
+        for r in marked.take_all():
+            n, d = agg.get(r["doc_id"], (0, 0))
+            agg[r["doc_id"]] = (n + 1, d + r["is_dup"])
+        got = agg
+        assert got == want, nblocks
