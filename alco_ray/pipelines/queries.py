@@ -2382,6 +2382,95 @@ def q_rollup(sf_dir: str):
         ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]))
 
 
+def e_late_events(sf_dir: str):
+    """EVENT-TIME WATERMARK / late-data accounting (the streaming
+    correctness audit: per event type, how many events arrive after
+    the watermark — the running max event-time over everything that
+    arrived BEFORE them in ingest order — by more than the allowed
+    lateness).  Ingest order = event_id; disorder is planted
+    deterministically (every 37th event shifted back event_id%7
+    hours, mirrored in the oracle) since the fixture stream is
+    otherwise perfectly ordered; allowed lateness 30 min.
+
+    Scale shape — a GLOBAL-ORDER scan with carry, the one windowed
+    pattern partition_by_key can't give directly: events bucket by
+    contiguous event_id range, a tiny partial pass folds per-bucket
+    max event-times (one int per bucket reaches the driver), the
+    exclusive prefix max over bucket ids becomes each bucket's
+    carry-in watermark, and the per-bucket late check is one
+    vectorized accumulate — no global sort, nothing row-sized on the
+    driver."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts",
+                                          "event_type"])
+    n = _nrows(_tp(sf_dir, "events"))
+    from ..stages.window import partition_by_key, suggest_key_partitions
+
+    n_parts = suggest_key_partitions(n)
+    B = -(-n // n_parts)
+    HOUR = 3_600_000_000
+    LATE = 1_800_000_000
+
+    def perturb(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts2 = ts - np.where(eid % 37 == 0, (eid % 7) * HOUR, 0)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "ts2": pa.array(ts2),
+                         "bucket": pa.array(eid // B)})
+
+    ev = ds.map_batches(perturb, batch_format="pyarrow").materialize()
+
+    def bucket_max(b: pa.Table) -> pa.Table:
+        g = (pa.table({"bucket": b["bucket"], "m": b["ts2"]})
+             .group_by(["bucket"]).aggregate([("m", "max")]))
+        return g.rename_columns(["bucket", "m"])
+
+    bm: dict[int, int] = {}
+    for r in ev.map_batches(bucket_max,
+                            batch_format="pyarrow").take_all():
+        bm[r["bucket"]] = max(bm.get(r["bucket"], r["m"]), r["m"])
+    lo = np.iinfo(np.int64).min // 4
+    carry, run = {}, lo
+    for bkt in sorted(bm):
+        carry[bkt] = run
+        run = max(run, bm[bkt])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bkt, gb in g.groupby("bucket", sort=True):
+            gb = gb.sort_values("event_id", kind="mergesort")
+            ts2 = gb["ts2"].to_numpy()
+            run_max = np.maximum.accumulate(ts2)
+            c = carry.get(bkt, lo)
+            wm = np.maximum(
+                np.concatenate([[lo], run_max[:-1]]), c)
+            outs.append(pd.DataFrame({
+                "event_type": gb["event_type"].to_numpy(),
+                "late": (ts2 + LATE < wm).astype(np.int64)}))
+        out = pd.concat(outs)
+        part = (out.groupby("event_type", as_index=False)
+                .agg(n_events=("late", "size"),
+                     n_late=("late", "sum")))
+        part["n_events"] = part["n_events"].astype(np.int64)
+        part["n_late"] = part["n_late"].astype(np.int64)
+        return part
+
+    partials = partition_by_key(ev, "bucket", n_parts) \
+        .groupby("part").map_groups(fold, batch_format="pandas") \
+        .take_all()
+    acc: dict[str, list[int]] = {}
+    for r in partials:
+        a = acc.setdefault(r["event_type"], [0, 0])
+        a[0] += r["n_events"]
+        a[1] += r["n_late"]
+    keys = sorted(acc)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_events": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_late": pa.array([acc[k][1] for k in keys], pa.int64())}))
+
+
 def e_event_gaps(sf_dir: str):
     """LAG window function: per event, microseconds since the SAME
     user's previous event ((ts, event_id) order; null for each user's
@@ -4298,5 +4387,6 @@ REGISTRY = {
     "v_text_clusters": v_text_clusters,
     "d_split_leakage": d_split_leakage,
     "d_chunk_dedup": d_chunk_dedup,
+    "e_late_events": e_late_events,
 }
 
