@@ -2471,6 +2471,116 @@ def e_late_events(sf_dir: str):
         "n_late": pa.array([acc[k][1] for k in keys], pa.int64())}))
 
 
+def e_upsert_merge(sf_dir: str):
+    """CDC / UPSERT MERGE (the log-compaction primitive: changelog of
+    insert/update/delete ops -> latest-wins live snapshot).  The
+    changelog is derived deterministically from the base table
+    (mirrored in the oracle): every event is an insert at seq 0,
+    every 13th key gets an update at seq 1 (+key%1000+1 cents), every
+    29th a delete at seq 2.  Output = live rows only, with the
+    winning value and sequence number.
+
+    Scale shape: changelog synthesis is a pure map; the merge is ONE
+    hash exchange on the key followed by a per-partition vectorized
+    latest-wins fold (sort + keep-last) -- the exact shape of a
+    distributed compaction over 100 TB of changelog shards, with no
+    driver materialization."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    n = _nrows(_tp(sf_dir, "events"))
+    from ..stages.window import partition_by_key, suggest_key_partitions
+
+    def changelog(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        vc = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        upd = eid % 13 == 0
+        dele = eid % 29 == 0
+        nb, nu, nd = len(eid), int(upd.sum()), int(dele.sum())
+        ids = np.concatenate([eid, eid[upd], eid[dele]])
+        seq = np.concatenate([np.zeros(nb, np.int64),
+                              np.ones(nu, np.int64),
+                              np.full(nd, 2, np.int64)])
+        op = np.concatenate([np.full(nb, "i", object),
+                             np.full(nu, "u", object),
+                             np.full(nd, "d", object)])
+        val = np.concatenate([vc, vc[upd] + eid[upd] % 1000 + 1,
+                              np.zeros(nd, np.int64)])
+        return pa.table({"event_id": pa.array(ids), "seq": pa.array(seq),
+                         "op": pa.array(op, pa.string()),
+                         "vc": pa.array(val)})
+
+    log = ds.map_batches(changelog, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_id", "seq"], kind="mergesort")
+        last = g.drop_duplicates("event_id", keep="last")
+        live = last[last["op"] != "d"]
+        return pd.DataFrame({
+            "event_id": live["event_id"].to_numpy(),
+            "value_cents": live["vc"].astype(np.int64).to_numpy(),
+            "last_seq": live["seq"].astype(np.int64).to_numpy()})
+
+    return (partition_by_key(log, "event_id", suggest_key_partitions(n))
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["event_id", "value_cents", "last_seq"]))
+
+
+def e_snapshot_diff(sf_dir: str):
+    """SNAPSHOT DIFF (data-versioning audit: which keys were added /
+    removed / changed between two table versions).  Version B is
+    derived deterministically from version A (mirrored in the
+    oracle): every 11th key dropped, every 7th value bumped one cent,
+    every 13th key re-inserted under key+10^9.  Output = one row per
+    differing key with its status; unchanged keys are absent.
+
+    Scale shape: both versions stream through a tag map, then ONE
+    hash exchange on the key and a per-partition vectorized outer
+    merge -- at 100 TB this is the standard two-snapshot reconcile
+    with shuffle volume = the two key+value columns, never the full
+    rows."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    n = _nrows(_tp(sf_dir, "events"))
+    from ..stages.window import partition_by_key, suggest_key_partitions
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        vc = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        keep = eid % 11 != 0
+        b_ids = eid[keep]
+        b_vc = np.where(b_ids % 7 == 0, vc[keep] + 1, vc[keep])
+        new = eid % 13 == 0
+        ids = np.concatenate([eid, b_ids, eid[new] + 1_000_000_000])
+        vals = np.concatenate([vc, b_vc, eid[new] % 997])
+        side = np.concatenate([np.zeros(len(eid), np.int64),
+                               np.ones(len(b_ids) + int(new.sum()),
+                                       np.int64)])
+        return pa.table({"event_id": pa.array(ids),
+                         "vc": pa.array(vals), "side": pa.array(side)})
+
+    both = ds.map_batches(tag, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["event_id", "vc"]]
+        b = g[g["side"] == 1][["event_id", "vc"]]
+        m = a.merge(b, on="event_id", how="outer", suffixes=("_a", "_b"))
+        added = m["vc_a"].isna().to_numpy()
+        removed = m["vc_b"].isna().to_numpy()
+        status = np.where(added, "added",
+                          np.where(removed, "removed", "changed"))
+        diff = added | removed | (m["vc_a"].to_numpy()
+                                  != m["vc_b"].to_numpy())
+        return pd.DataFrame({
+            "event_id": m["event_id"].to_numpy()[diff],
+            "status": status[diff].astype(object)})
+
+    return (partition_by_key(both, "event_id", suggest_key_partitions(n))
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["event_id", "status"]))
+
+
 def e_event_gaps(sf_dir: str):
     """LAG window function: per event, microseconds since the SAME
     user's previous event ((ts, event_id) order; null for each user's
@@ -4388,5 +4498,7 @@ REGISTRY = {
     "d_split_leakage": d_split_leakage,
     "d_chunk_dedup": d_chunk_dedup,
     "e_late_events": e_late_events,
+    "e_upsert_merge": e_upsert_merge,
+    "e_snapshot_diff": e_snapshot_diff,
 }
 

@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "t_search_bm25", "mm_mp4_meta", "mm_mp3_meta",
     "v_text_knn", "d_longest_dup", "v_hybrid_rrf",
     "v_text_clusters",
+    # round-5 late operators (web-crawl boilerplate strip, chunk-level
+    # dedup, split-leakage audit, event-time watermark accounting)
+    "d_html_clean", "d_chunk_dedup", "d_split_leakage", "e_late_events",
 ]
 
 
