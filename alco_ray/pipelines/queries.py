@@ -2471,6 +2471,76 @@ def e_late_events(sf_dir: str):
         "n_late": pa.array([acc[k][1] for k in keys], pa.int64())}))
 
 
+def d_consistent_sample(sf_dir: str):
+    """CONSISTENT (bottom-k-by-hash) SAMPLE: the reproducible corpus
+    sample every eval/debug loop wants — the SAME k documents come
+    back no matter how the corpus is sharded, ordered, or appended-to
+    (a doc leaves the sample only when a smaller-hash doc arrives).
+    Priority = Knuth multiplicative hash of doc_id (u32, the same law
+    d_split_leakage uses); sample = ascending k on (priority, doc_id).
+
+    Scale shape: pure map + per-block local bottom-k, then a driver
+    merge of <= blocks*k survivor rows (order.top_k) — no global
+    sort, no shuffle; at 100 TB the driver sees k rows per block."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def pri(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        p = (did.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        return pa.table({"doc_id": b["doc_id"],
+                         "priority": pa.array(p.astype(np.int64))})
+
+    return order.top_k(ds.map_batches(pri, batch_format="pyarrow"),
+                       ["priority", "doc_id"], 100, descending=False)
+
+
+def e_quantile_normalize(sf_dir: str):
+    """GLOBAL QUANTILE (rank) NORMALIZATION: map every event's value
+    to its exact corpus-wide percentile in ppm — the feature-scaling
+    step before mixing heterogeneous quality scores.  pctl_ppm =
+    (count of strictly-smaller values) * 10^6 // (n-1), i.e. exact
+    min-rank normalization (ties share the rank).
+
+    Scale shape: pass 1 folds per-block value histograms into a
+    driver-side cumulative table bounded by the VALUE RESOLUTION
+    (integer cents), not the row count — the documented assumption is
+    a bounded-resolution score domain; pass 2 broadcasts the sorted
+    (values, cum-counts) arrays once via ray.put and rank-maps every
+    row with one vectorized searchsorted.  No sort, no shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def _cents(col) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(col, 100),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"vc": _cents(b["value"])})
+        g = t.group_by(["vc"]).aggregate([([], "count_all")])
+        return g.rename_columns(["vc", "cnt"])
+
+    counts: dict[int, int] = {}
+    for r in ds.map_batches(hist, batch_format="pyarrow").take_all():
+        counts[r["vc"]] = counts.get(r["vc"], 0) + r["cnt"]
+    vals = np.array(sorted(counts), dtype=np.int64)
+    cum = np.zeros(len(vals), dtype=np.int64)
+    if len(vals) > 1:
+        cum[1:] = np.cumsum([counts[int(v)] for v in vals[:-1]])
+    n = int(sum(counts.values()))
+    ref = ray.put((vals, cum))
+
+    def norm(b: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        vc = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        lt = c[np.searchsorted(v, vc)]
+        ppm = lt * 1_000_000 // max(n - 1, 1)
+        return pa.table({"event_id": b["event_id"],
+                         "pctl_ppm": pa.array(ppm.astype(np.int64))})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def e_upsert_merge(sf_dir: str):
     """CDC / UPSERT MERGE (the log-compaction primitive: changelog of
     insert/update/delete ops -> latest-wins live snapshot).  The
@@ -4500,5 +4570,7 @@ REGISTRY = {
     "e_late_events": e_late_events,
     "e_upsert_merge": e_upsert_merge,
     "e_snapshot_diff": e_snapshot_diff,
+    "d_consistent_sample": d_consistent_sample,
+    "e_quantile_normalize": e_quantile_normalize,
 }
 
