@@ -502,6 +502,70 @@ def d_vocab(sf_dir: str):
     return order.top_k(g, ["cnt", "token"], 100, descending=[True, False])
 
 
+def d_cooccur(sf_dir: str):
+    """TOKEN CO-OCCURRENCE mining (the association signal under PMI /
+    collocation analysis): for every pair of TOP-50 corpus tokens, in
+    how many documents do both appear.  Restricting pairs to a
+    driver-chosen vocabulary is what makes the operator scale-safe:
+    the quadratic blowup is over |V|=50, never over the corpus.
+
+    Scale shape: pass 1 is the d_vocab top-k (map-side counts, one
+    token groupby, per-block prune); the 50-token vocabulary is
+    broadcast once via ray.put; pass 2 builds a per-block doc x V
+    0/1 incidence matrix and collapses it with ONE integer matmul to
+    <= V(V-1)/2 pair counts per block, folded driver-side (bounded
+    keys).  No pair ever rides a shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        toks = text.token_explode(b)
+        g = (pa.table({"token": toks["token"]})
+             .group_by(["token"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["token", "cnt"])
+
+    p = ds.map_batches(tok_partial, batch_format="pyarrow")
+    g = p.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    top = order.top_k(g, ["cnt", "token"], 50,
+                      descending=[True, False]).take_all()
+    vocab = np.sort(np.array([r["token"] for r in top], dtype=str))
+    ref = ray.put(vocab)
+    empty = pa.schema([("ia", pa.int64()), ("ib", pa.int64()),
+                       ("cnt", pa.int64())])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        vb = ray.get(ref)
+        toks = text.token_explode(b)
+        t = toks.filter(pc.is_in(toks["token"], value_set=pa.array(vb)))
+        if t.num_rows == 0:
+            return empty.empty_table()
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tk = np.asarray(t["token"].to_numpy(zero_copy_only=False),
+                        dtype=str)
+        idx = np.searchsorted(vb, tk)
+        _, dinv = np.unique(did, return_inverse=True)
+        m = np.zeros((int(dinv.max()) + 1, len(vb)), dtype=np.int64)
+        m[dinv, idx] = 1
+        c = m.T @ m
+        iu, ju = np.triu_indices(len(vb), k=1)
+        cnt = c[iu, ju]
+        nz = cnt > 0
+        return pa.table({"ia": pa.array(iu[nz].astype(np.int64)),
+                         "ib": pa.array(ju[nz].astype(np.int64)),
+                         "cnt": pa.array(cnt[nz])})
+
+    partials = ds.map_batches(pair_partial, batch_format="pyarrow")
+    folded = agg_stage.fold_partials(partials, ["ia", "ib"],
+                                     [("cnt", "sum")], empty_schema=empty)
+    ia = folded["ia"].to_numpy()
+    ib = folded["ib"].to_numpy()
+    return ray.data.from_arrow(pa.table({
+        "token_a": pa.array(vocab[ia]),
+        "token_b": pa.array(vocab[ib]),
+        "n_docs": pc.cast(folded["cnt"], pa.int64())}))
+
+
 def d_quality_filter(sf_dir: str):
     """Quality filtering (the delete-side of quality scoring): keep
     docs with >= 20 tokens and stopword ratio >= 10% — natural-language
@@ -4572,5 +4636,6 @@ REGISTRY = {
     "e_snapshot_diff": e_snapshot_diff,
     "d_consistent_sample": d_consistent_sample,
     "e_quantile_normalize": e_quantile_normalize,
+    "d_cooccur": d_cooccur,
 }
 
