@@ -566,6 +566,38 @@ def d_cooccur(sf_dir: str):
         "n_docs": pc.cast(folded["cnt"], pa.int64())}))
 
 
+def d_compress_ratio(sf_dir: str):
+    """COMPRESSIBILITY quality signal (the CCNet/RefinedWeb-family
+    heuristic: near-incompressible text is noise/binary junk, hyper-
+    compressible text is boilerplate/repetition — both get filtered):
+    per doc, UTF-8 byte count, zlib(level 6) byte count, and their
+    ratio in ppm.  ROWS-ONLY by design: no SQL engine exposes zlib,
+    so the exact per-doc values are pytest-pinned against a direct
+    zlib brute force on the same parquet instead.
+
+    Scale shape: a pure map — the per-doc zlib.compress call is C
+    code doing the same work a model-inference payload would; no
+    shuffle, no driver state, embarrassingly parallel."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        txt = b["text"].to_numpy(zero_copy_only=False)
+        raw = np.fromiter((len(t.encode("utf-8")) for t in txt),
+                          dtype=np.int64, count=len(txt))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), 6)) for t in txt),
+            dtype=np.int64, count=len(txt))
+        ppm = comp * 1_000_000 // np.maximum(raw, 1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "raw_bytes": pa.array(raw),
+                         "zip_bytes": pa.array(comp),
+                         "ratio_ppm": pa.array(ppm)})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def d_quality_filter(sf_dir: str):
     """Quality filtering (the delete-side of quality scoring): keep
     docs with >= 20 tokens and stopword ratio >= 10% — natural-language
@@ -2605,6 +2637,71 @@ def e_quantile_normalize(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def e_group_sample(sf_dir: str):
+    """GROUPED CONSISTENT SAMPLE: the per-stratum variant of
+    d_consistent_sample — the same 20 events per event type come back
+    regardless of sharding/order/appends (priority = the pinned u32
+    Knuth hash of event_id).  The shape every per-source eval sample
+    uses: hash-partition on the group key, one vectorized
+    sort + groupby-head per partition (order.top_k_per_group)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def pri(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        p = (eid.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "priority": pa.array(p.astype(np.int64))})
+
+    return order.top_k_per_group(
+        ds.map_batches(pri, batch_format="pyarrow"), "event_type",
+        ["priority", "event_id"], 20, descending=False)
+
+
+def e_window_distinct(sf_dir: str):
+    """SLIDING-WINDOW DISTINCT COUNT (hopping windows: 1 h span,
+    15 min hop): distinct users per (event type, window start) — the
+    overlapping-window cardinality every rate-limit / trending
+    monitor needs, where an event belongs to exactly FOUR windows.
+
+    Scale shape: a pure map replicates each row into its 4 window
+    assignments (shuffle volume = 4x of three narrow columns), then
+    ONE hash exchange on the window start and a per-partition
+    vectorized groupby-nunique.  Distinct state never leaves the
+    partition; nothing reaches the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "ts"])
+    n = _nrows(_tp(sf_dir, "events"))
+    from ..stages.window import partition_by_key, suggest_key_partitions
+
+    HOP = 900_000_000  # 15 min in us; span = 4 hops
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = t // HOP
+        k = np.tile(np.arange(4, dtype=np.int64), len(t))
+        rep = np.repeat(np.arange(len(t)), 4)
+        wstart = (base[rep] - k) * HOP
+        return pa.table({
+            "user_id": pc.take(b["user_id"], pa.array(rep)),
+            "event_type": pc.take(b["event_type"], pa.array(rep)),
+            "wstart": pa.array(wstart)})
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["event_type", "wstart"], as_index=False)
+               .agg(n_users=("user_id", "nunique")))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out[["event_type", "wstart", "n_users"]]
+
+    return (partition_by_key(ex, "wstart",
+                             suggest_key_partitions(n * 4))
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["event_type", "wstart", "n_users"]))
+
+
 def e_upsert_merge(sf_dir: str):
     """CDC / UPSERT MERGE (the log-compaction primitive: changelog of
     insert/update/delete ops -> latest-wins live snapshot).  The
@@ -4637,5 +4734,8 @@ REGISTRY = {
     "d_consistent_sample": d_consistent_sample,
     "e_quantile_normalize": e_quantile_normalize,
     "d_cooccur": d_cooccur,
+    "e_group_sample": e_group_sample,
+    "e_window_distinct": e_window_distinct,
+    "d_compress_ratio": d_compress_ratio,
 }
 

@@ -1333,3 +1333,31 @@ def test_chunk_dedup_first_wins_bruteforce():
             agg[r["doc_id"]] = (n + 1, d + r["is_dup"])
         got = agg
         assert got == want, nblocks
+
+
+def test_compress_ratio_matches_direct_zlib():
+    """d_compress_ratio is rows-only (no SQL zlib) — pin its exact
+    per-doc values against a direct zlib brute force on the same
+    parquet, including the ppm integer-division law."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from alco_ray.pipelines.queries import d_compress_ratio
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+    want = {}
+    for did, txt in zip(tbl["doc_id"].to_pylist(),
+                        tbl["text"].to_pylist()):
+        raw = len(txt.encode("utf-8"))
+        comp = len(zlib.compress(txt.encode("utf-8"), 6))
+        want[did] = (raw, comp, comp * 1_000_000 // max(raw, 1))
+
+    got = {r["doc_id"]: (r["raw_bytes"], r["zip_bytes"], r["ratio_ppm"])
+           for r in d_compress_ratio(sf).take_all()}
+    assert got == want
+    # the signal separates repetitive from diverse text
+    ratios = [v[2] for v in want.values()]
+    assert min(ratios) < max(ratios)
