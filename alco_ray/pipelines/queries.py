@@ -1296,6 +1296,23 @@ def t_role_transitions(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
+def t_sft_pairs(sf_dir: str):
+    """SFT TRAINING-PAIR extraction: (prompt, response) rows — each
+    user turn paired with the assistant turn that immediately answers
+    it (same conversation, turn_idx exactly +1) — the canonical
+    fine-tuning data-prep transform over a transcript corpus.  Rides
+    the boundary-stitched grouped kernel (stages/window.adjacent_pairs):
+    zero shuffle on conv-contiguous shards; only matched pairs leave
+    the kernel."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "role",
+                                   "text"])
+    return window.adjacent_pairs(
+        ds, key_col="conv_id", order_col="turn_idx", role_col="role",
+        text_col="text", from_role="user", to_role="assistant",
+        approx_rows=_nrows(_corpus(sf_dir)))
+
+
 def e_first_last(sf_dir: str):
     """Per-user FIRST and LAST event type in (ts, event_id) order plus
     event count — the distributed arg_min/arg_max (funnel entry/exit
@@ -4737,5 +4754,6 @@ REGISTRY = {
     "e_group_sample": e_group_sample,
     "e_window_distinct": e_window_distinct,
     "d_compress_ratio": d_compress_ratio,
+    "t_sft_pairs": t_sft_pairs,
 }
 

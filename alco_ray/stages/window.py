@@ -647,6 +647,47 @@ def transition_counts(ds, *, key_col: str, order_col: str, val_col: str,
     return t.rename_columns([from_col, to_col, out_col])
 
 
+def adjacent_pairs(ds, *, key_col: str, order_col: str, role_col: str,
+                   text_col: str, from_role: str, to_role: str,
+                   prompt_col: str = "prompt",
+                   response_col: str = "response",
+                   require_consecutive: bool = True,
+                   n_parts: int | None = None,
+                   approx_rows: int | None = None):
+    """CONSECUTIVE-ROW PAIR EXTRACTION: for every pair of adjacent
+    rows of the same key in ``order_col`` order where the first row's
+    ``role_col`` is ``from_role`` and the next row's is ``to_role``,
+    emit (key, order, first text, next text) — the SFT training-pair
+    extractor (user turn -> the assistant turn that answers it), and
+    generically any stimulus->response adjacency (SQL ``lead() OVER
+    (PARTITION BY key ORDER BY ord)`` + a two-row predicate).
+
+    ``require_consecutive`` additionally demands order values differ
+    by exactly 1 (a missing middle turn breaks the pair).  Runs in
+    the boundary-stitched grouped kernel (:func:`_grouped_kernel`):
+    zero shuffle on key-contiguous shards, key-hash exchange
+    otherwise; output rows only (never the non-matching corpus)."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[order_col].to_numpy(),
+                            g[key_col].to_numpy()))
+        keys = g[key_col].to_numpy()[order]
+        ordv = g[order_col].to_numpy()[order]
+        roles = g[role_col].to_numpy()[order]
+        txt = g[text_col].to_numpy()[order]
+        i = np.arange(max(len(keys) - 1, 0))
+        ok = ((keys[i] == keys[i + 1])
+              & (roles[i] == from_role) & (roles[i + 1] == to_role))
+        if require_consecutive:
+            ok = ok & (ordv[i + 1] == ordv[i] + 1)
+        i = i[ok]
+        return pd.DataFrame({key_col: keys[i], order_col: ordv[i],
+                             prompt_col: txt[i],
+                             response_col: txt[i + 1]})
+
+    return _grouped_kernel(ds, key_col, body, n_parts, approx_rows)
+
+
 def first_last_by(ds, *, key_col: str, ts_col: str, id_col: str,
                   val_col: str, first_col: str = "first_val",
                   last_col: str = "last_val", n_col: str = "n",

@@ -77,8 +77,10 @@ BENCH_QUERIES = [
     "v_text_knn", "d_longest_dup", "v_hybrid_rrf",
     "v_text_clusters",
     # round-5 late operators (web-crawl boilerplate strip, chunk-level
-    # dedup, split-leakage audit, event-time watermark accounting)
+    # dedup, split-leakage audit, event-time watermark accounting,
+    # co-occurrence mining, SFT pair extraction)
     "d_html_clean", "d_chunk_dedup", "d_split_leakage", "e_late_events",
+    "d_cooccur", "t_sft_pairs",
 ]
 
 

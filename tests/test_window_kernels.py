@@ -85,3 +85,52 @@ def test_session_cumsum_rebase_matches_bruteforce(seg_lens, gap, seed):
                 sid += 1
             expect[r] = sid
     assert np.array_equal(got, expect)
+
+
+def test_adjacent_pairs_brute_force():
+    """adjacent_pairs == Python brute force, at block layouts that
+    split a conversation mid-stream (the boundary-stitch path) and
+    with every non-pair shape present: user at conv end, user->tool,
+    turn_idx gap, assistant->user reversed."""
+    import pyarrow as pa
+    import ray.data
+
+    from alco_ray.stages import window
+
+    rows = []
+    # conv a: u->a pair, then a->u (no), then u at end (no)
+    rows += [("a", 0, "user", "q1"), ("a", 1, "assistant", "r1"),
+             ("a", 2, "user", "q2")]
+    # conv b: u->tool (no), tool->a (no), u->a pair
+    rows += [("b", 0, "user", "q3"), ("b", 1, "tool", "t1"),
+             ("b", 2, "user", "q4"), ("b", 3, "assistant", "r4")]
+    # conv c: turn_idx GAP between user and assistant -> no pair
+    rows += [("c", 0, "user", "q5"), ("c", 2, "assistant", "r5")]
+    # conv d: two pairs back to back
+    rows += [("d", 0, "user", "q6"), ("d", 1, "assistant", "r6"),
+             ("d", 2, "user", "q7"), ("d", 3, "assistant", "r7")]
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows])})
+
+    want = set()
+    by_conv = {}
+    for cid, tidx, role, txt in rows:
+        by_conv.setdefault(cid, []).append((tidx, role, txt))
+    for cid, ts in by_conv.items():
+        ts.sort()
+        for (t0, r0, x0), (t1, r1, x1) in zip(ts, ts[1:]):
+            if r0 == "user" and r1 == "assistant" and t1 == t0 + 1:
+                want.add((cid, t0, x0, x1))
+
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        got = {(r["conv_id"], r["turn_idx"], r["prompt"], r["response"])
+               for r in window.adjacent_pairs(
+                   ds, key_col="conv_id", order_col="turn_idx",
+                   role_col="role", text_col="text",
+                   from_role="user", to_role="assistant",
+                   approx_rows=len(rows)).take_all()}
+        assert got == want, nblocks
