@@ -1313,6 +1313,69 @@ def t_sft_pairs(sf_dir: str):
         approx_rows=_nrows(_corpus(sf_dir)))
 
 
+def t_conv_render(sf_dir: str):
+    """CHAT-TEMPLATE RENDERING: serialize each conversation into ONE
+    training-sample string ("role: text" lines, turn order, newline-
+    joined) plus its turn count — the step that turns a transcript
+    table into model-ready SFT samples.  The join is Arrow-native
+    inside the boundary-stitched grouped kernel: one vectorized line
+    build (binary_join_element_wise), segment offsets from the conv
+    boundaries, one list binary_join per block — no per-conversation
+    Python loop."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "role",
+                                   "text"])
+    from ..stages.window import _grouped_kernel, _segment_bounds
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["turn_idx"].to_numpy(),
+                            g["conv_id"].to_numpy()))
+        keys = g["conv_id"].to_numpy()[order]
+        lines = pc.binary_join_element_wise(
+            pa.array(g["role"].to_numpy()[order], pa.string()),
+            pa.array(g["text"].to_numpy()[order], pa.string()),
+            ": ")
+        seg_start, _, _ = _segment_bounds(keys)
+        starts = np.flatnonzero(np.arange(len(keys)) == seg_start)
+        offsets = np.append(starts, len(keys)).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), lines)
+        rendered = pc.binary_join(lst, "\n")
+        n_turns = np.diff(offsets).astype(np.int64)
+        return pd.DataFrame({
+            "conv_id": keys[starts],
+            "n_turns": n_turns,
+            "rendered": np.asarray(rendered.to_numpy(
+                zero_copy_only=False), dtype=object)})
+
+    return _grouped_kernel(ds, "conv_id", body, None,
+                           _nrows(_corpus(sf_dir)))
+
+
+def t_tool_calls(sf_dir: str):
+    """STRUCTURED TOOL-CALL extraction: parse `tool_call:name(arg=N)`
+    out of turn text into typed rows (conv_id, turn_idx, call_name,
+    arg) — the agent-trace ETL that turns free-text tool markers into
+    a joinable table.  One vectorized RE2 extract per batch
+    (pc.extract_regex), non-matching turns dropped; pure map, zero
+    shuffle."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["text"],
+                             r"tool_call:(?P<name>[a-z]+)"
+                             r"\(arg=(?P<val>[0-9]+)\)")
+        ok = pc.is_valid(m)
+        t = b.filter(ok)
+        m = m.filter(ok)
+        return pa.table({
+            "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+            "call_name": pc.struct_field(m, "name"),
+            "arg": pc.cast(pc.struct_field(m, "val"), pa.int64())})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def e_first_last(sf_dir: str):
     """Per-user FIRST and LAST event type in (ts, event_id) order plus
     event count — the distributed arg_min/arg_max (funnel entry/exit
@@ -4755,5 +4818,7 @@ REGISTRY = {
     "e_window_distinct": e_window_distinct,
     "d_compress_ratio": d_compress_ratio,
     "t_sft_pairs": t_sft_pairs,
+    "t_conv_render": t_conv_render,
+    "t_tool_calls": t_tool_calls,
 }
 
