@@ -502,6 +502,36 @@ def d_vocab(sf_dir: str):
     return order.top_k(g, ["cnt", "token"], 100, descending=[True, False])
 
 
+def d_weighted_sample(sf_dir: str):
+    """WEIGHTED consistent sample (completes the sampling family:
+    uniform=d_consistent_sample, stratified, grouped, mixture): 100
+    docs drawn with probability increasing in token count, under a
+    pinned deterministic law — priority = (knuth_hash(doc_id) * 10^6)
+    // max(n_tokens, 1), ascending — so heavier docs get smaller
+    priorities more often, and the SAME sample returns regardless of
+    sharding/order (the Efraimidis-Spirakis shape with an integer
+    key).  Same scale story as d_consistent_sample: pure map +
+    per-block bottom-k + driver merge of <= blocks*k rows."""
+    from ..stages.parse import TOKEN_PATTERN
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pri(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = ((did.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296)).astype(np.int64)
+        ntok = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(b["text"]), TOKEN_PATTERN),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        p = h * 1_000_000 // np.maximum(ntok, 1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(ntok),
+                         "priority": pa.array(p)})
+
+    return order.top_k(ds.map_batches(pri, batch_format="pyarrow"),
+                       ["priority", "doc_id"], 100, descending=False)
+
+
 def d_cooccur(sf_dir: str):
     """TOKEN CO-OCCURRENCE mining (the association signal under PMI /
     collocation analysis): for every pair of TOP-50 corpus tokens, in
@@ -4820,5 +4850,6 @@ REGISTRY = {
     "t_sft_pairs": t_sft_pairs,
     "t_conv_render": t_conv_render,
     "t_tool_calls": t_tool_calls,
+    "d_weighted_sample": d_weighted_sample,
 }
 
