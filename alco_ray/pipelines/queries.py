@@ -502,6 +502,75 @@ def d_vocab(sf_dir: str):
     return order.top_k(g, ["cnt", "token"], 100, descending=[True, False])
 
 
+def d_incremental_dedup(sf_dir: str):
+    """INCREMENTAL (continuous-ingest) DEDUP: dedup a NEW shard
+    against the EXISTING corpus without re-shuffling the corpus — the
+    shape a daily crawl actually runs.  New shard (derived
+    deterministically, mirrored in the oracle): re-keyed copies of
+    docs < 50 (planted duplicates) plus suffixed variants of docs
+    50..74 (genuinely new).  Output = the new-shard rows that survive
+    (text not present in the corpus).
+
+    Scale shape: the corpus compresses to a broadcast Bloom filter
+    (distributed word-array build, one OR-fold of fixed-size partials
+    on the driver); bloom-NEGATIVE new rows pass with ZERO shuffle
+    (no false negatives); only the bloom-positive sliver — planted
+    dups + the configured false-positive rate — rides the exact
+    text-keyed anti-join for verification.  The corpus is read, never
+    shuffled; at 100 TB the exchange carries only the candidate
+    sliver."""
+    from ..stages import sketch
+
+    M_BITS, K = 1 << 22, 6
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        dup = b.filter(pa.array(ids < 50))
+        mod = b.filter(pa.array((ids >= 50) & (ids < 75)))
+        mod_text = pc.binary_join_element_wise(
+            mod["text"], pc.cast(mod["doc_id"], pa.string()), " novel ")
+        return pa.concat_tables([
+            pa.table({"doc_id": pc.add(dup["doc_id"], 1_000_000),
+                      "text": dup["text"]}),
+            pa.table({"doc_id": pc.add(mod["doc_id"], 2_000_000),
+                      "text": mod_text}),
+        ]).combine_chunks()
+
+    new_ds = docs.map_batches(make_new, batch_format="pyarrow")
+
+    def hcol(b: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(
+            text.hash_strings(b["text"]).view(np.int64))})
+
+    words = sketch.bloom_from_dataset(
+        docs.map_batches(hcol, batch_format="pyarrow"), "h",
+        m_bits=M_BITS, k=K)
+    ref = ray.put(words)
+
+    def mark(b: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        cand = sketch.bloom_probe(text.hash_strings(b["text"]),
+                                  w, M_BITS, K)
+        return b.append_column("cand", pa.array(cand))
+
+    marked = new_ds.map_batches(mark,
+                                batch_format="pyarrow").materialize()
+
+    def keep(want: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["cand"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(m == want)).select(
+                ["doc_id", "text"])
+        return f
+
+    negatives = marked.map_batches(keep(False), batch_format="pyarrow")
+    candidates = marked.map_batches(keep(True), batch_format="pyarrow")
+    fresh = join.anti_join(candidates, docs.select_columns(["text"]),
+                           on="text")
+    return negatives.union(fresh).select_columns(["doc_id"])
+
+
 def d_weighted_sample(sf_dir: str):
     """WEIGHTED consistent sample (completes the sampling family:
     uniform=d_consistent_sample, stratified, grouped, mixture): 100
@@ -2747,6 +2816,33 @@ def e_quantile_normalize(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def e_debounce(sf_dir: str):
+    """GREEDY DEBOUNCE / alert suppression (the log-pipeline storm
+    breaker): per user, keep an event only if >= 24 h have passed
+    since the last KEPT event — the inherently-sequential streaming
+    state machine no window function expresses (which event survives
+    depends on which survived before).  Kernel = the vectorized-
+    rounds design in stages/window.debounce: round r keeps every
+    key's r-th survivor at once via one composite-key searchsorted;
+    round count is bounded by span/cooldown (data DURATION, not row
+    count).  Oracle = the identical greedy recurrence as a recursive
+    LATERAL CTE."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "ts"])
+
+    def cast_ts(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "tsu": pc.cast(b["ts"], pa.int64())})
+
+    kept = window.debounce(
+        ds.map_batches(cast_ts, batch_format="pyarrow"),
+        key_cols="user_id", ts_col="tsu", id_col="event_id",
+        cooldown=86_400_000_000,
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+    return kept.select_columns(["event_id"])
+
+
 def e_group_sample(sf_dir: str):
     """GROUPED CONSISTENT SAMPLE: the per-stratum variant of
     d_consistent_sample — the same 20 events per event type come back
@@ -4851,5 +4947,7 @@ REGISTRY = {
     "t_conv_render": t_conv_render,
     "t_tool_calls": t_tool_calls,
     "d_weighted_sample": d_weighted_sample,
+    "d_incremental_dedup": d_incremental_dedup,
+    "e_debounce": e_debounce,
 }
 

@@ -647,6 +647,51 @@ def transition_counts(ds, *, key_col: str, order_col: str, val_col: str,
     return t.rename_columns([from_col, to_col, out_col])
 
 
+def debounce(ds, *, key_cols, ts_col: str, id_col: str,
+             cooldown: int, n_parts: int | None = None,
+             approx_rows: int | None = None):
+    """GREEDY DEBOUNCE / alert suppression (the log-pipeline storm
+    breaker): per key, keep an event iff its timestamp is >= the last
+    KEPT event's timestamp + ``cooldown`` (the first event of a key
+    is always kept).  This is the inherently-SEQUENTIAL streaming
+    state machine (which event is kept depends on which were kept
+    before), so no window function expresses it — but it vectorizes
+    by ROUNDS: round r keeps the r-th survivor of every key at once
+    (one searchsorted over a composite segment+time key per round).
+    Round count is bounded by span/cooldown — the DATA DURATION, not
+    the row count — so the kernel stays O(rounds x log n) vector ops
+    even on a year of events.
+
+    ``ts_col`` must be integer-valued (cast timestamps upstream).
+    Runs per key-hash partition; returns the kept rows, all input
+    columns."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, ts_col, id_col],
+                          kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return g.drop(columns=["part"], errors="ignore")
+        seg = g.groupby(key_cols, sort=False).ngroup().to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        span = np.int64(ts.max() - ts.min() + cooldown + 2)
+        comp = seg.astype(np.int64) * span + (ts - ts.min())
+        kept = np.zeros(n, bool)
+        active = np.flatnonzero(np.diff(seg, prepend=seg[0] - 1) != 0)
+        while len(active):
+            kept[active] = True
+            nxt = np.searchsorted(comp, comp[active] + cooldown,
+                                  side="left")
+            valid = nxt < n
+            nxt = nxt[valid]
+            active = nxt[seg[nxt] == seg[active[valid]]]
+        return g.iloc[kept].drop(columns=["part"], errors="ignore")
+
+    parts = partition_by_key(ds, key_cols[0], n_parts)
+    return parts.groupby("part").map_groups(body, batch_format="pandas")
+
+
 def adjacent_pairs(ds, *, key_col: str, order_col: str, role_col: str,
                    text_col: str, from_role: str, to_role: str,
                    prompt_col: str = "prompt",

@@ -134,3 +134,46 @@ def test_adjacent_pairs_brute_force():
                    from_role="user", to_role="assistant",
                    approx_rows=len(rows)).take_all()}
         assert got == want, nblocks
+
+
+def test_debounce_matches_sequential_brute_force():
+    """The vectorized-rounds debounce == the sequential greedy state
+    machine, at several partitionings, with ties, long storms, and a
+    key whose every event is kept."""
+    import pyarrow as pa
+    import ray.data
+
+    from alco_ray.stages import window
+
+    rows = []
+    # key 1: storm — 10 events 1s apart, cooldown 5s
+    rows += [(1, 1_000_000 * i, 100 + i) for i in range(10)]
+    # key 2: all spaced >= cooldown -> all kept
+    rows += [(2, 10_000_000 * i, 200 + i) for i in range(4)]
+    # key 3: exact-boundary ties (two events same ts, then +cooldown)
+    rows += [(3, 0, 300), (3, 0, 301), (3, 5_000_000, 302),
+             (3, 9_999_999, 303), (3, 15_000_000, 304)]
+    cool = 5_000_000
+
+    want = set()
+    by_k = {}
+    for k, t, i in rows:
+        by_k.setdefault(k, []).append((t, i))
+    for k, evs in by_k.items():
+        evs.sort()
+        last = None
+        for t, i in evs:
+            if last is None or t >= last + cool:
+                want.add(i)
+                last = t
+
+    tbl = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                    "t": pa.array([r[1] for r in rows], pa.int64()),
+                    "i": pa.array([r[2] for r in rows], pa.int64())})
+    for nblocks in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        got = {r["i"] for r in window.debounce(
+            ds, key_cols="k", ts_col="t", id_col="i",
+            cooldown=cool, n_parts=2,
+            approx_rows=len(rows)).take_all()}
+        assert got == want, nblocks
