@@ -1450,6 +1450,45 @@ def t_conv_render(sf_dir: str):
                            _nrows(_corpus(sf_dir)))
 
 
+def t_sft_masks(sf_dir: str):
+    """LOSS-MASK SPANS for SFT (the label-masking step: train only on
+    assistant tokens): for every assistant turn, its character span
+    [start_off, end_off) inside the t_conv_render sample ("role:
+    text" lines, newline-joined, turn order) — computed WITHOUT
+    materializing the rendered string: one vectorized utf8_length
+    pass + a segmented exclusive cumsum per conversation inside the
+    boundary-stitched grouped kernel."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "role",
+                                   "text"])
+    from ..stages.window import _grouped_kernel, _segment_bounds
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["turn_idx"].to_numpy(),
+                            g["conv_id"].to_numpy()))
+        keys = g["conv_id"].to_numpy()[order]
+        tidx = g["turn_idx"].to_numpy()[order]
+        roles = g["role"].to_numpy()[order]
+        ll = (pc.utf8_length(pa.array(g["role"].to_numpy()[order],
+                                      pa.string())).to_numpy()
+              + 2
+              + pc.utf8_length(pa.array(g["text"].to_numpy()[order],
+                                        pa.string())).to_numpy()
+              ).astype(np.int64)
+        seg_start, _, _ = _segment_bounds(keys)
+        csum = np.cumsum(ll + 1)
+        excl = csum - (ll + 1)
+        start = excl - excl[seg_start]
+        isa = roles == "assistant"
+        return pd.DataFrame({
+            "conv_id": keys[isa], "turn_idx": tidx[isa],
+            "start_off": start[isa],
+            "end_off": start[isa] + ll[isa]})
+
+    return _grouped_kernel(ds, "conv_id", body, None,
+                           _nrows(_corpus(sf_dir)))
+
+
 def t_tool_calls(sf_dir: str):
     """STRUCTURED TOOL-CALL extraction: parse `tool_call:name(arg=N)`
     out of turn text into typed rows (conv_id, turn_idx, call_name,
@@ -4949,5 +4988,6 @@ REGISTRY = {
     "d_weighted_sample": d_weighted_sample,
     "d_incremental_dedup": d_incremental_dedup,
     "e_debounce": e_debounce,
+    "t_sft_masks": t_sft_masks,
 }
 

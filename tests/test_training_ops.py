@@ -1361,3 +1361,24 @@ def test_compress_ratio_matches_direct_zlib():
     # the signal separates repetitive from diverse text
     ratios = [v[2] for v in want.values()]
     assert min(ratios) < max(ratios)
+
+
+def test_sft_masks_index_into_rendered_samples():
+    """t_sft_masks spans, applied to the t_conv_render strings, must
+    cut out exactly the assistant lines — the two operators agree on
+    the sample layout without either materializing the other."""
+    from alco_ray.pipelines.queries import t_conv_render, t_sft_masks
+
+    sf = "/root/testdata/sf0.001"
+    rendered = {r["conv_id"]: r["rendered"]
+                for r in t_conv_render(sf).take_all()}
+    masks = t_sft_masks(sf).take_all()
+    assert masks
+    checked = 0
+    for m in masks:
+        seg = rendered[m["conv_id"]][m["start_off"]:m["end_off"]]
+        assert seg.startswith("assistant: ")
+        assert "\n" not in seg
+        checked += 1
+    assert checked == sum(r.count("assistant: ")
+                          for r in rendered.values())
