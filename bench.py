@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     # co-occurrence mining, SFT pair extraction)
     "d_html_clean", "d_chunk_dedup", "d_split_leakage", "e_late_events",
     "d_cooccur", "t_sft_pairs",
+    # round-5 final operators (incremental dedup, alert debounce,
+    # SFT loss-mask spans)
+    "d_incremental_dedup", "e_debounce", "t_sft_masks",
 ]
 
 
