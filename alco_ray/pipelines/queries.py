@@ -502,6 +502,62 @@ def d_vocab(sf_dir: str):
     return order.top_k(g, ["cnt", "token"], 100, descending=[True, False])
 
 
+def d_span_corrupt(sf_dir: str):
+    """T5-STYLE SPAN CORRUPTION prep (the denoising-pretraining
+    objective: mask token runs, emit the corrupted input and the
+    sentinel-tagged targets): token position p is masked iff
+    p % 10 < 2 (2-token runs every 10), each run replaced by ONE
+    numbered sentinel <X_r> (r = p // 10) in the corrupted text,
+    targets = sentinel-prefixed masked runs in order.  Pure map, zero
+    shuffle: one tokenize pass, position arithmetic off the list
+    offsets, two Arrow list rebuilds + binary_join per batch — no
+    per-doc Python."""
+    from ..stages.parse import tokenize
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        toks = tokenize(b["text"], n)
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        pos = np.arange(len(flat), dtype=np.int64) - offs[par]
+        run = pos // 10
+        masked = (pos % 10) < 2
+        first = (pos % 10) == 0
+        sent = pc.binary_join_element_wise(
+            "<X_", pc.cast(pa.array(run), pa.string()), ">", "")
+
+        def rebuild(values: pa.Array, parents: np.ndarray) -> pa.Array:
+            counts = np.bincount(parents, minlength=n)
+            o = np.concatenate([[0], np.cumsum(counts)])
+            lst = pa.ListArray.from_arrays(
+                pa.array(o, pa.int64()).cast(pa.int32()),
+                values.combine_chunks()
+                if isinstance(values, pa.ChunkedArray) else values)
+            return pc.binary_join(lst, " ")
+
+        keep = ~masked | first
+        out_tok = pc.if_else(pa.array(first), sent, flat)
+        corrupted = rebuild(out_tok.filter(pa.array(keep)), par[keep])
+        tgt_tok = pc.if_else(
+            pa.array(first),
+            pc.binary_join_element_wise(sent, flat, " "), flat)
+        targets = rebuild(tgt_tok.filter(pa.array(masked)),
+                          par[masked])
+        n_spans = np.bincount(par[masked & first],
+                              minlength=n).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "corrupted": corrupted,
+                         "targets": targets,
+                         "n_spans": pa.array(n_spans)})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def d_incremental_dedup(sf_dir: str):
     """INCREMENTAL (continuous-ingest) DEDUP: dedup a NEW shard
     against the EXISTING corpus without re-shuffling the corpus — the
@@ -4989,5 +5045,6 @@ REGISTRY = {
     "d_incremental_dedup": d_incremental_dedup,
     "e_debounce": e_debounce,
     "t_sft_masks": t_sft_masks,
+    "d_span_corrupt": d_span_corrupt,
 }
 
