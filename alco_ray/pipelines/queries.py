@@ -502,6 +502,87 @@ def d_vocab(sf_dir: str):
     return order.top_k(g, ["cnt", "token"], 100, descending=[True, False])
 
 
+def d_oov_rate(sf_dir: str):
+    """OUT-OF-VOCABULARY rate (the rare-word quality signal: text
+    full of tokens outside the corpus's common vocabulary is noise,
+    code, or another language): per doc, tokens NOT in the top-1000
+    corpus vocabulary, as a ppm ratio.  Pass 1 = the d_vocab top-k
+    (map-side counts, one token groupby, per-block prune); the
+    vocabulary broadcasts once via ray.put; pass 2 is one vectorized
+    pc.is_in per batch — no second shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        toks = text.token_explode(b)
+        g = (pa.table({"token": toks["token"]})
+             .group_by(["token"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["token", "cnt"])
+
+    g = (ds.map_batches(tok_partial, batch_format="pyarrow")
+         .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    top = order.top_k(g, ["cnt", "token"], 1000,
+                      descending=[True, False]).take_all()
+    ref = ray.put(pa.array(sorted(r["token"] for r in top)))
+
+    def rate(b: pa.Table) -> pa.Table:
+        from ..stages.parse import tokenize
+
+        vocab = ray.get(ref)
+        lst = tokenize(b["text"], b.num_rows)
+        par = pc.list_parent_indices(lst).to_numpy(
+            zero_copy_only=False)
+        oov = pc.invert(pc.is_in(lst.values,
+                                 value_set=vocab)).to_numpy(
+            zero_copy_only=False)
+        n = np.bincount(par, minlength=b.num_rows).astype(np.int64)
+        k = np.bincount(par, weights=oov.astype(np.float64),
+                        minlength=b.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n),
+            "n_oov": pa.array(k),
+            "oov_ppm": pa.array(k * 1_000_000 // np.maximum(n, 1))})
+
+    return ds.map_batches(rate, batch_format="pyarrow")
+
+
+def d_ttr(sf_dir: str):
+    """TYPE-TOKEN RATIO (lexical diversity — repetitive boilerplate
+    scores low, natural prose high): per doc, distinct tokens /
+    tokens in ppm.  Fully vectorized distinct-per-doc WITHOUT a
+    per-doc loop: one lexsort over (parent, token), boundary diff
+    counts the distinct runs per doc; pure map, zero shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        from ..stages.parse import tokenize
+
+        lst = tokenize(b["text"], b.num_rows)
+        par = pc.list_parent_indices(lst).to_numpy(
+            zero_copy_only=False)
+        tk = lst.values.to_numpy(zero_copy_only=False)
+        order_ix = np.lexsort((tk, par))
+        ps, ts = par[order_ix], tk[order_ix]
+        if len(ps):
+            new_run = np.empty(len(ps), bool)
+            new_run[0] = True
+            new_run[1:] = (ps[1:] != ps[:-1]) | (ts[1:] != ts[:-1])
+        else:
+            new_run = np.zeros(0, bool)
+        n = np.bincount(par, minlength=b.num_rows).astype(np.int64)
+        d = np.bincount(ps[new_run],
+                        minlength=b.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n),
+            "n_types": pa.array(d),
+            "ttr_ppm": pa.array(d * 1_000_000 // np.maximum(n, 1))})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def d_span_corrupt(sf_dir: str):
     """T5-STYLE SPAN CORRUPTION prep (the denoising-pretraining
     objective: mask token runs, emit the corrupted input and the
@@ -5046,5 +5127,7 @@ REGISTRY = {
     "e_debounce": e_debounce,
     "t_sft_masks": t_sft_masks,
     "d_span_corrupt": d_span_corrupt,
+    "d_oov_rate": d_oov_rate,
+    "d_ttr": d_ttr,
 }
 
