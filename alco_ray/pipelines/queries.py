@@ -502,6 +502,56 @@ def d_vocab(sf_dir: str):
     return order.top_k(g, ["cnt", "token"], 100, descending=[True, False])
 
 
+def d_keywords(sf_dir: str):
+    """KEYWORD EXTRACTION (per-doc top-5 TF-IDF terms — the corpus-
+    annotation artifact behind tagging, routing and retrieval
+    boosts): score = tf x integer-quantized idf (N*1000 // df, the
+    log-free monotone surrogate, exact in integers).  The machinery
+    is the honest unbounded-key composition: map-side complete
+    (doc, term) tf rows (docs never span batches), a term-keyed
+    groupby for df, ONE large-to-large hash join back on the term,
+    then the grouped top-k (per-block prune + one grouped pass) —
+    the only all-to-all exchanges are the df groupby and the join,
+    both on the term key."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _nrows(_tp(sf_dir, "documents"))
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        toks = text.token_explode(b)
+        g = (pa.table({"doc_id": toks["doc_id"],
+                       "token": toks["token"]})
+             .group_by(["doc_id", "token"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["doc_id", "token", "tf"])
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"],
+                         "one": pa.array(
+                             np.ones(b.num_rows, np.int64))})
+
+    df = (tf.map_batches(ones, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("one", alias_name="df")))
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = tf.join(df, "inner", num_partitions=n_parts,
+                     on=("token",))
+
+    def score(b: pa.Table) -> pa.Table:
+        d = b["df"].to_numpy(zero_copy_only=False)
+        s = b["tf"].to_numpy(zero_copy_only=False) \
+            * (n_docs * 1000 // d)
+        return pa.table({"doc_id": b["doc_id"], "token": b["token"],
+                         "score": pa.array(s.astype(np.int64))})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return order.top_k_per_group(scored, "doc_id",
+                                 ["score", "token"], 5,
+                                 descending=[True, False])
+
+
 def d_oov_rate(sf_dir: str):
     """OUT-OF-VOCABULARY rate (the rare-word quality signal: text
     full of tokens outside the corpus's common vocabulary is noise,
@@ -5129,5 +5179,6 @@ REGISTRY = {
     "d_span_corrupt": d_span_corrupt,
     "d_oov_rate": d_oov_rate,
     "d_ttr": d_ttr,
+    "d_keywords": d_keywords,
 }
 
