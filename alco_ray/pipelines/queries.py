@@ -3042,6 +3042,55 @@ def e_quantile_normalize(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def e_seq_match(sf_dir: str):
+    """SEQUENCE-PATTERN MATCH (MATCH_RECOGNIZE-lite, the funnel-with-
+    exclusion detector): per user, count purchases preceded by a
+    signup with NO error in between ((ts, event_id) order).  The
+    kernel is two segmented EXCLUSIVE running maxima (last-signup
+    position, last-error position over strictly-prior events) — one
+    vectorized accumulate each via the segment-offset trick — then a
+    single mask; one user-hash exchange, nothing sequential."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    n = _nrows(_tp(sf_dir, "events"))
+    from ..stages.window import partition_by_key, suggest_key_partitions
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        seg = g.groupby("user_id", sort=False).ngroup().to_numpy()
+        et = g["event_type"].to_numpy()
+        m = len(g)
+        pos = np.arange(m, dtype=np.int64)
+        seg_first = np.diff(seg, prepend=seg[0] - 1) != 0 \
+            if m else np.zeros(0, bool)
+        OFF = np.int64(m + 2)
+
+        def prior_max(flag: np.ndarray) -> np.ndarray:
+            val = np.where(flag, pos, np.int64(-1)) + seg * OFF
+            acc = np.maximum.accumulate(val)
+            prior = np.empty(m, np.int64)
+            if m:
+                prior[0] = -1
+                prior[1:] = acc[:-1] - seg[1:] * OFF
+                prior[seg_first] = -1
+            return prior
+
+        sig = prior_max(et == "signup")
+        err = prior_max(et == "error")
+        hit = (et == "purchase") & (sig > err)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "hit": hit.astype(np.int64)})
+        res = (out.groupby("user_id", as_index=False)
+               .agg(n_matched=("hit", "sum")))
+        res["n_matched"] = res["n_matched"].astype(np.int64)
+        return res
+
+    return (partition_by_key(ds, "user_id", suggest_key_partitions(n))
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["user_id", "n_matched"]))
+
+
 def e_debounce(sf_dir: str):
     """GREEDY DEBOUNCE / alert suppression (the log-pipeline storm
     breaker): per user, keep an event only if >= 24 h have passed
@@ -5180,5 +5229,6 @@ REGISTRY = {
     "d_oov_rate": d_oov_rate,
     "d_ttr": d_ttr,
     "d_keywords": d_keywords,
+    "e_seq_match": e_seq_match,
 }
 
