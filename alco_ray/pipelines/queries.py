@@ -1599,6 +1599,75 @@ def t_sft_pairs(sf_dir: str):
         approx_rows=_nrows(_corpus(sf_dir)))
 
 
+def t_trending(sf_dir: str):
+    """TRENDING TERMS (temporal top-k: the per-day top-5 tokens over
+    turn text — the drift/trend monitor every corpus dashboard
+    carries).  Map-side (day, token) count partials, ONE token-keyed
+    exchange (a token's totals are complete inside its partition, so
+    the unbounded token key never feeds Ray's sort-groupby — the
+    partitioned-fold doctrine from the round-2 ledger), a per-
+    partition per-day top-5 prune, and a driver merge of
+    <= partitions x days x 5 survivor rows."""
+    from ..stages.parse import tokenize
+    from ..stages.window import partition_by_key
+
+    ds = read_transcripts(_corpus(sf_dir), columns=["ts", "text"])
+    DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        lst = tokenize(b["text"], b.num_rows)
+        par = pc.list_parent_indices(lst).to_numpy(
+            zero_copy_only=False)
+        day = pc.cast(b["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY
+        t = pa.table({"day": pa.array(day[par]), "token": lst.values})
+        g = t.group_by(["day", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "token", "cnt"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["day", "token"], as_index=False)
+               .agg(cnt=("cnt", "sum")))
+        tot = tot.sort_values(["day", "cnt", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = tot.groupby("day", sort=False).head(5)
+        out["day"] = out["day"].astype(np.int64)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[["day", "token", "cnt"]]
+
+    # Size-adaptive fold (the runtime_filter_semi_join doctrine):
+    # below the cap the pre-aggregated partials are a few MB of
+    # skinny rows — one driver-side Arrow group_by beats the
+    # exchange's fixed all-to-all latency by ~10x (measured 0.3 s vs
+    # 3-8 s at sf0.1); past the cap (vocab x days no longer
+    # driver-sized) the token-keyed exchange is the only correct
+    # shape.  p.count() is free post-materialize metadata.
+    if p.count() <= 5_000_000:
+        from ..stages.aggregate import concat_nonempty
+
+        tbl = concat_nonempty(ray.get(p.to_arrow_refs()))
+        tot = (tbl.group_by(["day", "token"])
+               .aggregate([("cnt", "sum")])
+               .rename_columns(["day", "token", "cnt"]))
+        df = tot.to_pandas()
+    else:
+        pruned = (partition_by_key(p, "token", None)
+                  .groupby("part")
+                  .map_groups(fold, batch_format="pandas")
+                  .take_all())
+        df = pd.DataFrame(pruned)
+    df = df.sort_values(["day", "cnt", "token"],
+                        ascending=[True, False, True],
+                        kind="mergesort")
+    top = df.groupby("day", sort=True).head(5)
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(top["day"].to_numpy(), pa.int64()),
+        "token": pa.array(top["token"].to_numpy(), pa.string()),
+        "cnt": pa.array(top["cnt"].to_numpy(), pa.int64())}))
+
+
 def t_conv_render(sf_dir: str):
     """CHAT-TEMPLATE RENDERING: serialize each conversation into ONE
     training-sample string ("role: text" lines, turn order, newline-
@@ -5230,5 +5299,6 @@ REGISTRY = {
     "d_ttr": d_ttr,
     "d_keywords": d_keywords,
     "e_seq_match": e_seq_match,
+    "t_trending": t_trending,
 }
 
