@@ -2222,6 +2222,26 @@ def _write_sidecar(table: pa.Table, sf_dir: str, name: str) -> None:
     os.replace(tmp, d / name)
 
 
+def d_minhash_apply(sf_dir: str):
+    """END-TO-END MinHash-LSH near-dedup — the way a 100-TB run
+    actually dedups (banded LSH candidates, never all-pairs): LSH
+    candidate generation -> exact-Jaccard verification (>= 0.5) ->
+    connected components -> keep the min-id representative.  The
+    candidate set persists as a sidecar so the oracle replays the
+    identical reachability over (exact pairs ∩ candidates) — LSH
+    recall is part of the checked contract, not hidden."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ct = dedup.lsh_candidate_pairs(ds, as_table=True)
+    ct = (ct.select(["doc_a", "doc_b"])
+            .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
+    _write_sidecar(ct, sf_dir, "lsh_apply_candidates.parquet")
+    pairs = dedup.verify_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        ct, threshold=0.5)
+    return dedup.dedup_apply(
+        _read(sf_dir, "documents", columns=["doc_id"]), pairs)
+
+
 def d_minhash_lsh(sf_dir: str):
     """MinHash-LSH candidates -> exact-Jaccard verification (>= 0.5).
 
@@ -5300,5 +5320,6 @@ REGISTRY = {
     "d_keywords": d_keywords,
     "e_seq_match": e_seq_match,
     "t_trending": t_trending,
+    "d_minhash_apply": d_minhash_apply,
 }
 
