@@ -5095,6 +5095,152 @@ def d_model_score(sf_dir: str):
         batch_format="pyarrow", concurrency=2)
 
 
+def e_streaks(sf_dir: str):
+    """GAPS-AND-ISLANDS longest consecutive-day streak per user (the
+    classic retention metric).  Map-side (user, day) dedup shrinks the
+    exchange to at most |users| x |active days| rows; one user-hash
+    partition exchange; the island kernel is a single vectorized pass
+    over the sorted (user, day) partition (boundary diff -> bincount),
+    no per-user Python loop."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32())
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    days = ds.map_batches(day_partial, batch_format="pyarrow")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+              .sort_values(["user_id", "day"], kind="mergesort"))
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy().astype(np.int64)
+        new = np.ones(len(g), bool)
+        if len(g) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        starts = np.flatnonzero(new)
+        isl = np.cumsum(new) - 1
+        ln = np.bincount(isl).astype(np.int64)
+        per = pd.DataFrame({"user_id": u[starts], "len": ln})
+        r = (per.groupby("user_id", sort=False)
+                .agg(n_active_days=("len", "sum"),
+                     longest_streak=("len", "max"))
+                .reset_index())
+        r["n_active_days"] = r["n_active_days"].astype("int64")
+        r["longest_streak"] = r["longest_streak"].astype("int64")
+        return r
+
+    return partition_by_key(
+        days, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
+def e_interval_union(sf_dir: str):
+    """MERGED-INTERVAL coverage per user (interval union — billing /
+    utilization semantics: each event opens a window of
+    (floor(value) % 3600 + 60) seconds; overlaps must not double
+    count).  All time arithmetic in integer microseconds (exactly
+    hashable); one user-hash partition exchange; the merge kernel is
+    vectorized: grouped cummax shifted by one row gives each row its
+    preceding reach, `start > reach` marks island breaks,
+    maximum.reduceat folds island extents — no per-user loop."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        dur_us = ((np.floor(np.abs(v)).astype(np.int64) % 3600) + 60) \
+            * 1_000_000
+        return pa.table({"user_id": b["user_id"],
+                         "s": pa.array(s),
+                         "e": pa.array(s + dur_us)})
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s", "e"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        cm = g.groupby("user_id", sort=False)["e"].cummax().to_numpy()
+        new_user = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_user[1:] = u[1:] != u[:-1]
+        # each row's preceding within-user reach: global shift of the
+        # grouped cummax is valid because users are contiguous; first
+        # rows get the int64-min sentinel
+        pm = np.empty(len(g), np.int64)
+        pm[0] = np.iinfo(np.int64).min
+        if len(g) > 1:
+            pm[1:] = cm[:-1]
+        pm[new_user] = np.iinfo(np.int64).min
+        brk = new_user | (s > pm)
+        starts = np.flatnonzero(brk)
+        e_arr = g["e"].to_numpy()
+        me = np.maximum.reduceat(e_arr, starts) if len(g) else \
+            np.zeros(0, np.int64)
+        per = pd.DataFrame({"user_id": u[starts],
+                            "cov": me - s[starts]})
+        r = (per.groupby("user_id", sort=False)
+                .agg(n_merged=("cov", "size"), covered_us=("cov", "sum"))
+                .reset_index())
+        r["n_merged"] = r["n_merged"].astype("int64")
+        r["covered_us"] = r["covered_us"].astype("int64")
+        return r
+
+    return partition_by_key(
+        iv, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
+def e_hhi(sf_dir: str):
+    """EVENT-TYPE CONCENTRATION per user (integer Herfindahl index in
+    ppm — pure integer arithmetic, unlike Shannon entropy, so it hash-
+    matches the oracle exactly).  Map-side (user, type) count partials
+    (types are low-cardinality, so partials collapse hard), one
+    user-hash exchange, vectorized fold.  At extreme per-user counts
+    (cnt^2 * 1e6 near int64) the fold would need Python ints; event
+    streams sharded per day keep counts far below that."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": b["user_id"],
+                       "event_type": b["event_type"]})
+             .group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["user_id", "event_type", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], sort=False)["cnt"]
+              .sum().reset_index())
+        c["cnt"] = c["cnt"].astype("int64")
+        c["sq"] = c["cnt"] * c["cnt"]
+        r = (c.groupby("user_id", sort=False)
+              .agg(n_events=("cnt", "sum"), n_types=("cnt", "size"),
+                   ss=("sq", "sum"))
+              .reset_index())
+        r["hhi_ppm"] = (r["ss"] * 1_000_000) // \
+            (r["n_events"] * r["n_events"])
+        out = r[["user_id", "n_events", "n_types", "hhi_ppm"]]
+        return out.astype({"n_events": "int64", "n_types": "int64",
+                           "hhi_ppm": "int64"})
+
+    return partition_by_key(
+        parts, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -5321,5 +5467,8 @@ REGISTRY = {
     "e_seq_match": e_seq_match,
     "t_trending": t_trending,
     "d_minhash_apply": d_minhash_apply,
+    "e_streaks": e_streaks,
+    "e_interval_union": e_interval_union,
+    "e_hhi": e_hhi,
 }
 

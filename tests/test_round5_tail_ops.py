@@ -1,0 +1,179 @@
+"""Round-5 tail operator tests: gaps-and-islands streaks, interval
+union, and integer Herfindahl concentration.
+
+The distributed plumbing is pinned end-to-end by the DuckDB oracles
+(scripts/check_contract.py); these tests pin the island/merge kernel
+SEMANTICS against independent pure-Python references on adversarial
+small inputs (overlap chains, contained intervals, exact-touching
+endpoints, single-event users) that the synthetic corpus may not
+exercise densely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _run_partitioned(ds, body):
+    from alco_ray.stages.window import partition_by_key
+
+    out = (partition_by_key(ds, "user_id", n_parts=3)
+           .groupby("part").map_groups(body, batch_format="pandas"))
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def _streak_ref(day_pairs):
+    """Independent reference: dict of sorted day sets per user."""
+    by_user = {}
+    for u, d in day_pairs:
+        by_user.setdefault(u, set()).add(d)
+    rows = []
+    for u, days in sorted(by_user.items()):
+        ds = sorted(days)
+        longest = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            longest = max(longest, cur)
+        rows.append((u, len(ds), longest))
+    return rows
+
+
+def test_streak_kernel_matches_reference(ray_session):
+    import alco_ray.pipelines.queries as q
+
+    # user 1: two islands (3-day and 2-day); user 2: singleton days
+    # only; user 3: one long run with an interior duplicate day.
+    pairs = [(1, 10), (1, 11), (1, 12), (1, 20), (1, 21),
+             (2, 5), (2, 7), (2, 9),
+             (3, 100), (3, 101), (3, 101), (3, 102), (3, 103)]
+    tbl = pa.table({"user_id": pa.array([u for u, _ in pairs], pa.int64()),
+                    "day": pa.array([d for _, d in pairs], pa.int32())})
+    ds = ray.data.from_arrow(tbl)
+
+    # reuse the exact kernel body from e_streaks via a tiny local copy
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+              .sort_values(["user_id", "day"], kind="mergesort"))
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy().astype(np.int64)
+        new = np.ones(len(g), bool)
+        if len(g) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        starts = np.flatnonzero(new)
+        isl = np.cumsum(new) - 1
+        ln = np.bincount(isl).astype(np.int64)
+        per = pd.DataFrame({"user_id": u[starts], "len": ln})
+        r = (per.groupby("user_id", sort=False)
+                .agg(n_active_days=("len", "sum"),
+                     longest_streak=("len", "max")).reset_index())
+        return r.astype({"n_active_days": "int64",
+                         "longest_streak": "int64"})
+
+    got = _run_partitioned(ds, body)
+    want = _streak_ref(pairs)
+    assert list(got.itertuples(index=False, name=None)) == want
+
+
+def _union_ref(ivs):
+    """Independent reference: per-user sorted sweep with Python ints."""
+    by_user = {}
+    for u, s, e in ivs:
+        by_user.setdefault(u, []).append((s, e))
+    rows = []
+    for u, lst in sorted(by_user.items()):
+        lst.sort()
+        merged = []
+        for s, e in lst:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        rows.append((u, len(merged), sum(e - s for s, e in merged)))
+    return rows
+
+
+def test_interval_union_kernel_adversarial(ray_session):
+    # user 1: chain overlap a-b-c collapsing to one; user 2: interval
+    # fully CONTAINED in a longer earlier one (cummax, not plain prev-
+    # end, must carry the reach); user 3: exact-touch endpoints merge
+    # (s == reach is NOT a break); user 4: disjoint singletons.
+    ivs = [(1, 0, 10), (1, 5, 12), (1, 11, 20),
+           (2, 0, 100), (2, 10, 20), (2, 90, 250), (2, 300, 310),
+           (3, 0, 10), (3, 10, 20),
+           (4, 0, 5), (4, 50, 55)]
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _, _ in ivs], pa.int64()),
+        "s": pa.array([s for _, s, _ in ivs], pa.int64()),
+        "e": pa.array([e for _, _, e in ivs], pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s", "e"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        cm = g.groupby("user_id", sort=False)["e"].cummax().to_numpy()
+        new_user = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_user[1:] = u[1:] != u[:-1]
+        pm = np.empty(len(g), np.int64)
+        pm[0] = np.iinfo(np.int64).min
+        if len(g) > 1:
+            pm[1:] = cm[:-1]
+        pm[new_user] = np.iinfo(np.int64).min
+        brk = new_user | (s > pm)
+        starts = np.flatnonzero(brk)
+        e_arr = g["e"].to_numpy()
+        me = np.maximum.reduceat(e_arr, starts)
+        per = pd.DataFrame({"user_id": u[starts],
+                            "cov": me - s[starts]})
+        r = (per.groupby("user_id", sort=False)
+                .agg(n_merged=("cov", "size"),
+                     covered_us=("cov", "sum")).reset_index())
+        return r.astype({"n_merged": "int64", "covered_us": "int64"})
+
+    got = _run_partitioned(ds, body)
+    want = _union_ref(ivs)
+    assert list(got.itertuples(index=False, name=None)) == want
+
+
+def test_hhi_degenerate_and_uniform(ray_session):
+    import alco_ray.pipelines.queries  # noqa: F401  (import sanity)
+
+    # single-type user -> hhi exactly 1_000_000 ppm; perfectly uniform
+    # 4-type user -> exactly 250_000 ppm.
+    rows = [(1, "a")] * 7 + [(2, t) for t in "abcd" * 3]
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array([t for _, t in rows])})
+    ds = ray.data.from_arrow(tbl)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["user_id", "event_type", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], sort=False)["cnt"]
+              .sum().reset_index())
+        c["cnt"] = c["cnt"].astype("int64")
+        c["sq"] = c["cnt"] * c["cnt"]
+        r = (c.groupby("user_id", sort=False)
+              .agg(n_events=("cnt", "sum"), n_types=("cnt", "size"),
+                   ss=("sq", "sum")).reset_index())
+        r["hhi_ppm"] = (r["ss"] * 1_000_000) // \
+            (r["n_events"] * r["n_events"])
+        return r[["user_id", "n_events", "n_types", "hhi_ppm"]].astype(
+            {"n_events": "int64", "n_types": "int64",
+             "hhi_ppm": "int64"})
+
+    got = _run_partitioned(parts, body)
+    assert got.loc[got.user_id == 1, "hhi_ppm"].item() == 1_000_000
+    assert got.loc[got.user_id == 2, "hhi_ppm"].item() == 250_000
+    assert got.loc[got.user_id == 2, "n_types"].item() == 4
