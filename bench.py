@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     # round-5 final operators (incremental dedup, alert debounce,
     # SFT loss-mask spans)
     "d_incremental_dedup", "e_debounce", "t_sft_masks",
+    # round-5 tail operators (gaps-and-islands streaks, interval
+    # union, Herfindahl concentration)
+    "e_streaks", "e_interval_union", "e_hhi",
 ]
 
 
