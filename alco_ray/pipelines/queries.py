@@ -5241,6 +5241,94 @@ def e_hhi(sf_dir: str):
             "part").map_groups(body, batch_format="pandas")
 
 
+#: Safety/compliance lexicon for t_safety_flags — categories over the
+#: corpus vocabulary (terms chosen to be non-vacuous on the synthetic
+#: corpus).  Both engines run RE2 (pyarrow and DuckDB), so word-boundary
+#: semantics match exactly.
+SAFETY_LEXICON = [
+    ("transport", r"\b(route|stream)\b"),
+    ("bulk", r"\b(shuffle|batch)\b"),
+    ("transform", r"\b(enrich|merge)\b"),
+]
+
+
+def t_safety_flags(sf_dir: str):
+    """LEXICON SAFETY/COMPLIANCE FLAGGING (the rule-based content
+    filter every training-data pipeline runs before anything learned):
+    one row per (turn, category) whose compiled word-boundary pattern
+    hits, with the exact hit count.  Pure map, zero shuffle: one
+    count_substring_regex per category per batch (RE2, compiled once
+    per pattern inside Arrow), categories concatenated per batch — at
+    100 TB this runs at read bandwidth."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+
+    def body(b: pa.Table) -> pa.Table:
+        outs = []
+        for cat, pat in SAFETY_LEXICON:
+            n = pc.count_substring_regex(b["text"], pattern=pat)
+            keep = pc.greater(n, 0)
+            t = pa.table({
+                "conv_id": b["conv_id"], "turn_idx": b["turn_idx"],
+                "category": pa.array([cat] * b.num_rows),
+                "n_hits": pc.cast(n, pa.int64())}).filter(keep)
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def d_unicode_norm(sf_dir: str):
+    """UNICODE NFC NORMALIZATION audit (mixed-script web corpora carry
+    decomposed accents that break exact dedup and tokenizer merges):
+    per doc, raw vs NFC-normalized character length and a changed
+    flag.  Non-ASCII rows are PLANTED deterministically (decomposed
+    e + U+0301 suffix on the first 20 doc_ids, mirrored in the
+    oracle), since the synthetic corpus is pure ASCII.  Pure map,
+    zero shuffle; utf8_normalize is an Arrow C++ kernel."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["doc_id"], 20))
+        txt = pc.binary_join_element_wise(
+            b["text"], "cafe\u0301", " ")  # decomposed: e + U+0301
+        return pa.table({
+            "doc_id": pc.add(b["doc_id"],
+                             pa.scalar(3_000_000, pa.int64())),
+            "text": txt})
+
+    planted = _read(sf_dir, "documents",
+                    columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+
+    def body(b: pa.Table) -> pa.Table:
+        # pyarrow 16.1's utf8_normalize is a no-op in this build
+        # (verified: NFC leaves e+U+0301 decomposed), so the kernel
+        # gates on the vectorized string_is_ascii (ASCII is NFC by
+        # definition) and routes only the non-ASCII minority through
+        # unicodedata.normalize — one C-library call per non-ASCII
+        # row, no Python work on the ASCII bulk.
+        import unicodedata
+
+        txt = b["text"].combine_chunks()
+        non_ascii = pc.invert(pc.string_is_ascii(txt)).to_numpy(
+            zero_copy_only=False)
+        if non_ascii.any():
+            col = txt.to_pylist()
+            for i in np.flatnonzero(non_ascii):
+                col[i] = unicodedata.normalize("NFC", col[i])
+            norm = pa.array(col, pa.string())
+        else:
+            norm = txt
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "len_raw": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "len_nfc": pc.cast(pc.utf8_length(norm), pa.int64()),
+            "changed": pc.cast(pc.not_equal(norm, txt), pa.int64())})
+
+    return ds.union(planted).map_batches(body, batch_format="pyarrow")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -5470,5 +5558,7 @@ REGISTRY = {
     "e_streaks": e_streaks,
     "e_interval_union": e_interval_union,
     "e_hhi": e_hhi,
+    "t_safety_flags": t_safety_flags,
+    "d_unicode_norm": d_unicode_norm,
 }
 

@@ -85,8 +85,10 @@ BENCH_QUERIES = [
     # SFT loss-mask spans)
     "d_incremental_dedup", "e_debounce", "t_sft_masks",
     # round-5 tail operators (gaps-and-islands streaks, interval
-    # union, Herfindahl concentration)
+    # union, Herfindahl concentration, lexicon safety flags,
+    # unicode NFC audit)
     "e_streaks", "e_interval_union", "e_hhi",
+    "t_safety_flags", "d_unicode_norm",
 ]
 
 

@@ -177,3 +177,31 @@ def test_hhi_degenerate_and_uniform(ray_session):
     assert got.loc[got.user_id == 1, "hhi_ppm"].item() == 1_000_000
     assert got.loc[got.user_id == 2, "hhi_ppm"].item() == 250_000
     assert got.loc[got.user_id == 2, "n_types"].item() == 4
+
+
+def test_safety_lexicon_word_boundaries(ray_session):
+    from alco_ray.pipelines.queries import SAFETY_LEXICON
+    import pyarrow.compute as pc
+
+    texts = pa.array(["route the stream", "rerouted streams",
+                      "shuffle batch shuffle", "no hits here"])
+    by_cat = {cat: pc.count_substring_regex(texts, pattern=pat).to_pylist()
+              for cat, pat in SAFETY_LEXICON}
+    # \b must reject 'rerouted'/'streams' as whole-word hits
+    assert by_cat["transport"] == [2, 0, 0, 0]
+    assert by_cat["bulk"] == [0, 0, 3, 0]
+
+
+def test_unicode_norm_planted_rows(ray_session, monkeypatch):
+    import alco_ray.pipelines.queries as q
+
+    out = q.d_unicode_norm("/root/testdata/sf0.001").to_pandas()
+    planted = out[out.doc_id >= 3_000_000]
+    orig = out[out.doc_id < 3_000_000]
+    assert len(planted) == 20
+    # every planted row composes e+U+0301 -> one fewer codepoint
+    assert (planted.changed == 1).all()
+    assert (planted.len_raw - planted.len_nfc == 1).all()
+    # the ASCII corpus is untouched
+    assert (orig.changed == 0).all()
+    assert (orig.len_raw == orig.len_nfc).all()
