@@ -5334,16 +5334,22 @@ REGISTRY = {
     # ORDERING CONTRACT: the graft driver's correctness gate records
     # exactly the FIRST 50 registry entries each round (verified in
     # rounds 1-4; the windows rotate).  Rounds 1-4 cumulatively
-    # driver-checked 155 of the 167 round-4 entries; the round-5
-    # window below LEADS with (a) the 12 round-4 additions the driver
-    # has never seen, (b) e_event_gaps + q_asof_join (the only two
-    # driver-recorded FAILs in project history -- fixed in r4 commit
-    # b3a6c65, locally green, but the driver never witnessed the fix),
-    # and (c) the round-5 additions, per VERDICT r4 item 1.  The rest
-    # of the window is back-filled with r04-green entries.  Every
-    # entry -- window and tail -- stays hash-verified at
-    # sf0.001/sf0.01/sf0.1 by scripts/check_contract.py, which
-    # replicates the driver's dtype sensitivity.
+    # driver-checked 155 of the 167 round-4 entries.  The FINAL
+    # round-5 window is materialized by the _R5_WINDOW reorder BELOW
+    # this dict (the literal's order is the historical layout; the
+    # epilogue is authoritative): it packs (a) the 12 round-4
+    # additions the driver has never seen, (b) e_event_gaps +
+    # q_asof_join (the only two driver-recorded FAILs in project
+    # history -- fixed in r4 commit b3a6c65, locally green, but the
+    # driver never witnessed the fix), and (c) ALL round-5 additions
+    # except d_compress_ratio (rows-only by design -- a driver row
+    # adds no hash evidence; exactness is pytest-pinned) and
+    # e_group_sample (its top_k_per_group kernel is driver-green via
+    # t_topk_per_conv/d_stratified_sample) -- 50 entries, closing the
+    # cumulative driver-witnessed set at 203/205.  Every entry --
+    # window and tail -- stays hash-verified at sf0.001/sf0.01/sf0.1
+    # by scripts/check_contract.py, which replicates the driver's
+    # dtype sensitivity.
     # ------------------------------------------------------------------
     # (a) never driver-checked round-4 additions
     "d_model_score": d_model_score,
@@ -5561,4 +5567,35 @@ REGISTRY = {
     "t_safety_flags": t_safety_flags,
     "d_unicode_norm": d_unicode_norm,
 }
+
+# Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note
+# at the top of the dict): the driver checks the FIRST 50 entries, so
+# the window below packs every never-driver-checked entry (48) plus
+# the two historical driver FAILs whose fix the driver has never
+# witnessed.  The two exclusions and their evidence are documented in
+# the contract note.
+_R5_WINDOW = [
+    # (a) round-4 additions the driver has never seen
+    "d_model_score", "d_bpe_tokens", "d_pack_bpe", "d_chunk_bpe",
+    "t_grep_after", "mm_png_meta", "mm_adpcm_meta", "mm_jpeg_meta",
+    "v_kmeans", "d_dup_spans", "e_value_sketch", "e_type_sketch",
+    # (b) the only two driver-recorded FAILs in project history
+    "e_event_gaps", "q_asof_join",
+    # (c) round-5 additions, registry order
+    "t_search_bm25", "mm_mp4_meta", "v_text_knn", "mm_mp3_meta",
+    "d_longest_dup", "v_hybrid_rrf", "d_html_clean", "v_text_clusters",
+    "d_split_leakage", "d_chunk_dedup", "e_late_events",
+    "e_upsert_merge", "e_snapshot_diff", "d_consistent_sample",
+    "e_quantile_normalize", "d_cooccur", "e_window_distinct",
+    "t_sft_pairs", "t_conv_render", "t_tool_calls", "d_weighted_sample",
+    "d_incremental_dedup", "e_debounce", "t_sft_masks",
+    "d_span_corrupt", "d_oov_rate", "d_ttr", "d_keywords",
+    "e_seq_match", "t_trending", "d_minhash_apply", "e_streaks",
+    "e_interval_union", "e_hhi", "t_safety_flags", "d_unicode_norm",
+]
+assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+assert not set(_R5_WINDOW) - set(REGISTRY)
+REGISTRY = {**{k: REGISTRY[k] for k in _R5_WINDOW},
+            **{k: v for k, v in REGISTRY.items()
+               if k not in set(_R5_WINDOW)}}
 
