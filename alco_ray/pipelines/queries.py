@@ -5329,6 +5329,211 @@ def d_unicode_norm(sf_dir: str):
     return ds.union(planted).map_batches(body, batch_format="pyarrow")
 
 
+def t_self_repeat(sf_dir: str):
+    """ADJACENT-TURN SELF-REPETITION (dialogue degeneration signal —
+    models and spammy users repeat themselves; high adjacent-turn
+    Jaccard flags low-value conversations for SFT curation): for every
+    positionally adjacent turn pair within a conversation, the
+    distinct-token Jaccard in ppm.  Pair extraction rides the
+    boundary-stitched grouped kernel (role-free adjacent_pairs);
+    the Jaccard is fully vectorized — THREE lexsort boundary-diff
+    distinct counts per batch (side A, side B, A∪B via concat),
+    |A∩B| = dA + dB - dU, no per-pair Python."""
+    from ..stages.parse import tokenize
+    from ..stages.window import _grouped_kernel
+
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+
+    def _distinct(par: np.ndarray, codes: np.ndarray,
+                  nrows: int) -> np.ndarray:
+        order_ix = np.lexsort((codes, par))
+        ps, ts = par[order_ix], codes[order_ix]
+        if len(ps):
+            new_run = np.empty(len(ps), bool)
+            new_run[0] = True
+            new_run[1:] = (ps[1:] != ps[:-1]) | (ts[1:] != ts[:-1])
+        else:
+            new_run = np.zeros(0, bool)
+        return np.bincount(ps[new_run],
+                           minlength=nrows).astype(np.int64)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        # FUSED pair + Jaccard kernel: each turn is tokenized ONCE and
+        # its text never duplicated into (a, b) pair columns; a turn's
+        # tokens feed at most two pairs via integer pair-parent
+        # indexing.  Dictionary-encode once (Arrow's exact C++ hash
+        # table) so every lexsort runs on int codes, not Python-object
+        # strings.
+        order_ix = np.lexsort((g["turn_idx"].to_numpy(),
+                               g["conv_id"].to_numpy()))
+        g = g.iloc[order_ix]
+        n = len(g)
+        conv = g["conv_id"].to_numpy()
+        turn = g["turn_idx"].to_numpy()
+        toks = tokenize(pa.array(g["text"], pa.string()), n)
+        codes = pc.dictionary_encode(
+            toks.values.combine_chunks() if isinstance(
+                toks.values, pa.ChunkedArray) else toks.values) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        d_row = _distinct(par, codes, n)
+        # pair i = (row i, row i+1), valid iff same conversation
+        valid = np.zeros(n, bool)
+        if n > 1:
+            valid[:-1] = conv[:-1] == conv[1:]
+        # union stream: row r's tokens go to pair r (if valid[r]) and
+        # pair r-1 (if valid[r-1])
+        m1 = valid[par]
+        m2 = (par > 0) & valid[np.maximum(par - 1, 0)]
+        pu = np.concatenate([par[m1], par[m2] - 1])
+        cu = np.concatenate([codes[m1], codes[m2]])
+        du_all = _distinct(pu, cu, n)
+        i = np.flatnonzero(valid)
+        da, db, du = d_row[i], d_row[i + 1], du_all[i]
+        inter = da + db - du
+        return pd.DataFrame({
+            "conv_id": conv[i], "turn_idx": turn[i],
+            "inter_toks": inter, "union_toks": du,
+            "jac_ppm": inter * 1_000_000 // np.maximum(du, 1)})
+
+    return _grouped_kernel(ds, "conv_id", body, None,
+                           _nrows(_corpus(sf_dir)))
+
+
+def e_rfm(sf_dir: str):
+    """RFM SEGMENTATION (recency / frequency / monetary quartiles —
+    the classic user-value segmentation): per user, days since last
+    event (vs the corpus max day), event count, spend cents, each
+    quartiled by exact SQL NTILE(4) semantics with (metric, user_id)
+    tiebreak.  Shape: map-side per-batch (user -> max day, count,
+    cents) partials, ONE user-hash exchange fold, then THREE
+    scan.ntile passes over the USER-level table (range-sort +
+    prefix-count rank each — the table is users, never events); the
+    composite key packs (metric, user_id) injectively into int64 with
+    an overflow guard."""
+    from ray.data.aggregate import Max
+
+    from ..stages.scan import ntile
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32())
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = (pa.table({"user_id": b["user_id"], "day": day,
+                       "cents": cents})
+             .group_by(["user_id"])
+             .aggregate([("day", "max"), ("cents", "sum"),
+                         ([], "count_all")]))
+        return g.rename_columns(["user_id", "day_max", "cents", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        r = (g.groupby("user_id", sort=False)
+              .agg(day_max=("day_max", "max"), freq=("cnt", "sum"),
+                   mon_cents=("cents", "sum")).reset_index())
+        return r.astype({"day_max": "int64", "freq": "int64",
+                         "mon_cents": "int64"})
+
+    users = partition_by_key(
+        parts, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(fold, batch_format="pandas") \
+        .materialize()
+    mx = users.aggregate(Max("day_max"), Max("user_id"),
+                         Max("freq"), Max("mon_cents"))
+    corpus_max_day = int(mx["max(day_max)"])
+    scale = int(mx["max(user_id)"]) + 1
+    if max(corpus_max_day, int(mx["max(freq)"]),
+           int(mx["max(mon_cents)"]) + 1) * scale >= (1 << 62):
+        raise ValueError("e_rfm: composite ntile key overflow")
+
+    def prep(b: pa.Table) -> pa.Table:
+        rec = pc.subtract(pa.scalar(corpus_max_day, pa.int64()),
+                          pc.cast(b["day_max"], pa.int64()))
+        return pa.table({
+            "user_id": b["user_id"], "rec_days": rec,
+            "freq": b["freq"], "mon_cents": b["mon_cents"]})
+
+    t = users.map_batches(prep, batch_format="pyarrow")
+    for metric, out in (("rec_days", "r_q"), ("freq", "f_q"),
+                        ("mon_cents", "m_q")):
+        def key(b: pa.Table, m=metric) -> pa.Table:
+            k = pc.add(pc.multiply(b[m], pa.scalar(scale, pa.int64())),
+                       b["user_id"])
+            return b.append_column("__key", k)
+
+        t = ntile(t.map_batches(key, batch_format="pyarrow"),
+                  "__key", 4, out_col=out) \
+            .map_batches(lambda b: b.drop_columns(["__key"]),
+                         batch_format="pyarrow")
+    return t
+
+
+def d_prefix_dedup(sf_dir: str):
+    """PREFIX-REDUNDANCY dedup (truncation artifacts: a doc that is a
+    strict prefix of another doc adds no training signal — the
+    crawl-retry / partial-write duplicate class exact-hash dedup
+    misses): emit every doc whose text is a strict prefix of some
+    OTHER doc's text.  Planted at every scale (first 30 docs re-keyed
+    +4e6 with 40-char truncated text, mirrored in the oracle).
+    Shape: by the lexicographic-prefix property, a text's smallest
+    superstring is its immediate successor in sorted unique order,
+    and both share the FIRST CHARACTER — so ONE first-char-keyed
+    exchange makes the check partition-local: per partition, one
+    np.unique sort + one vectorized elementwise startswith on
+    adjacent unique texts, then a text->flag merge back to doc ids.
+    No all-pairs work anywhere; texts assumed non-empty (the planted
+    and corpus texts are; empty text is trivially a prefix of
+    everything and would need a count-only special case)."""
+    from ..stages.window import partition_by_key
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["doc_id"], 30))
+        return pa.table({
+            "doc_id": pc.add(b["doc_id"],
+                             pa.scalar(4_000_000, pa.int64())),
+            "text": pc.utf8_slice_codeunits(b["text"], 0, 40)})
+
+    planted = _read(sf_dir, "documents",
+                    columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    u = base.union(planted)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "b0", pc.utf8_slice_codeunits(b["text"], 0, 1))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        txt = g["text"].to_numpy()
+        uniq = np.unique(txt)
+        if len(uniq) > 1:
+            is_pref = np.zeros(len(uniq), bool)
+            is_pref[:-1] = np.char.startswith(
+                uniq[1:].astype(str), uniq[:-1].astype(str))
+        else:
+            is_pref = np.zeros(len(uniq), bool)
+        flag = pd.Series(is_pref, index=uniq)
+        keep = flag.reindex(txt).to_numpy()
+        out = g.loc[keep, ["doc_id"]].copy()
+        out["prefix_len"] = (
+            g.loc[keep, "text"].str.len().astype("int64"))
+        return out
+
+    return partition_by_key(
+        u.map_batches(bucket, batch_format="pyarrow"), "b0",
+        approx_rows=_nrows(_tp(sf_dir, "documents"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -5566,6 +5771,9 @@ REGISTRY = {
     "e_hhi": e_hhi,
     "t_safety_flags": t_safety_flags,
     "d_unicode_norm": d_unicode_norm,
+    "t_self_repeat": t_self_repeat,
+    "e_rfm": e_rfm,
+    "d_prefix_dedup": d_prefix_dedup,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -692,11 +692,14 @@ def debounce(ds, *, key_cols, ts_col: str, id_col: str,
     return parts.groupby("part").map_groups(body, batch_format="pandas")
 
 
-def adjacent_pairs(ds, *, key_col: str, order_col: str, role_col: str,
-                   text_col: str, from_role: str, to_role: str,
+def adjacent_pairs(ds, *, key_col: str, order_col: str,
+                   role_col: str | None = None,
+                   text_col: str, from_role: str | None = None,
+                   to_role: str | None = None,
                    prompt_col: str = "prompt",
                    response_col: str = "response",
                    require_consecutive: bool = True,
+                   emit_order: str = "first",
                    n_parts: int | None = None,
                    approx_rows: int | None = None):
     """CONSECUTIVE-ROW PAIR EXTRACTION: for every pair of adjacent
@@ -707,26 +710,33 @@ def adjacent_pairs(ds, *, key_col: str, order_col: str, role_col: str,
     generically any stimulus->response adjacency (SQL ``lead() OVER
     (PARTITION BY key ORDER BY ord)`` + a two-row predicate).
 
-    ``require_consecutive`` additionally demands order values differ
-    by exactly 1 (a missing middle turn breaks the pair).  Runs in
-    the boundary-stitched grouped kernel (:func:`_grouped_kernel`):
-    zero shuffle on key-contiguous shards, key-hash exchange
-    otherwise; output rows only (never the non-matching corpus)."""
+    ``role_col``/``from_role``/``to_role`` of None disable the role
+    predicate (EVERY positional adjacency pairs — the self-repetition
+    / drift analyses).  ``require_consecutive`` additionally demands
+    order values differ by exactly 1 (a missing middle turn breaks
+    the pair).  ``emit_order`` picks which row's order value labels
+    the pair ('first' or 'second').  Runs in the boundary-stitched
+    grouped kernel (:func:`_grouped_kernel`): zero shuffle on
+    key-contiguous shards, key-hash exchange otherwise; output rows
+    only (never the non-matching corpus)."""
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((g[order_col].to_numpy(),
                             g[key_col].to_numpy()))
         keys = g[key_col].to_numpy()[order]
         ordv = g[order_col].to_numpy()[order]
-        roles = g[role_col].to_numpy()[order]
         txt = g[text_col].to_numpy()[order]
         i = np.arange(max(len(keys) - 1, 0))
-        ok = ((keys[i] == keys[i + 1])
-              & (roles[i] == from_role) & (roles[i + 1] == to_role))
+        ok = keys[i] == keys[i + 1]
+        if role_col is not None:
+            roles = g[role_col].to_numpy()[order]
+            ok = (ok & (roles[i] == from_role)
+                  & (roles[i + 1] == to_role))
         if require_consecutive:
             ok = ok & (ordv[i + 1] == ordv[i] + 1)
         i = i[ok]
-        return pd.DataFrame({key_col: keys[i], order_col: ordv[i],
+        lab = ordv[i] if emit_order == "first" else ordv[i + 1]
+        return pd.DataFrame({key_col: keys[i], order_col: lab,
                              prompt_col: txt[i],
                              response_col: txt[i + 1]})
 

@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     # unicode NFC audit)
     "e_streaks", "e_interval_union", "e_hhi",
     "t_safety_flags", "d_unicode_norm",
+    # round-5 closing operators (adjacent-turn self-repetition, RFM
+    # segmentation, prefix-redundancy dedup)
+    "t_self_repeat", "e_rfm", "d_prefix_dedup",
 ]
 
 

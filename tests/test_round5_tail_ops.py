@@ -205,3 +205,86 @@ def test_unicode_norm_planted_rows(ray_session, monkeypatch):
     # the ASCII corpus is untouched
     assert (orig.changed == 0).all()
     assert (orig.len_raw == orig.len_nfc).all()
+
+
+def test_self_repeat_jaccard_reference(ray_session):
+    import alco_ray.pipelines.queries as q
+
+    out = q.t_self_repeat("/root/testdata/sf0.001").to_pandas()
+    # independent reference on a few sampled pairs via raw corpus
+    import duckdb
+    from alco_ray import fixtures
+    import re
+
+    corpus = fixtures.corpus_for_sf("/root/testdata/sf0.001")
+    rows = duckdb.sql(
+        f"SELECT conv_id, turn_idx, text FROM "
+        f"read_parquet('{corpus}/*.parquet') ORDER BY conv_id, turn_idx"
+    ).fetchall()
+    by_conv = {}
+    for c, t, x in rows:
+        by_conv.setdefault(c, []).append((t, x))
+    tok = lambda s: set(re.split(r"[^a-z0-9]+", s.lower())) - {""}
+    checked = 0
+    for _, r in out.head(50).iterrows():
+        turns = by_conv[r.conv_id]
+        idx = [t for t, _ in turns]
+        pos = idx.index(r.turn_idx)
+        a, b = tok(turns[pos][1]), tok(turns[pos + 1][1])
+        assert r.inter_toks == len(a & b)
+        assert r.union_toks == len(a | b)
+        assert r.jac_ppm == len(a & b) * 1_000_000 // max(len(a | b), 1)
+        checked += 1
+    assert checked == 50
+
+
+def test_rfm_ntile_matches_duckdb_law(ray_session):
+    # pin the engine's NTILE law against DuckDB on an awkward n (not
+    # divisible by 4, with metric ties broken by user_id)
+    import duckdb
+    import alco_ray.pipelines.queries  # noqa: F401
+    from alco_ray.stages.scan import ntile
+
+    vals = [5, 5, 5, 1, 2, 9, 9, 3, 7, 7, 7]  # n=11
+    ids = list(range(11))
+    tbl = pa.table({"user_id": pa.array(ids, pa.int64()),
+                    "m": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(tbl).map_batches(
+        lambda b: b.append_column(
+            "__key", pa.array(
+                b["m"].to_numpy(zero_copy_only=False) * 100
+                + b["user_id"].to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow")
+    got = (ntile(ds, "__key", 4, out_col="q").to_pandas()
+           .sort_values("user_id"))
+    want = duckdb.sql(
+        "SELECT user_id, ntile(4) OVER (ORDER BY m, user_id) AS q "
+        "FROM (SELECT unnest(?) AS m, unnest(?) AS user_id)",
+        params=[vals, ids]).df().sort_values("user_id")
+    assert list(got["q"]) == list(want["q"])
+
+
+def test_prefix_dedup_planted_and_edges(ray_session):
+    import alco_ray.pipelines.queries as q
+
+    out = q.d_prefix_dedup("/root/testdata/sf0.001").to_pandas()
+    planted = out[out.doc_id >= 4_000_000]
+    # every planted 40-char truncation is a strict prefix of its source
+    assert len(planted) >= 30 - 1  # collisions between planted rows allowed
+    assert (planted.prefix_len == 40).all()
+    # no doc flags itself: every flagged doc has a STRICTLY longer superstring
+    import duckdb
+    sf = "/root/testdata/sf0.001"
+    n = duckdb.sql(f"""
+        WITH u AS (SELECT doc_id, text
+                   FROM read_parquet('{sf}/documents.parquet')
+                   UNION ALL
+                   SELECT doc_id + 4000000, substring(text, 1, 40)
+                   FROM read_parquet('{sf}/documents.parquet')
+                   WHERE doc_id < 30)
+        SELECT count(*) FROM u a
+        WHERE EXISTS (SELECT 1 FROM u b
+                      WHERE starts_with(b.text, a.text)
+                        AND length(b.text) > length(a.text))
+        """).fetchone()[0]
+    assert len(out) == n
