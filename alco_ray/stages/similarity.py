@@ -858,7 +858,7 @@ def _km_emit_block(t: pa.Table, col: str, id_col: str, scale: int,
 
 def kmeans_fixed_point(ds, k: int = 8, iters: int = 3, *,
                        col: str = "embedding", id_col: str = "vec_id",
-                       scale: int = 1024):
+                       scale: int = 1024, centroids_only: bool = False):
     """EXACT fixed-point Lloyd k-means with per-vector assignments out
     — the oracle-checkable sibling of :func:`ivf_centroids` (which
     stays float/rows-only as an ANN coarse quantizer).  Every step is
@@ -925,6 +925,10 @@ def kmeans_fixed_point(ds, k: int = 8, iters: int = 3, *,
                 new[c] = np.array(_km_tdiv_vec(sums[c], counts[c]),
                                   np.int64)
         cents = new
+    if centroids_only:
+        # callers that re-assign per batch themselves (d_semdedup's
+        # fused tag+pair stage) skip the emit wave entirely
+        return cents
     return ray.data.from_arrow_refs(
         [emit_task.remote(r, col, id_col, scale, cents) for r in refs])
 

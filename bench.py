@@ -90,8 +90,8 @@ BENCH_QUERIES = [
     "e_streaks", "e_interval_union", "e_hhi",
     "t_safety_flags", "d_unicode_norm",
     # round-5 closing operators (adjacent-turn self-repetition, RFM
-    # segmentation, prefix-redundancy dedup)
-    "t_self_repeat", "e_rfm", "d_prefix_dedup",
+    # segmentation, prefix-redundancy dedup, semantic dedup)
+    "t_self_repeat", "e_rfm", "d_prefix_dedup", "d_semdedup",
 ]
 
 

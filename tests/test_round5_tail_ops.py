@@ -264,6 +264,71 @@ def test_rfm_ntile_matches_duckdb_law(ray_session):
     assert list(got["q"]) == list(want["q"])
 
 
+def test_semdedup_integer_cosine_boundary():
+    """The multiplication-only int64 test (dot > 0 AND 10^6 dot^2 >=
+    998001 na nb) must agree with float cosine >= 0.999 on crafted
+    vectors straddling the threshold: a=(1,0) vs b=(999,k) has
+    cos^2 = 998001/(998001+k^2), and the tau^2 boundary sits at
+    k^2 = 1999 — so k=44 passes, k=45 fails, and an anti-parallel
+    vector fails on the sign guard no matter the magnitude."""
+    def int_test(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(y * y for y in b)
+        return dot > 0 and 1_000_000 * dot * dot >= 998_001 * na * nb
+
+    import math
+
+    def float_test(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a)) \
+            / math.sqrt(sum(y * y for y in b)) >= 0.999
+
+    a = (1, 0)
+    for b in [(999, 44), (999, 45), (-999, 0), (1, 0), (0, 1),
+              (10 ** 6, 44_988), (10 ** 6, 44_999)]:
+        assert int_test(a, b) == float_test(a, b), b
+    assert int_test(a, (999, 44)) and not int_test(a, (999, 45))
+    assert not int_test(a, (-999, 0))
+
+
+def test_semdedup_pairs_independently_verified(ray_session):
+    """Every (doc_id, rep_id) the pipeline reports must satisfy the
+    exact integer cosine law when the two texts are re-encoded from
+    the raw corpus by an independent pure-Python replay of the
+    TextEncoder (letter counts x R in unbounded Python ints), and the
+    representative must be a smaller id."""
+    import duckdb
+    import alco_ray.pipelines.queries as q
+    from alco_ray.stages.similarity import _ENC_ALPHABET, TextEncoder
+
+    sf = "/root/testdata/sf0.001"
+    out = q.d_semdedup(sf).to_pandas()
+    assert len(out) > 0
+    assert (out.rep_id < out.doc_id).all()
+
+    R = TextEncoder._load_model(8, 5).tolist()  # python ints
+    need = sorted(set(out.doc_id) | set(out.rep_id))
+    rows = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM "
+        f"read_parquet('{sf}/documents.parquet') "
+        f"WHERE doc_id IN ({','.join(map(str, need))})").fetchall()
+    txt = dict(rows)
+
+    def enc(s):
+        cnt = [s.count(ch) for ch in _ENC_ALPHABET]
+        return [sum(r[j] * cnt[j] for j in range(26)) for r in R]
+
+    emb = {i: enc(txt[i]) for i in need}
+    for r in out.itertuples(index=False):
+        a, b = emb[r.doc_id], emb[r.rep_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(y * y for y in b)
+        assert dot > 0 and 1_000_000 * dot * dot >= 998_001 * na * nb, \
+            (r.doc_id, r.rep_id)
+
+
 def test_prefix_dedup_planted_and_edges(ray_session):
     import alco_ray.pipelines.queries as q
 
