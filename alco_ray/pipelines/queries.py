@@ -5613,6 +5613,262 @@ def d_semdedup(sf_dir: str):
         "part").map_groups(body, batch_format="pandas")
 
 
+def d_dsir(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more its tokens look like a TARGET
+    (curated-seed) corpus than like the raw corpus, so weighted
+    sampling (d_weighted_sample) can tilt the training mix toward the
+    target domain.  The target here is the deterministic
+    id-stratified seventh of the corpus (doc_id % 7 == 0) standing in
+    for the user-supplied seed set.  The weight is the EXACT-integer
+    ratio-sum surrogate of DSIR's log-likelihood-ratio: per token t,
+    r(t) = floor(S (ct+1)(Nr+V) / ((cr+1)(Nt+V))) — add-1 smoothing
+    over the joint vocabulary, S = 10^4 — and dsir_w = sum of r(t)
+    over the doc's token OCCURRENCES.  Monotone the same way as the
+    log weight and replayable bit-for-bit in SQL (a float log-sum is
+    summation-order-dependent under distribution).
+
+    Scale shape: pass 1 = map-side per-batch (token, cnt, cnt_tgt)
+    partials -> ONE token-keyed groupby (the unbounded-key exchange);
+    Nr/Nt/V are scalar folds over the vocab-sized grouped table; the
+    per-token ratio is a vectorized map with an explicit int64
+    overflow guard (the guard names the fix: lower S).  Pass 2 =
+    map-side complete (doc, token, occ) rows (a doc is one row, so
+    per-batch tf is complete) -> ONE large-to-large hash join on the
+    token -> doc-keyed groupby sum.  Nothing corpus-sized touches the
+    driver; the vocabulary never materializes in one place."""
+    from ray.data.aggregate import Sum
+
+    SCALE = 10_000
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        toks = text.token_explode(b)
+        ids = toks["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({"token": toks["token"],
+                      "cnt": pa.array(np.ones(toks.num_rows, np.int64)),
+                      "cnt_t": pa.array((ids % 7 == 0)
+                                        .astype(np.int64))})
+        g = (t.group_by(["token"])
+             .aggregate([("cnt", "sum"), ("cnt_t", "sum")]))
+        return g.rename_columns(["token", "cnt", "cnt_t"])
+
+    g = (ds.map_batches(cnt_partial, batch_format="pyarrow")
+         .groupby("token").aggregate(Sum("cnt", alias_name="cnt"),
+                                     Sum("cnt_t", alias_name="cnt_t"))
+         .materialize())
+    nr = int(g.sum("cnt"))
+    nt = int(g.sum("cnt_t"))
+    v = g.count()
+    if SCALE * (nt + 1) * (nr + v) >= (1 << 63) \
+            or (nr + 1) * (nt + v) >= (1 << 63):
+        raise ValueError(
+            f"d_dsir: ratio arithmetic overflows int64 at Nr={nr}, "
+            f"Nt={nt}, V={v}; lower SCALE (currently {SCALE})")
+
+    def ratio(b: pa.Table) -> pa.Table:
+        cr = b["cnt"].to_numpy(zero_copy_only=False)
+        ct = b["cnt_t"].to_numpy(zero_copy_only=False)
+        r = (SCALE * ((ct + 1) * (nr + v))) // ((cr + 1) * (nt + v))
+        return pa.table({"token": b["token"],
+                         "ratio": pa.array(r.astype(np.int64))})
+
+    rt = g.map_batches(ratio, batch_format="pyarrow")
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        toks = text.token_explode(b)
+        g2 = (pa.table({"doc_id": toks["doc_id"],
+                        "token": toks["token"]})
+              .group_by(["doc_id", "token"])
+              .aggregate([([], "count_all")]))
+        return g2.rename_columns(["doc_id", "token", "occ"])
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = tf.join(rt, "inner", num_partitions=n_parts,
+                     on=("token",))
+
+    def score(b: pa.Table) -> pa.Table:
+        occ = b["occ"].to_numpy(zero_copy_only=False)
+        r = b["ratio"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "occ": b["occ"],
+                         "w": pa.array((occ * r).astype(np.int64))})
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("occ", alias_name="n_tokens"),
+                       Sum("w", alias_name="dsir_w")))
+
+
+def e_ks_drift(sf_dir: str):
+    """DISTRIBUTION DRIFT detection (two-sample Kolmogorov–Smirnov
+    statistic between the even-day and odd-day halves of the event
+    stream — the snapshot-vs-snapshot check a feature pipeline runs
+    before trusting new data): D = max_x |F1(x) - F2(x)| over the
+    event value (exact integer cents), reported as the EXACT integer
+    numerator d_num = max |c1(x) n2 - c2(x) n1| with the smallest
+    attaining value, plus n1/n2 and the floor-div ppm ratio — no
+    float ECDF anywhere, so any engine reproduces the statistic
+    bit-for-bit.
+
+    Scale shape: map-side per-batch (cents, c1, c2) partials -> ONE
+    value-keyed groupby (support-sized, not event-sized) -> the
+    distributed ordered-scan primitive (stages/scan.ordered_prefix_
+    sum: range-sort once, O(blocks) driver state) run for each side's
+    cumulative count -> a vectorized |cross-product| map -> top-1.
+    The argmax never pulls the support to the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.scan import ordered_prefix_sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        odd = (us // 86_400_000_000) % 2
+        t = pa.table({"cents": cents,
+                      "c1": pa.array((odd == 0).astype(np.int64)),
+                      "c2": pa.array((odd == 1).astype(np.int64))})
+        g = t.group_by(["cents"]).aggregate([("c1", "sum"),
+                                             ("c2", "sum")])
+        return g.rename_columns(["cents", "c1", "c2"])
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("cents").aggregate(Sum("c1", alias_name="c1"),
+                                     Sum("c2", alias_name="c2"))
+         .materialize())
+    n1 = int(g.sum("c1"))
+    n2 = int(g.sum("c2"))
+    p = ordered_prefix_sum(g.sort("cents"), "c1", "cents",
+                           out_col="f1", exclusive=False)
+    p = ordered_prefix_sum(p, "c2", "cents",
+                           out_col="f2", exclusive=False)
+
+    def dmap(b: pa.Table) -> pa.Table:
+        f1 = b["f1"].to_numpy(zero_copy_only=False)
+        f2 = b["f2"].to_numpy(zero_copy_only=False)
+        d = np.abs(f1 * n2 - f2 * n1)
+        return pa.table({"cents": b["cents"],
+                         "d_num": pa.array(d.astype(np.int64))})
+
+    top = order.top_k(p.map_batches(dmap, batch_format="pyarrow"),
+                      ["d_num", "cents"], 1,
+                      descending=[True, False])
+
+    def fin(b: pa.Table) -> pa.Table:
+        d = b["d_num"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "at_value": b["cents"],
+            "d_num": b["d_num"],
+            "n1": pa.array(np.full(b.num_rows, n1, np.int64)),
+            "n2": pa.array(np.full(b.num_rows, n2, np.int64)),
+            "ks_ppm": pa.array((d * 1_000_000 // max(n1 * n2, 1))
+                               .astype(np.int64))})
+
+    if isinstance(top, pa.Table):
+        return fin(top)
+    return top.map_batches(fin, batch_format="pyarrow")
+
+
+def d_dup_triangles(sf_dir: str):
+    """TRIANGLE COUNT over the near-duplicate pair graph (graph
+    clustering-coefficient audit: a dedup cluster whose pair graph is
+    triangle-dense is a true clique of one document; a triangle-free
+    star is a hub falsely chaining distinct docs — the standard
+    diagnostic before trusting transitive dedup closure).  Per node,
+    the number of triangles it participates in.  The corpus is
+    unioned with two rekeyed copies of its first 60 docs (as in
+    d_components), so every such doc forms a planted 3-clique at
+    every scale; the SimHash pair set persists as a sidecar the
+    oracle's triple self-join consumes.
+
+    Scale shape (the classic distributed wedge-join, partitioned at
+    every step): edges (a < b) hash-partition on the APEX (min node)
+    -> per-apex sorted neighbor lists emit wedges (y < z) with an
+    explicit degree cap (the quadratic guard names the fix: degree-
+    ordered orientation) -> wedges semi-join the edge set on (y, z)
+    (both sides hash-shuffled; a surviving wedge IS a triangle) ->
+    flat-map each triangle to its three corners -> ONE node-keyed
+    count.  No adjacency ever materializes on the driver."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rekey(off):
+        def body(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.less(b["doc_id"], 60))
+            return b.set_column(
+                b.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(b["doc_id"], pa.scalar(off, pa.int64())))
+        return body
+
+    def head60(off):
+        return _read(sf_dir, "documents", columns=["doc_id", "text"],
+                     filter=(pads.field("doc_id") < 60)) \
+            .map_batches(rekey(off), batch_format="pyarrow")
+
+    u = ds.union(head60(1_000_000), head60(2_000_000))
+    pairs = dedup.simhash_near_pairs(u, max_hamming=7)
+    pt = agg_stage.concat_nonempty(
+        ray.get(pairs.to_arrow_refs())).select(["doc_a", "doc_b"])
+    _write_sidecar(
+        pt.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]),
+        sf_dir, "tri_pairs.parquet")
+    edges = ray.data.from_arrow(pt)
+
+    def wedge_body(gdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for a, gg in gdf.groupby("doc_a", sort=False):
+            nb = np.sort(gg["doc_b"].to_numpy())
+            if len(nb) > 50_000:
+                raise ValueError(
+                    f"d_dup_triangles: node {a} has degree {len(nb)} "
+                    "> 50k wedge cap; switch the apex to degree-"
+                    "ordered orientation for power-law graphs")
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), 1)
+            outs.append(pd.DataFrame({
+                "x": np.full(len(i), a, np.int64),
+                "y": nb[i], "z": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"x": np.zeros(0, np.int64),
+                                 "y": np.zeros(0, np.int64),
+                                 "z": np.zeros(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = partition_by_key(
+        edges, "doc_a", approx_rows=pt.num_rows).groupby(
+        "part").map_groups(wedge_body, batch_format="pandas")
+    tri = join.semi_join(wedges, edges, on=["y", "z"],
+                         right_on=["doc_a", "doc_b"])
+
+    def corners(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            b["x"].combine_chunks() if isinstance(b["x"], pa.ChunkedArray)
+            else b["x"],
+            b["y"].combine_chunks() if isinstance(b["y"], pa.ChunkedArray)
+            else b["y"],
+            b["z"].combine_chunks() if isinstance(b["z"], pa.ChunkedArray)
+            else b["z"]])
+        t = pa.table({"doc_id": nodes,
+                      "one": pa.array(np.ones(len(nodes), np.int64))})
+        g2 = t.group_by(["doc_id"]).aggregate([("one", "sum")])
+        return g2.rename_columns(["doc_id", "n_tri"])
+
+    return (tri.map_batches(corners, batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Sum("n_tri",
+                                             alias_name="n_tri")))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -5631,9 +5887,10 @@ REGISTRY = {
     # hash evidence; exactness is pytest-pinned), e_group_sample (its
     # top_k_per_group kernel is driver-green via t_topk_per_conv /
     # d_stratified_sample), and the post-rotation tail additions
-    # (t_self_repeat, e_rfm, d_prefix_dedup, d_semdedup -- built
-    # after the window filled; each hash-verified by the local gate
-    # at all three scales).  Cumulative driver-witnessed: 203/209.
+    # (t_self_repeat, e_rfm, d_prefix_dedup, d_semdedup, d_dsir,
+    # e_ks_drift, d_dup_triangles -- built after the window filled;
+    # each hash-verified by the local gate at all three scales).
+    # Cumulative driver-witnessed: 203/212.
     # Every entry -- window and tail -- stays hash-verified at
     # sf0.001/sf0.01/sf0.1 by scripts/check_contract.py, which
     # replicates the driver's dtype sensitivity.
@@ -5857,6 +6114,9 @@ REGISTRY = {
     "e_rfm": e_rfm,
     "d_prefix_dedup": d_prefix_dedup,
     "d_semdedup": d_semdedup,
+    "d_dsir": d_dsir,
+    "e_ks_drift": e_ks_drift,
+    "d_dup_triangles": d_dup_triangles,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     # round-5 closing operators (adjacent-turn self-repetition, RFM
     # segmentation, prefix-redundancy dedup, semantic dedup)
     "t_self_repeat", "e_rfm", "d_prefix_dedup", "d_semdedup",
+    # round-5 final operators (DSIR importance weights, two-sample
+    # KS drift, triangle count over the near-dup graph)
+    "d_dsir", "e_ks_drift", "d_dup_triangles",
 ]
 
 

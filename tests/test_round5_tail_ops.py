@@ -353,3 +353,95 @@ def test_prefix_dedup_planted_and_edges(ray_session):
                         AND length(b.text) > length(a.text))
         """).fetchone()[0]
     assert len(out) == n
+
+
+def test_dsir_weight_independent_replay(ray_session):
+    """Recompute a handful of document weights from the raw corpus in
+    pure Python (unbounded ints, add-1 smoothed ratio law, S=10^4)
+    and demand exact equality with the distributed result."""
+    import re
+    import duckdb
+    import alco_ray.pipelines.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.d_dsir(sf).to_pandas().set_index("doc_id")
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM "
+        f"read_parquet('{sf}/documents.parquet')").fetchall()
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s) if t]
+    cr, ct = {}, {}
+    for i, s in rows:
+        for t in tok(s):
+            cr[t] = cr.get(t, 0) + 1
+            if i % 7 == 0:
+                ct[t] = ct.get(t, 0) + 1
+    nr, nt, v = sum(cr.values()), sum(ct.values()), len(cr)
+    ratio = {t: (10_000 * ((ct.get(t, 0) + 1) * (nr + v)))
+             // ((c + 1) * (nt + v)) for t, c in cr.items()}
+    for i, s in rows[:25]:
+        toks = tok(s)
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "dsir_w"] == sum(ratio[t] for t in toks)
+
+
+def test_ks_drift_closed_form(ray_session, tmp_path):
+    """Synthetic two-day event stream with a hand-computable KS
+    statistic: even day values {100,200,300}, odd day values
+    {300,300,400,400} -> D numerator peaks at value 200 with
+    |2*4 - 0*3| = 8 (n1=3, n2=4)."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import alco_ray.pipelines.queries as q
+
+    d0 = dt.datetime(2024, 1, 2)   # even epoch-day? fix below by parity
+    # epoch day of 2024-01-02 = 19724 (even); 2024-01-03 = 19725 (odd)
+    assert (dt.date(2024, 1, 2) - dt.date(1970, 1, 1)).days % 2 == 0
+    even = [1.00, 2.00, 3.00]
+    odd = [3.00, 3.00, 4.00, 4.00]
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array([d0] * 3 + [d0 + dt.timedelta(days=1)] * 4,
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * 7, pa.int64()),
+        "event_type": pa.array(["click"] * 7),
+        "value": pa.array(even + odd, pa.float64()),
+        "props": pa.array(["{}"] * 7)})
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q.e_ks_drift(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # cumulative at 200 cents: F1 = 2/3, F2 = 0/4 -> |2*4 - 0*3| = 8
+    assert (r.at_value, r.d_num, r.n1, r.n2) == (200, 8, 3, 4)
+    assert r.ks_ppm == 8 * 1_000_000 // 12
+
+
+def test_dup_triangles_brute_force(ray_session):
+    """Brute-force the triangle count from the persisted pair sidecar
+    and demand per-node equality with the distributed wedge-join."""
+    import pyarrow.parquet as pq
+    import alco_ray.pipelines.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.d_dup_triangles(sf).to_pandas().set_index("doc_id")
+    pairs = pq.read_table(
+        "/tmp/alco_ray_cache/sf0.001/tri_pairs.parquet").to_pydict()
+    edges = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    ref = {}
+    for a, nbs in adj.items():
+        for b in nbs:
+            for c in adj.get(b, ()):  # a < b < c path
+                if c in nbs:
+                    for n in (a, b, c):
+                        ref[n] = ref.get(n, 0) + 1
+    assert len(ref) > 0
+    assert dict(out["n_tri"]) == ref
+    # planted 3-cliques: every doc < 60 triangles with its two rekeys
+    for d in range(5):
+        assert out.loc[d, "n_tri"] >= 1
+        assert out.loc[d + 1_000_000, "n_tri"] >= 1
+        assert out.loc[d + 2_000_000, "n_tri"] >= 1
