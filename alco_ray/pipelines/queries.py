@@ -3617,6 +3617,24 @@ def v_kmeans(sf_dir: str):
     return similarity.kmeans_fixed_point(ds, k=8, iters=3)
 
 
+def v_pca(sf_dir: str):
+    """EXACT fixed-point power-iteration PCA over the embeddings
+    table (stages/similarity.pca_power_fixed_point): per-vector
+    projection onto the principal direction of the quantized Gram
+    matrix — 64 integer power iterations with truncating-division
+    renormalization (the synthetic embeddings' eigengap is small,
+    lambda2/lambda1 = 0.93, so convergence to |cos| > 0.999 against
+    the float eigenvector needs ~64 steps — pinned by pytest), so
+    the oracle unrolls the identical recurrence and the projection
+    column hash-matches.  Distributed-covariance shape: one pass of
+    d x d per-block Gram partials (driver folds d^2 unbounded ints —
+    model-sized state), a driver-side iteration loop over the d x d
+    matrix (64 x 4096 integer mults — microseconds; NOT a data
+    pass), one broadcast projection pass."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.pca_power_fixed_point(ds, iters=64)
+
+
 def v_centroid(sf_dir: str):
     """Vector-column aggregation (the k-means centroid step as an
     oracle-checked operator): per label, dimension-wise integer-
@@ -5888,9 +5906,9 @@ REGISTRY = {
     # top_k_per_group kernel is driver-green via t_topk_per_conv /
     # d_stratified_sample), and the post-rotation tail additions
     # (t_self_repeat, e_rfm, d_prefix_dedup, d_semdedup, d_dsir,
-    # e_ks_drift, d_dup_triangles -- built after the window filled;
-    # each hash-verified by the local gate at all three scales).
-    # Cumulative driver-witnessed: 203/212.
+    # e_ks_drift, d_dup_triangles, v_pca -- built after the window
+    # filled; each hash-verified by the local gate at all three
+    # scales).  Cumulative driver-witnessed: 203/213.
     # Every entry -- window and tail -- stays hash-verified at
     # sf0.001/sf0.01/sf0.1 by scripts/check_contract.py, which
     # replicates the driver's dtype sensitivity.
@@ -6117,6 +6135,7 @@ REGISTRY = {
     "d_dsir": d_dsir,
     "e_ks_drift": e_ks_drift,
     "d_dup_triangles": d_dup_triangles,
+    "v_pca": v_pca,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

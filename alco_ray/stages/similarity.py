@@ -933,6 +933,69 @@ def kmeans_fixed_point(ds, k: int = 8, iters: int = 3, *,
         [emit_task.remote(r, col, id_col, scale, cents) for r in refs])
 
 
+# ------------------------------------------------ fixed-point power PCA
+
+def pca_power_fixed_point(ds, *, iters: int = 4, col: str = "embedding",
+                          id_col: str = "vec_id", scale: int = 1024):
+    """EXACT fixed-point power-iteration PCA: the principal direction
+    of the quantized embedding matrix via ``iters`` rounds of
+    ``v <- tdiv(G v * scale, max|G v|)`` on the Gram matrix
+    ``G = X^T X``, then the per-vector projection ``X v`` — every step
+    integer (quantization = :func:`_km_quant`, division = DuckDB
+    truncating ``//``), so an unrolled SQL oracle reproduces the
+    scores bit-for-bit (float power iteration differs in ulps by
+    summation order under distribution).
+
+    Scale shape (the distributed-covariance pattern): ONE pass of
+    per-block d x d Gram partials — d^2 ints per block, folded on the
+    driver in unbounded Python ints (no int64 overflow at any corpus
+    size) — a driver-side d^2 iteration loop (d is model-sized, not
+    corpus-sized), then ONE broadcast projection map over the same
+    materialized blocks.  Two passes over the data total, nothing
+    corpus-sized on the driver; centering is intentionally skipped
+    (quantized PCA on the raw second moment — document if the data
+    is not approximately zero-mean)."""
+    import ray
+
+    @ray.remote
+    def gram_block(t: pa.Table):
+        q = _km_quant(t, col, scale)
+        return (q.T @ q) if q.size else None
+
+    @ray.remote
+    def proj_block(t: pa.Table, v: np.ndarray) -> pa.Table:
+        q = _km_quant(t, col, scale)
+        p = q @ v
+        return pa.table({id_col: t[id_col],
+                         "proj": pa.array(p.astype(np.int64))})
+
+    refs = ds.materialize().to_arrow_refs()
+    parts = [g for g in ray.get([gram_block.remote(r) for r in refs])
+             if g is not None]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "proj": pa.array([], pa.int64())}))
+    d = parts[0].shape[0]
+    # fold in unbounded Python ints: int64 Gram partials are exact per
+    # block (|x| <= scale, block rows bounded), the cross-block sum is
+    # where a 100-TB corpus would overflow int64
+    G = [[sum(int(p[i, j]) for p in parts) for j in range(d)]
+         for i in range(d)]
+    v = [scale] * d
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError(
+                "pca_power_fixed_point: zero Gram-vector product "
+                "(degenerate all-zero input?)")
+        v = [(abs(x) * scale // m) * (1 if x >= 0 else -1) for x in w]
+    vec = np.array(v, np.int64)
+    return ray.data.from_arrow_refs(
+        [proj_block.remote(r, vec) for r in refs])
+
+
 # ----------------------------------------------- embedding inference stage
 # The canonical "model loaded once per actor" inference pattern that
 # turns RAW TEXT into the embedding column every ANN path here

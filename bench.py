@@ -93,8 +93,9 @@ BENCH_QUERIES = [
     # segmentation, prefix-redundancy dedup, semantic dedup)
     "t_self_repeat", "e_rfm", "d_prefix_dedup", "d_semdedup",
     # round-5 final operators (DSIR importance weights, two-sample
-    # KS drift, triangle count over the near-dup graph)
-    "d_dsir", "e_ks_drift", "d_dup_triangles",
+    # KS drift, triangle count over the near-dup graph, fixed-point
+    # power-iteration PCA)
+    "d_dsir", "e_ks_drift", "d_dup_triangles", "v_pca",
 ]
 
 
