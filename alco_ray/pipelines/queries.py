@@ -5887,6 +5887,108 @@ def d_dup_triangles(sf_dir: str):
                                              alias_name="n_tri")))
 
 
+def d_winnow(sf_dir: str):
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS overlap-detection signature): hash every 4-token
+    gram, slide a 5-gram window, select each window's min hash
+    (rightmost on ties), report per doc the gram count, distinct
+    selected positions, and fingerprint checksum — the guaranteed-
+    density local sketch that plagiarism / crawl-overlap joins run on
+    instead of full shingle sets (stages/text.winnow_stats).
+
+    Shape: ONE bounded-vocabulary build (per-block distinct-token
+    partials -> driver fold, same contract as the S4 dictionary
+    store; token id = sorted rank so the oracle's row_number() law
+    replays it), then a broadcast stateless map — zero shuffle.  At
+    unbounded vocabulary the rank law swaps for a direct token hash
+    without changing the shape; the oracle needs the rank law."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tok_ds = ds.map_batches(text.token_explode, batch_format="pyarrow")
+    vt = agg_stage.distinct_values(tok_ds, "token")
+    vocab = np.sort(vt["token"].to_numpy(zero_copy_only=False)
+                    .astype(str))
+    if len(vocab) > 1_000_000:
+        raise ValueError(
+            f"d_winnow: vocabulary {len(vocab)} exceeds the rank-law "
+            "cap; switch to the hash-based token id")
+
+    import functools
+    return ds.map_batches(
+        functools.partial(text.winnow_stats, vocab=vocab, k=4, w=5),
+        batch_format="pyarrow")
+
+
+def v_mmr(sf_dir: str):
+    """Maximal Marginal Relevance diversified top-10 for the fixed
+    probe (vec_id 0), pool 25, lambda 7/10 — the diversity-aware
+    re-rank bolted onto every retrieval stack
+    (stages/similarity.mmr_rerank).  All-integer (quantized dot
+    products, score = 7*rel - 3*maxsim, smallest-id ties), so the
+    oracle unrolls the 10-step greedy walk as MATERIALIZED CTEs and
+    the (vec_id, mmr_rank, score) rows hash-match bit-for-bit."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.mmr_rerank(ds, _query_vec(sf_dir), k=10, pool=25)
+
+
+def v_sq8(sf_dir: str):
+    """SQ8 scalar quantization of the embedding table
+    (stages/similarity.scalar_quantize_stats): per-dimension global
+    [min, max] over the quantized integers, code = (x-mn)*255 //
+    span — the vector-compression pass run before indexing a 100-TB
+    embedding store.  Emits the per-vector code checksum + range;
+    every step integer, so the oracle replays it exactly."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.scalar_quantize_stats(ds)
+
+
+def e_cusum(sf_dir: str):
+    """CUSUM changepoint detection per user (the mean-shift detector a
+    metrics pipeline runs per entity): over the user's events in
+    (ts, event_id) order, the scaled deviation ``dev_i = n*prefix_i -
+    i*total`` (the cumulative sum of ``cents - mean`` multiplied by n
+    — division-free, so EXACT in integers; |dev| <= n^2 * max_cents
+    keeps int64 safe to ~10^6 events/user), reporting max |dev| and
+    the earliest 1-based index attaining it.  ONE user-keyed exchange,
+    then a fully vectorized partition-local kernel (sort + grouped
+    cumsum — no per-user loop)."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        v = g["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v) \
+            .astype(np.int64)
+        grp = g.groupby("user_id", sort=False)
+        n = grp["user_id"].transform("size").to_numpy(dtype=np.int64)
+        cs = pd.Series(cents, index=g.index)
+        prefix = cs.groupby(g["user_id"], sort=False).cumsum() \
+            .to_numpy(dtype=np.int64)
+        total = cs.groupby(g["user_id"], sort=False) \
+            .transform("sum").to_numpy(dtype=np.int64)
+        i = (grp.cumcount() + 1).to_numpy(dtype=np.int64)
+        adev = np.abs(n * prefix - i * total)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "n_events": n, "max_dev": adev,
+                            "cp_idx": i})
+        out = out.sort_values(["user_id", "max_dev", "cp_idx"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = out.drop_duplicates("user_id")
+        for c in ("user_id", "n_events", "max_dev", "cp_idx"):
+            out[c] = out[c].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return partition_by_key(
+        ds, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -5906,9 +6008,10 @@ REGISTRY = {
     # top_k_per_group kernel is driver-green via t_topk_per_conv /
     # d_stratified_sample), and the post-rotation tail additions
     # (t_self_repeat, e_rfm, d_prefix_dedup, d_semdedup, d_dsir,
-    # e_ks_drift, d_dup_triangles, v_pca -- built after the window
-    # filled; each hash-verified by the local gate at all three
-    # scales).  Cumulative driver-witnessed: 203/213.
+    # e_ks_drift, d_dup_triangles, v_pca, d_winnow, v_mmr, v_sq8,
+    # e_cusum -- built after the window filled; each hash-verified by
+    # the local gate at all three scales).
+    # Cumulative driver-witnessed: 203/217.
     # Every entry -- window and tail -- stays hash-verified at
     # sf0.001/sf0.01/sf0.1 by scripts/check_contract.py, which
     # replicates the driver's dtype sensitivity.
@@ -6136,6 +6239,10 @@ REGISTRY = {
     "e_ks_drift": e_ks_drift,
     "d_dup_triangles": d_dup_triangles,
     "v_pca": v_pca,
+    "d_winnow": d_winnow,
+    "v_mmr": v_mmr,
+    "v_sq8": v_sq8,
+    "e_cusum": e_cusum,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

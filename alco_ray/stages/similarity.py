@@ -1082,3 +1082,148 @@ def hybrid_rrf(legs: list[pa.Table], *, k: int = 10, rrf_k: int = 60,
                                            pa.int64()),
                      "rank": pa.array(np.arange(1, len(rows) + 1,
                                                 dtype=np.int64))})
+
+
+# --------------------------------------------- MMR diversified re-rank
+
+def mmr_rerank(ds, query_vec, *, k: int = 10, pool: int = 25,
+               lam_num: int = 7, lam_den: int = 10,
+               col: str = "embedding", id_col: str = "vec_id",
+               scale: int = 1024):
+    """EXACT Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998): fetch a relevance pool distributed, then greedily
+    pick ``k`` results maximizing ``lam*rel - (1-lam)*max_sim_to_
+    selected`` — the diversity-aware variant of top-k every retrieval
+    stack bolts onto its ranker.  All-integer: rel and pairwise sim
+    are int64 dot products of the :func:`_km_quant` embeddings, the
+    MMR score is ``lam_num*rel - (lam_den-lam_num)*maxsim`` (no
+    floats), ties broken by smallest id — so an unrolled SQL oracle
+    replays the greedy walk bit-for-bit.
+
+    Scale shape — the canonical two-phase re-rank: ONE distributed
+    pass computes integer relevance and keeps a per-block top-``pool``
+    (plus the survivors' quantized vectors: pool x d ints per block),
+    the driver merges blocks x pool survivor rows and runs the greedy
+    loop over a pool x pool integer Gram matrix.  Pool and k are
+    query-sized constants, never corpus-sized; nothing else leaves
+    the blocks."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64) * float(scale)
+    # captured by value, not ray.put: the quantized probe is d int64s
+    # (~0.5 KB) — a closure constant ships with the task spec for free,
+    # and a captured ObjectRef in a map_batches closure is the one
+    # pattern that has tripped Ray's inlined-dependency refcounting
+    # under load (reference_count.cc check failure seen in bench)
+    qq = np.copysign(np.floor(np.abs(q) + 0.5), q).astype(np.int64)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.list_(pa.int64()))})
+        X = _km_quant(t, col, scale)
+        rel = X @ qq
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids, -rel))[:pool]
+        return pa.table({
+            id_col: pa.array(ids[o]),
+            "rel": pa.array(rel[o]),
+            "qv": pa.array(list(X[o]), pa.list_(pa.int64()))})
+
+    from .aggregate import concat_nonempty
+    parts = ray.get(ds.map_batches(local_top, batch_format="pyarrow",
+                                   batch_size=None).to_arrow_refs())
+    m = concat_nonempty(parts)
+    if m.num_columns == 0 or m.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "mmr_rank": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())}))
+    ids = m[id_col].to_numpy(zero_copy_only=False)
+    rel = m["rel"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((ids, -rel))[:pool]
+    ids, rel = ids[o], rel[o]
+    C = np.stack([np.asarray(v, dtype=np.int64)
+                  for v in m["qv"].to_pylist()])[o]
+    S = C @ C.T  # pool x pool integer Gram — query-sized
+    n = len(ids)
+    picked: list[int] = []
+    maxsim = np.zeros(n, dtype=np.int64)  # empty-selection term = 0
+    remaining = np.ones(n, dtype=bool)
+    out_ids, out_scores = [], []
+    for _ in range(min(k, n)):
+        score = lam_num * rel - (lam_den - lam_num) * maxsim
+        cand = np.flatnonzero(remaining)
+        best = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        picked.append(best)
+        out_ids.append(int(ids[best]))
+        out_scores.append(int(score[best]))
+        remaining[best] = False
+        np.maximum(maxsim, S[:, best], out=maxsim)
+    return ray.data.from_arrow(pa.table({
+        id_col: pa.array(out_ids, pa.int64()),
+        "mmr_rank": pa.array(np.arange(1, len(out_ids) + 1,
+                                       dtype=np.int64)),
+        "score": pa.array(out_scores, pa.int64())}))
+
+
+# ----------------------------------------------- int8 scalar quantization
+
+def scalar_quantize_stats(ds, *, col: str = "embedding",
+                          id_col: str = "vec_id", scale: int = 1024,
+                          levels: int = 255):
+    """EXACT SQ8 scalar quantization of the embedding column — the
+    vector-compression pass (FAISS's SQ8 / uint8 codes) a 100-TB
+    embedding store runs before indexing: per-dimension global
+    [min, max] over the :func:`_km_quant` integers, then
+    ``code = (x - mn) * levels // (mx - mn)`` (all integer, ``// ``
+    truncating = floor since ``x >= mn``; constant-dimension columns
+    code to 0).  Emits per vector the code checksum + range —
+    ``(vec_id, code_sum, code_min, code_max)`` — rather than a
+    list<uint8> column so the driver comparator hashes scalars.
+
+    Scale shape (same two-wave pattern as the fixed-point PCA): one
+    pass of per-block (min, max) partials — 2d ints each, folded on
+    the driver — then one broadcast quantize map over the same
+    materialized blocks.  Nothing corpus-sized ever leaves a block."""
+    import ray
+
+    @ray.remote
+    def minmax_block(t: pa.Table):
+        q = _km_quant(t, col, scale)
+        if not q.size:
+            return None
+        return q.min(axis=0), q.max(axis=0)
+
+    @ray.remote
+    def code_block(t: pa.Table, mn: np.ndarray,
+                   span: np.ndarray) -> pa.Table:
+        q = _km_quant(t, col, scale)
+        if not q.size:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code_sum": pa.array([], pa.int64()),
+                             "code_min": pa.array([], pa.int64()),
+                             "code_max": pa.array([], pa.int64())})
+        codes = np.where(span > 0,
+                         (q - mn) * levels // np.maximum(span, 1), 0)
+        return pa.table({
+            id_col: t[id_col],
+            "code_sum": pa.array(codes.sum(axis=1).astype(np.int64)),
+            "code_min": pa.array(codes.min(axis=1).astype(np.int64)),
+            "code_max": pa.array(codes.max(axis=1).astype(np.int64))})
+
+    refs = ds.materialize().to_arrow_refs()
+    parts = [p for p in ray.get([minmax_block.remote(r) for r in refs])
+             if p is not None]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "code_sum": pa.array([], pa.int64()),
+                      "code_min": pa.array([], pa.int64()),
+                      "code_max": pa.array([], pa.int64())}))
+    mn = np.min([p[0] for p in parts], axis=0)
+    mx = np.max([p[1] for p in parts], axis=0)
+    span = mx - mn
+    return ray.data.from_arrow_refs(
+        [code_block.remote(r, mn, span) for r in refs])

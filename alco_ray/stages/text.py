@@ -1164,3 +1164,121 @@ def strip_html(batch: pa.Table, html_col: str = "html",
     return pa.table({id_col: batch[id_col], "clean_text": s,
                      "clean_len": pc.cast(pc.utf8_length(s),
                                           pa.int64())})
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+#: Winnowing hash law (shared with the SQL oracle): token id = 1-based
+#: rank in the sorted corpus vocabulary, k-gram hash = left-fold
+#: ``h <- (h * WINNOW_B + id) % WINNOW_M``.  WINNOW_M = 2^31 - 1 keeps
+#: every intermediate < 2^51 (exact in int64 AND in DuckDB BIGINT);
+#: collisions at 2^31 are harmless for oracle equality because BOTH
+#: sides apply the identical law.
+WINNOW_B = 1_000_003
+WINNOW_M = (1 << 31) - 1
+
+
+def winnow_stats(batch: pa.Table, vocab: np.ndarray, *, k: int = 4,
+                 w: int = 5, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Per-document WINNOWING fingerprint selection (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS local document fingerprint):
+    hash every k-token gram, slide a w-gram window, and select each
+    window's minimum hash (ties -> RIGHTMOST, the paper's rule that
+    makes consecutive windows usually share their pick).  Emits per
+    doc: gram count, count of DISTINCT selected positions, and the
+    fingerprint checksum (sum of the selected hashes) — the compact
+    signature an overlap-detection join runs on.
+
+    Fully vectorized, zero shuffle: one tokenize pass, token ids by
+    ``np.searchsorted`` against the broadcast sorted vocab (rank law =
+    the oracle's ``row_number() OVER (ORDER BY token)``), the k-fold
+    polynomial over the flat id array, then the w-window minimum as a
+    chain of w shifted ``np.minimum`` slices over a combined
+    ``h * 2^31 + (2^31-1-pos)`` key (min => min hash, rightmost pos).
+    Documents with fewer than k tokens emit nothing; documents with
+    1..w-1 grams form a single window (grouped ``minimum.reduceat``).
+    """
+    toks = tokenize(batch[text_col], batch.num_rows)
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    ids = (np.searchsorted(vocab, flat.astype(str)) + 1).astype(np.int64)
+
+    lens = np.diff(offs)
+    G = np.maximum(lens - k + 1, 0)
+    total = int(G.sum())
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "n_select": pa.array([], pa.int64()),
+                      "fp_sum": pa.array([], pa.int64())})
+    if total == 0:
+        return empty
+
+    # k-gram polynomial at every flat start (cross-doc starts are
+    # computed then discarded by the compaction below — branch-free).
+    N = len(ids)
+    acc = ids[: N - k + 1].copy()
+    for j in range(1, k):
+        acc = (acc * WINNOW_B + ids[j: N - k + 1 + j]) % WINNOW_M
+
+    # Compact to per-doc gram arrays (in position order).
+    seg_base = np.repeat(offs[:-1], G)
+    cum0 = np.concatenate([[0], np.cumsum(G)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum0, G)
+    h = acc[seg_base + intra]
+    gram_doc = np.repeat(np.arange(len(G), dtype=np.int64), G)
+
+    # Combined key: min over it = (min hash, rightmost position).
+    HALF = np.int64(1) << 31
+    key = h * HALF + (HALF - 1 - intra)
+
+    sel_doc_parts, sel_key_parts = [], []
+    # Full windows: doc-local window start s covers grams s..s+w-1;
+    # valid iff s <= G_doc - w.  One vectorized min chain, then mask.
+    if total >= w:
+        kw = key[: total - w + 1].copy()
+        for j in range(1, w):
+            np.minimum(kw, key[j: total - w + 1 + j], out=kw)
+        full = intra[: total - w + 1] <= (
+            np.repeat(G, G)[: total - w + 1] - w)
+        sel_doc_parts.append(gram_doc[: total - w + 1][full])
+        sel_key_parts.append(kw[full])
+    # Short docs (0 < G < w): single window over all their grams.
+    short = (G > 0) & (G < w)
+    if short.any():
+        starts = cum0[short]
+        ends = starts + G[short]
+        # reduceat over explicit [start, end) pairs (a bare `starts`
+        # index list would reduce each segment to the END of the flat
+        # array, bleeding into the next doc's grams); the sentinel
+        # pad keeps `end == total` a legal index.
+        keyp = np.append(key, np.int64(1) << 62)
+        bounds = np.column_stack([starts, ends]).ravel()
+        gmin = np.minimum.reduceat(keyp, bounds)[::2]
+        sel_doc_parts.append(np.flatnonzero(short).astype(np.int64))
+        sel_key_parts.append(gmin)
+
+    sd = np.concatenate(sel_doc_parts)
+    sk = np.concatenate(sel_key_parts)
+    # Distinct (doc, selected position): consecutive-dup drop after a
+    # (doc, key) lexsort — same keys <=> same position (pos is IN the
+    # key, so distinct keys per doc = distinct positions per doc).
+    o = np.lexsort((sk, sd))
+    sd, sk = sd[o], sk[o]
+    keep = np.ones(len(sd), dtype=bool)
+    keep[1:] = (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])
+    sd, sk = sd[keep], sk[keep]
+    sel_h = sk >> 31
+
+    n_sel = np.bincount(sd, minlength=len(G))
+    fp_sum = np.bincount(sd, weights=sel_h.astype(np.float64),
+                         minlength=len(G)).astype(np.int64)
+    # float64 bincount weights are exact: each h < 2^31 and per-doc
+    # selections are window-bounded, so sums stay far below 2^53.
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+    m = G > 0
+    return pa.table({
+        id_col: pa.array(doc_ids[m].astype(np.int64)),
+        "n_grams": pa.array(G[m].astype(np.int64)),
+        "n_select": pa.array(n_sel[m].astype(np.int64)),
+        "fp_sum": pa.array(fp_sum[m])})

@@ -94,8 +94,10 @@ BENCH_QUERIES = [
     "t_self_repeat", "e_rfm", "d_prefix_dedup", "d_semdedup",
     # round-5 final operators (DSIR importance weights, two-sample
     # KS drift, triangle count over the near-dup graph, fixed-point
-    # power-iteration PCA)
+    # power-iteration PCA, winnowing fingerprints, MMR re-rank, SQ8
+    # quantization, CUSUM changepoints)
     "d_dsir", "e_ks_drift", "d_dup_triangles", "v_pca",
+    "d_winnow", "v_mmr", "v_sq8", "e_cusum",
 ]
 
 

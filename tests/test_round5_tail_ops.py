@@ -486,3 +486,141 @@ def test_pca_zero_input_raises(ray_session):
     with pytest.raises((ValueError, Exception)) as ei:
         pca_power_fixed_point(ray.data.from_arrow(t)).to_pandas()
     assert "zero Gram" in str(ei.value)
+
+
+def test_winnow_matches_brute_force(ray_session):
+    """winnow_stats vs an independent per-doc Python reference on
+    adversarial docs (short docs, all-equal hashes forcing the
+    rightmost-tie rule, sub-window gram counts)."""
+    import re
+
+    from alco_ray.stages.text import WINNOW_B, WINNOW_M, winnow_stats
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(20)] + ["a", "b"]
+    docs = [" ".join(rng.choice(words, size=int(n)))
+            for n in rng.integers(0, 25, 120)]
+    docs += ["a a a a a a a a a a", "a b", "", "x y z w"]
+    vocab = np.array(sorted({t for d in docs
+                             for t in re.split(r"[^a-z0-9]+", d.lower())
+                             if t}))
+    b = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = winnow_stats(b, vocab, k=4, w=5).to_pandas() \
+        .set_index("doc_id")
+
+    def brute(d, k=4, w=5):
+        toks = [t for t in re.split(r"[^a-z0-9]+", d.lower()) if t]
+        v = [int(np.searchsorted(vocab, t)) + 1 for t in toks]
+        G = len(v) - k + 1
+        if G <= 0:
+            return None
+        hs = []
+        for p in range(G):
+            h = v[p]
+            for j in range(1, k):
+                h = (h * WINNOW_B + v[p + j]) % WINNOW_M
+            hs.append(h)
+        sel = set()
+        wins = ([(s, s + w) for s in range(G - w + 1)]
+                if G >= w else [(0, G)])
+        for a, bnd in wins:
+            mh = min(hs[a:bnd])
+            sel.add(max(p for p in range(a, bnd) if hs[p] == mh))
+        return G, len(sel), sum(hs[p] for p in sel)
+
+    for i, d in enumerate(docs):
+        want = brute(d)
+        got = (tuple(int(x) for x in out.loc[i])
+               if i in out.index else None)
+        assert want == got, (i, want, got)
+
+
+def test_winnow_density_guarantee(ray_session):
+    """The winnowing guarantee: every w-window contributes a
+    fingerprint and one gram can serve at most w consecutive windows,
+    so selections per doc lie in [ceil(n_windows / w), n_grams]."""
+    import alco_ray.pipelines.queries as q
+
+    out = q.d_winnow("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    g, s = out["n_grams"].to_numpy(), out["n_select"].to_numpy()
+    n_win = np.maximum(g - 4, 1)
+    assert (s >= -(-n_win // 5)).all() and (s <= g).all()
+    assert (out["fp_sum"] >= 0).all()
+
+
+def test_mmr_greedy_reference(ray_session):
+    """mmr_rerank vs an independent greedy over the full quantized
+    table: identical picks, and pick #1 is the max-relevance row."""
+    import pyarrow.parquet as pq
+    import alco_ray.pipelines.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = q.v_mmr(sf).to_pandas()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    flat = np.asarray(t["embedding"].combine_chunks().values,
+                      dtype=np.float64)
+    E = flat.reshape(t.num_rows, -1) * 1024.0
+    X = np.copysign(np.floor(np.abs(E) + 0.5), E).astype(np.int64)
+    ids = t["vec_id"].to_numpy()
+    qv = X[ids == 0][0]
+    rel = X @ qv
+    o = np.lexsort((ids, -rel))[:25]
+    pids, prel, P = ids[o], rel[o], X[o]
+    S = P @ P.T
+    picked, maxsim = [], np.zeros(25, np.int64)
+    rem = np.ones(25, bool)
+    for _ in range(10):
+        score = 7 * prel - 3 * maxsim
+        cand = np.flatnonzero(rem)
+        best = cand[np.lexsort((pids[cand], -score[cand]))[0]]
+        picked.append((int(pids[best]), int(score[best])))
+        rem[best] = False
+        np.maximum(maxsim, S[:, best], out=maxsim)
+    assert list(zip(got["vec_id"], got["score"])) == picked
+    assert got["vec_id"].iloc[0] == int(pids[np.lexsort((pids, -prel))[0]])
+    assert got["mmr_rank"].tolist() == list(range(1, 11))
+
+
+def test_sq8_code_bounds_and_reconstruction(ray_session):
+    """SQ8 codes stay in [0, 255] and the per-dim extreme vectors get
+    the extreme codes (the row holding the global max of a dim must
+    contain a 255 code unless that dim is constant)."""
+    import alco_ray.pipelines.queries as q
+
+    out = q.v_sq8("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    assert (out["code_min"] >= 0).all()
+    assert (out["code_max"] <= 255).all()
+    assert out["code_max"].max() == 255 and out["code_min"].min() == 0
+    assert (out["code_sum"] <= 255 * 64).all()
+
+
+def test_cusum_brute_force(ray_session):
+    """e_cusum vs a per-user Python reference over the sf0.001 events
+    (max |n*prefix - i*total|, earliest index on ties)."""
+    import pyarrow.parquet as pq
+    import alco_ray.pipelines.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = q.e_cusum(sf).to_pandas().set_index("user_id").sort_index()
+
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"]) \
+        .to_pandas().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in t.groupby("user_id"):
+        v = g["value"].to_numpy() * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(int)
+        n, tot = len(cents), int(cents.sum())
+        best = (-1, -1)
+        pref = 0
+        for i, c in enumerate(cents, 1):
+            pref += int(c)
+            dev = abs(n * pref - i * tot)
+            if dev > best[0]:
+                best = (dev, i)
+        row = got.loc[uid]
+        assert (int(row["n_events"]), int(row["max_dev"]),
+                int(row["cp_idx"])) == (n, best[0], best[1])
