@@ -6002,15 +6002,26 @@ REGISTRY = {
     # q_asof_join (the only two driver-recorded FAILs in project
     # history -- fixed in r4 commit b3a6c65, locally green, but the
     # driver never witnessed the fix), and (c) round-5 additions up
-    # to the 50-entry capacity.  Outside the window by design:
-    # d_compress_ratio (rows-only by design -- a driver row adds no
-    # hash evidence; exactness is pytest-pinned), e_group_sample (its
-    # top_k_per_group kernel is driver-green via t_topk_per_conv /
-    # d_stratified_sample), and the post-rotation tail additions
-    # (t_self_repeat, e_rfm, d_prefix_dedup, d_semdedup, d_dsir,
-    # e_ks_drift, d_dup_triangles, v_pca, d_winnow, v_mmr, v_sq8,
-    # e_cusum -- built after the window filled; each hash-verified by
-    # the local gate at all three scales).
+    # to the 50-entry capacity, newest kernels first.  With 62
+    # never-driver-checked entries and 50 slots, 14 stay outside the
+    # window BY DESIGN, each with explicit sibling/pytest evidence:
+    # rows-only entries d_compress_ratio, e_value_sketch,
+    # e_type_sketch (a driver rows-check adds no hash evidence;
+    # exactness is pytest-pinned and the exact siblings
+    # e_distinct_users / e_topk_value / d_token_stats are
+    # driver-green), and 11 oracle-backed entries whose kernels are
+    # driver-green through in-window or witnessed siblings:
+    # e_group_sample (top_k_per_group via t_topk_per_conv),
+    # d_chunk_bpe (= d_chunk [r4] + d_bpe_tokens [in window]),
+    # mm_mp3_meta (codec family: 5 sibling parsers in window),
+    # t_tool_calls (render kernel via t_conv_render [in window]),
+    # d_ttr (lexical ratios via d_token_stats [r4] + d_oov_rate
+    # [in window]), e_hhi (integer aggregate via e_user_stats [r3]),
+    # d_keywords (TF-IDF via d_tf_df [r4]), e_interval_union
+    # (interval merge via e_busy_periods [r3]), e_late_events
+    # (watermark filter via e_sessionize [r3]), e_debounce (gap
+    # kernel via e_event_gaps [in window]), e_quantile_normalize
+    # (rank transform via e_value_quantiles / e_ntile [r3/r4]).
     # Cumulative driver-witnessed: 203/217.
     # Every entry -- window and tail -- stays hash-verified at
     # sf0.001/sf0.01/sf0.1 by scripts/check_contract.py, which
@@ -6253,22 +6264,28 @@ REGISTRY = {
 # the contract note.
 _R5_WINDOW = [
     # (a) round-4 additions the driver has never seen
-    "d_model_score", "d_bpe_tokens", "d_pack_bpe", "d_chunk_bpe",
+    "d_model_score", "d_bpe_tokens", "d_pack_bpe",
     "t_grep_after", "mm_png_meta", "mm_adpcm_meta", "mm_jpeg_meta",
-    "v_kmeans", "d_dup_spans", "e_value_sketch", "e_type_sketch",
+    "v_kmeans", "d_dup_spans",
     # (b) the only two driver-recorded FAILs in project history
     "e_event_gaps", "q_asof_join",
     # (c) round-5 additions, registry order
-    "t_search_bm25", "mm_mp4_meta", "v_text_knn", "mm_mp3_meta",
+    "t_search_bm25", "mm_mp4_meta", "v_text_knn",
     "d_longest_dup", "v_hybrid_rrf", "d_html_clean", "v_text_clusters",
-    "d_split_leakage", "d_chunk_dedup", "e_late_events",
+    "d_split_leakage", "d_chunk_dedup",
     "e_upsert_merge", "e_snapshot_diff", "d_consistent_sample",
-    "e_quantile_normalize", "d_cooccur", "e_window_distinct",
-    "t_sft_pairs", "t_conv_render", "t_tool_calls", "d_weighted_sample",
-    "d_incremental_dedup", "e_debounce", "t_sft_masks",
-    "d_span_corrupt", "d_oov_rate", "d_ttr", "d_keywords",
+    "d_cooccur", "e_window_distinct",
+    "t_sft_pairs", "t_conv_render", "d_weighted_sample",
+    "d_incremental_dedup", "t_sft_masks",
+    "d_span_corrupt", "d_oov_rate",
     "e_seq_match", "t_trending", "d_minhash_apply", "e_streaks",
-    "e_interval_union", "e_hhi", "t_safety_flags", "d_unicode_norm",
+    "t_safety_flags", "d_unicode_norm",
+    # (d) round-5 tail additions (novel kernels -- packed in
+    # preference to the sibling-covered aggregates listed in the
+    # contract note above)
+    "t_self_repeat", "e_rfm", "d_prefix_dedup", "d_semdedup",
+    "d_dsir", "e_ks_drift", "d_dup_triangles", "v_pca",
+    "d_winnow", "v_mmr", "v_sq8", "e_cusum",
 ]
 assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
 assert not set(_R5_WINDOW) - set(REGISTRY)
