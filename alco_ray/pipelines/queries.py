@@ -2485,6 +2485,36 @@ def mm_mp3_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.Mp3MetaParser)
 
 
+def mm_gif_meta(sf_dir: str):
+    """REAL GIF89a CONTAINER parse (stages/multimodal.GifMetaParser):
+    dimensions, frame count, total animation delay, palette size and
+    NETSCAPE loop count are pure block structure — Logical Screen
+    Descriptor bit fields, extension dispatch, image descriptors and
+    the length-prefixed sub-block chain hop.  Real streams (the
+    fixture rotates local color tables, loop extensions and comments)
+    are walked in an actor pool; the oracle states the closed forms
+    the fixture was built from.  The LZW-coded pixel payload remains
+    a declared stub, exactly like MP4's mdat."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_gif_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.GifMetaParser)
+
+
+def mm_bmp_meta(sf_dir: str):
+    """REAL uncompressed 24-bit BMP decode (stages/multimodal.
+    BmpDecoder): header validation, 4-byte row-stride padding,
+    bottom-up vs top-down row order (the fixture rotates both) and
+    BGR channel order, reduced to exact integer floor channel means
+    PLUS the top-left pixel — which the oracle pins so a missed
+    vertical flip hash-mismatches even though it leaves the means
+    unchanged.  Closed-form oracle as in mm_ppm_meta."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_bmp_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.BmpDecoder)
+
+
 def mm_ppm_resize(sf_dir: str):
     """REAL 2x box downsample over decoded pixels (exact integer 2x2
     block means) — decode + resize + re-reduce in one actor stage
@@ -6254,6 +6284,8 @@ REGISTRY = {
     "v_mmr": v_mmr,
     "v_sq8": v_sq8,
     "e_cusum": e_cusum,
+    "mm_gif_meta": mm_gif_meta,
+    "mm_bmp_meta": mm_bmp_meta,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -1168,3 +1168,311 @@ class Mp3MetaParser:
             "duration_us": _masked(2),
             "mean_bitrate_kbps": _masked(3),
         })
+
+
+# ------------------------------------------------------ real GIF (container)
+# Same policy as MP4/MP3: what a multimodal sweep needs FIRST from
+# animated GIFs — dimensions, frame count, total animation delay,
+# palette size, loop count — is pure block structure (GIF89a spec,
+# 89a §§17-26): Logical Screen Descriptor bit fields, extension
+# blocks, image descriptors and length-prefixed data sub-block
+# chains.  Only the LZW-coded pixel payload stays a declared stub
+# (walked by sub-block length, never decompressed).
+
+def encode_gif_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL GIF89a streams with closed
+    forms for the oracle — width = (id%6+1)*2, height = (id%4+2)*2,
+    global palette of 2 << (id%3) colors, n_frames = id%5+1, each
+    frame's Graphic Control delay = (id*3 + frame) % 100 centisec.
+    Coverage rotation: frames with (id+frame)%4 == 0 carry a LOCAL
+    color table (size bits id%2), ids with id%6 == 0 carry a NETSCAPE
+    looping application extension (loop count id%10), ids with
+    id%7 == 0 carry a comment extension — so every block-walk branch
+    sees real data at every scale.  Data sub-blocks are length-valid
+    chains of deterministic filler bytes (the LZW payload is the
+    declared stub, exactly like mdat in the MP4 fixture)."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(i % 6 + 1) * 2
+        h = int(i % 4 + 2) * 2
+        gbits = int(i % 3)
+        n_frames = int(i % 5 + 1)
+        out = bytearray(b"GIF89a")
+        # LSD: w, h, packed(GCT flag | color res 010 | size bits), bg,
+        # aspect
+        out += struct.pack("<HH", w, h)
+        out += bytes((0x80 | (0b010 << 4) | gbits, 0, 0))
+        out += bytes(((int(i) + j) % 256
+                      for j in range(3 * (2 << gbits))))  # GCT
+        if i % 6 == 0:                      # NETSCAPE loop extension
+            out += b"\x21\xff\x0bNETSCAPE2.0"
+            out += bytes((3, 1)) + struct.pack("<H", int(i % 10))
+            out += b"\x00"
+        if i % 7 == 0:                      # comment extension
+            out += b"\x21\xfe\x04meta\x00"
+        for f in range(n_frames):
+            delay = int((i * 3 + f) % 100)
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay)
+            out += b"\x00\x00"              # transparent idx, term
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            if (i + f) % 4 == 0:            # local color table
+                lbits = int(i % 2)
+                out += bytes((0x80 | lbits,))
+                out += bytes(((int(i) + f + j) % 256
+                              for j in range(3 * (2 << lbits))))
+            else:
+                out += b"\x00"
+            out += bytes((7,))              # LZW min code size
+            a = int((i + f) % 200 + 1)      # two filler sub-blocks
+            b = int((i * 2 + f) % 100 + 1)
+            out += bytes((a,)) + bytes(((int(i) + j) % 256
+                                        for j in range(a)))
+            out += bytes((b,)) + bytes(((f + j) % 256
+                                        for j in range(b)))
+            out += b"\x00"                  # sub-block terminator
+        out += b"\x3b"                      # trailer
+        payloads.append(bytes(out))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["image/gif"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class GifMetaParser:
+    """Actor-pool REAL GIF89a container parse: header + Logical
+    Screen Descriptor bit fields, global/local color-table walks,
+    extension dispatch (Graphic Control delays summed, NETSCAPE2.0
+    loop count, comments skipped), image-descriptor count, and the
+    length-prefixed data sub-block chain hop — emitting (width,
+    height, n_frames, total_delay_cs, gct_colors, loops).  The
+    LZW-compressed pixel payload is never decompressed (declared
+    stub, like MP4's mdat).  Malformed streams (bad magic, truncated
+    block, missing trailer, bytes after the trailer) dead-letter with
+    ``decode_ok = false``."""
+
+    def _subblocks(self, p: bytes, pos: int):
+        while True:
+            if pos >= len(p):
+                return None
+            ln = p[pos]
+            pos += 1 + ln
+            if ln == 0:
+                return pos
+            if pos > len(p):
+                return None
+
+    def _decode(self, p: bytes):
+        if len(p) < 13 or p[:6] not in (b"GIF89a", b"GIF87a"):
+            return None
+        w = int.from_bytes(p[6:8], "little")
+        h = int.from_bytes(p[8:10], "little")
+        packed = p[10]
+        pos = 13
+        gct_colors = 0
+        if packed & 0x80:
+            gct_colors = 2 << (packed & 0x07)
+            pos += 3 * gct_colors
+        n_frames, total_delay, loops = 0, 0, 0
+        while True:
+            if pos >= len(p):
+                return None
+            b0 = p[pos]
+            pos += 1
+            if b0 == 0x3B:                  # trailer
+                if pos != len(p):
+                    return None
+                break
+            if b0 == 0x21:                  # extension
+                if pos >= len(p):
+                    return None
+                label = p[pos]
+                pos += 1
+                if label == 0xF9:           # graphic control
+                    if pos + 6 > len(p) or p[pos] != 4:
+                        return None
+                    total_delay += int.from_bytes(
+                        p[pos + 2:pos + 4], "little")
+                    pos = self._subblocks(p, pos)
+                elif label == 0xFF:         # application
+                    if pos + 12 > len(p) or p[pos] != 11:
+                        return None
+                    app = p[pos + 1:pos + 12]
+                    end = self._subblocks(p, pos)
+                    if end is None:
+                        return None
+                    if app == b"NETSCAPE2.0" and p[pos + 12] == 3:
+                        loops = int.from_bytes(
+                            p[pos + 14:pos + 16], "little")
+                    pos = end
+                else:                       # comment / plain text
+                    pos = self._subblocks(p, pos)
+                if pos is None:
+                    return None
+            elif b0 == 0x2C:                # image descriptor
+                if pos + 9 > len(p):
+                    return None
+                ipacked = p[pos + 8]
+                pos += 9
+                if ipacked & 0x80:
+                    pos += 3 * (2 << (ipacked & 0x07))
+                pos += 1                    # LZW min code size
+                pos = self._subblocks(p, pos)
+                if pos is None:
+                    return None
+                n_frames += 1
+            else:
+                return None
+        if n_frames == 0:
+            return None
+        return (w, h, n_frames, total_delay, gct_colors, loops)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        ints = np.zeros((n, 6), np.int64)
+        for i in range(n):
+            v = payloads[i].as_py()
+            d = self._decode(v) if v else None
+            if d is None:
+                continue
+            ok[i] = True
+            ints[i] = d
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(ints[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "width": _masked(0),
+            "height": _masked(1),
+            "n_frames": _masked(2),
+            "total_delay_cs": _masked(3),
+            "gct_colors": _masked(4),
+            "loops": _masked(5),
+        })
+
+
+# ------------------------------------------------------- real BMP (decode)
+# Like PPM, an uncompressed 24-bit BMP is header + raw pixels — so
+# this path is a FULL image decode (BITMAPFILEHEADER +
+# BITMAPINFOHEADER validation, 4-byte row-stride padding, bottom-up
+# vs top-down row order, BGR channel order), not a stub.
+
+def encode_bmp_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL 24-bit BMP payloads with
+    closed forms for the oracle — width = (id%7+1)*2, height =
+    (id%5+1)*2, and IMAGE row y (top-based) holds constant channels
+    B = id%100 + y, G = id*3%100 + y, R = id*7%100 + y, so the exact
+    floor channel means are base + (h-1)//2 and the TOP row is
+    base + 0 (which catches a missed bottom-up flip, unlike the
+    mean).  Rotation: ids with id%3 == 0 store TOP-DOWN (negative
+    biHeight — the other real DIB branch), everything else
+    bottom-up; width alternates 3*w % 4 in {0, 2} so the row-padding
+    branch sees both forms."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(i % 7 + 1) * 2
+        h = int(i % 5 + 1) * 2
+        top_down = i % 3 == 0
+        stride = (3 * w + 3) & ~3
+        bb, bg, br = int(i % 100), int(i * 3 % 100), int(i * 7 % 100)
+        rows = np.zeros((h, stride), np.uint8)
+        y = np.arange(h, dtype=np.int64)
+        px = np.empty((h, w, 3), np.uint8)
+        px[..., 0] = (bb + y)[:, None]      # B
+        px[..., 1] = (bg + y)[:, None]      # G
+        px[..., 2] = (br + y)[:, None]      # R
+        rows[:, :3 * w] = px.reshape(h, 3 * w)
+        if not top_down:
+            rows = rows[::-1]
+        data = rows.tobytes()
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+               + struct.pack("<IiihhIIiiII", 40, w,
+                             -h if top_down else h, 1, 24, 0,
+                             len(data), 2835, 2835, 0, 0))
+        payloads.append(hdr + data)
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["image/bmp"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class BmpDecoder:
+    """Actor-pool REAL uncompressed 24-bit BMP decode: file + info
+    header validation (magic, header size 40, planes, bpp 24,
+    BI_RGB), 4-byte row-stride arithmetic, bottom-up (positive
+    biHeight) vs top-down (negative) row order, BGR order — emitting
+    exact integer floor channel means plus the top-left pixel (the
+    flip witness).  Per-image pixel math is numpy over the reshaped
+    stride matrix; malformed payloads dead-letter with
+    ``decode_ok = false``."""
+
+    def _decode(self, p: bytes):
+        import struct
+
+        if len(p) < 54 or p[:2] != b"BM":
+            return None
+        off = struct.unpack_from("<I", p, 10)[0]
+        (hsz, w, h_raw, planes, bpp, comp) = struct.unpack_from(
+            "<IiihhI", p, 14)
+        if hsz != 40 or planes != 1 or bpp != 24 or comp != 0:
+            return None
+        if w <= 0 or h_raw == 0:
+            return None
+        h = abs(h_raw)
+        stride = (3 * w + 3) & ~3
+        if off + stride * h > len(p):
+            return None
+        rows = np.frombuffer(p, np.uint8, stride * h, off) \
+            .reshape(h, stride)
+        if h_raw > 0:                       # bottom-up: flip to image
+            rows = rows[::-1]
+        px = rows[:, :3 * w].reshape(h, w, 3).astype(np.int64)
+        sums = px.sum(axis=(0, 1))
+        n = w * h
+        return (w, h, int(sums[2]) // n, int(sums[1]) // n,
+                int(sums[0]) // n, int(px[0, 0, 2]),
+                int(px[0, 0, 1]), int(px[0, 0, 0]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        ints = np.zeros((n, 8), np.int64)
+        for i in range(n):
+            v = payloads[i].as_py()
+            d = self._decode(v) if v else None
+            if d is None:
+                continue
+            ok[i] = True
+            ints[i] = d
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(ints[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "width": _masked(0),
+            "height": _masked(1),
+            "mean_r": _masked(2),
+            "mean_g": _masked(3),
+            "mean_b": _masked(4),
+            "top_r": _masked(5),
+            "top_g": _masked(6),
+            "top_b": _masked(7),
+        })
