@@ -6019,6 +6019,191 @@ def e_cusum(sf_dir: str):
             "part").map_groups(body, batch_format="pandas")
 
 
+def e_ewma(sf_dir: str):
+    """Fixed-point EWMA snapshot per user (the smoothed-metric
+    primitive of every monitoring pipeline): over the user's LAST
+    min(n, 8) events in (ts, event_id) order, the newest event gets
+    weight 2^7 and each older one half that, reported as the exact
+    integer (numerator, denominator) pair — division-free, so the
+    oracle replays it bit-for-bit (the e_cusum doctrine).  ONE
+    user-keyed exchange, then a fully vectorized partition-local
+    kernel (sort + per-user position-from-end + bit-shift weights,
+    no per-user loop)."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        v = g["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v) \
+            .astype(np.int64)
+        grp = g.groupby("user_id", sort=False)
+        n = grp["user_id"].transform("size").to_numpy(dtype=np.int64)
+        k = n - grp.cumcount().to_numpy(dtype=np.int64)  # 1 = newest
+        w = np.where(k <= 8, np.int64(1) << np.minimum(8 - k, 7), 0)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "n_events": n,
+                            "num": cents * w, "den": w})
+        out = out.groupby(["user_id", "n_events"], as_index=False) \
+            .agg(ewma_num=("num", "sum"), ewma_den=("den", "sum"))
+        for c in ("user_id", "n_events", "ewma_num", "ewma_den"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return partition_by_key(
+        ds, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
+def e_autocorr(sf_dir: str):
+    """Lag-1 autocovariance per user, EXACT in integers (the
+    burstiness / serial-dependence screen a metrics pipeline runs per
+    entity): over cents in (ts, event_id) order, ``ac_num =
+    sum_i (n*c_i - S)(n*c_{i+1} - S)`` — the autocovariance numerator
+    scaled by n^2, division-free like e_cusum, so the oracle replays
+    it exactly (|terms| <= n^3 * max_cents^2 keeps int64 safe to
+    ~10^4 events/user at these value magnitudes).  Single-event users
+    report 0 (empty sum).  ONE user-keyed exchange + vectorized
+    partition-local kernel."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        v = g["value"].to_numpy(dtype=np.float64) * 100.0
+        c = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        grp = g.groupby("user_id", sort=False)
+        n = grp["user_id"].transform("size").to_numpy(dtype=np.int64)
+        s = pd.Series(c, index=g.index).groupby(g["user_id"],
+                                                sort=False) \
+            .transform("sum").to_numpy(dtype=np.int64)
+        dev = n * c - s
+        pair = np.zeros(len(c), np.int64)
+        if len(c) > 1:
+            same = uid[:-1] == uid[1:]
+            pair[:-1] = np.where(same, dev[:-1] * dev[1:], 0)
+        out = pd.DataFrame({"user_id": uid, "n_events": n,
+                            "term": pair})
+        out = out.groupby(["user_id", "n_events"], as_index=False) \
+            .agg(ac_num=("term", "sum"))
+        for c2 in ("user_id", "n_events", "ac_num"):
+            out[c2] = out[c2].astype(np.int64)
+        return out
+
+    return partition_by_key(
+        ds, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
+def e_benford(sf_dir: str):
+    """Benford first-digit audit per event type (the classic
+    fraud/imbalance screen over transaction-like values): leading
+    decimal digit of each positive cents amount, counted per
+    (event_type, digit).  Map-side partials over a BOUNDED domain
+    (types x 9 digits), driver fold (stages/aggregate.fold_partials)
+    — zero shuffle.  The digit extraction is an exact fixed-depth
+    integer-divide ladder (no float log10, whose boundary error at
+    powers of ten would poison the hash)."""
+    from ..stages.aggregate import fold_partials
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        c = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+        keep = c > 0
+        c = c[keep]
+        for _ in range(18):          # 10^19 > int64 max: 18 halvings
+            big = c >= 10
+            if not big.any():
+                break
+            c[big] //= 10
+        et = b["event_type"].to_numpy(zero_copy_only=False)[keep]
+        out = pd.DataFrame({"event_type": et, "digit": c}) \
+            .groupby(["event_type", "digit"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "digit": pa.array(out["digit"].to_numpy(np.int64)),
+            "cnt": pa.array(out["size"].to_numpy(np.int64)),
+        })
+
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "digit"], [("cnt", "sum")],
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("digit", pa.int64()),
+                                ("cnt", pa.int64())]))
+    return ray.data.from_arrow(t.rename_columns(
+        ["event_type", "digit", "cnt"]))
+
+
+def e_paths(sf_dir: str):
+    """User-journey PATHS: every 3-step run of consecutive event
+    types per user in (ts, event_id) order, counted globally — the
+    funnel-discovery analytic (which journeys actually happen) that
+    generalizes t_role_transitions to order 3
+    (stages/window.path_counts: boundary-stitched grouped kernel,
+    pre-aggregated path partials, bounded-domain driver fold —
+    |event types|^3 distinct paths)."""
+    t = window.path_counts(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        val_col="event_type", n=3,
+        approx_rows=_nrows(_tp(sf_dir, "events")))
+    return ray.data.from_arrow(t)
+
+
+def d_source_drift(sf_dir: str):
+    """Token-distribution drift per source — the corpus-mix monitor
+    (which ingest source's language has shifted away from the
+    corpus): scaled L1 divergence ``sum_t |c_st*T - C_t*T_s|``
+    between each source's token distribution and the corpus-wide
+    one, EXACT in integers (both sides scaled by T*T_s instead of
+    divided — the division-free doctrine).  Map-side (source, token)
+    count partials, bounded-domain driver fold (sources x vocabulary),
+    then the cross-tabulated L1 over the folded counts — tokens
+    ABSENT from a source contribute |C_t * T_s|, so the fold
+    cross-joins the full vocabulary."""
+    from ..stages.aggregate import fold_partials
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    partials = ds.map_batches(
+        lambda b: (lambda t: pa.table({
+            "source": t["source"],
+            "token": t["token"],
+            "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+        }))(text.token_explode(b, id_col="source")),
+        batch_format="pyarrow")
+    st = fold_partials(
+        partials, ["source", "token"], [("cnt", "sum")],
+        empty_schema=pa.schema([("source", pa.string()),
+                                ("token", pa.string()),
+                                ("cnt", pa.int64())])).to_pandas()
+    piv = st.pivot_table(index="source", columns="token",
+                         values="cnt", fill_value=0,
+                         aggfunc="sum").astype(np.int64)
+    c = piv.to_numpy()                      # sources x vocab
+    t_s = c.sum(axis=1)                     # tokens per source
+    c_t = c.sum(axis=0)                     # corpus token counts
+    tot = int(c_t.sum())
+    l1 = np.abs(c * tot - c_t[None, :] * t_s[:, None]).sum(axis=1)
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(piv.index.to_numpy(), pa.string()),
+        "n_tokens": pa.array(t_s.astype(np.int64)),
+        "l1_scaled": pa.array(l1.astype(np.int64)),
+    }))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -6286,6 +6471,11 @@ REGISTRY = {
     "e_cusum": e_cusum,
     "mm_gif_meta": mm_gif_meta,
     "mm_bmp_meta": mm_bmp_meta,
+    "e_ewma": e_ewma,
+    "e_autocorr": e_autocorr,
+    "e_benford": e_benford,
+    "e_paths": e_paths,
+    "d_source_drift": d_source_drift,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

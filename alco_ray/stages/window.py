@@ -647,6 +647,52 @@ def transition_counts(ds, *, key_col: str, order_col: str, val_col: str,
     return t.rename_columns([from_col, to_col, out_col])
 
 
+def path_counts(ds, *, key_col: str, order_cols: list[str],
+                val_col: str, n: int = 3, sep: str = ">",
+                path_col: str = "path", out_col: str = "cnt",
+                n_parts: int | None = None,
+                approx_rows: int | None = None) -> pa.Table:
+    """Order-``n`` PATH counts — the user-journey generalization of
+    :func:`transition_counts`: for every run of ``n`` CONSECUTIVE
+    rows of the same key (``order_cols`` order), count the joined
+    value path ``v1>v2>...>vn`` (SQL: n-1 stacked ``lead()`` windows
+    then GROUP BY).  Same partitioned shape: boundary-stitched
+    grouped kernel, pre-aggregated (path, cnt) partials, bounded-
+    domain driver fold (|value domain|^n rows — event types, roles,
+    levels; unbounded values would feed ``partition_by_key``
+    instead)."""
+    from functools import reduce
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < n:
+            return pd.DataFrame({path_col: np.array([], object),
+                                 "cnt": np.array([], np.int64)})
+        order = np.lexsort(tuple(g[c].to_numpy()
+                                 for c in reversed(order_cols))
+                           + (g[key_col].to_numpy(),))
+        vals = g[val_col].to_numpy()[order].astype(object)
+        keys = g[key_col].to_numpy()[order]
+        # keys are sorted, so first == last  =>  the whole window is
+        # one key segment
+        same = keys[: len(keys) - n + 1] == keys[n - 1:]
+        paths = reduce(lambda a, k: a + sep + vals[k: len(vals) - n
+                                                   + 1 + k],
+                       range(1, n), vals[: len(vals) - n + 1])[same]
+        out = pd.DataFrame({path_col: paths}) \
+            .groupby(path_col, as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    from .aggregate import fold_partials
+
+    kern = _grouped_kernel(ds, key_col, body, n_parts, approx_rows)
+    t = fold_partials(kern, [path_col], [("cnt", "sum")],
+                      empty_schema=pa.schema([(path_col, pa.string()),
+                                              ("cnt", pa.int64())]))
+    return t.rename_columns([path_col, out_col])
+
+
 def debounce(ds, *, key_cols, ts_col: str, id_col: str,
              cooldown: int, n_parts: int | None = None,
              approx_rows: int | None = None):

@@ -87,3 +87,97 @@ def test_bmp_decoder_stride_flip_and_poison():
     })
     got = dec(batch).to_pylist()
     assert [r["decode_ok"] for r in got] == [False] * 4
+
+
+def test_path_counts_kernel_law():
+    """path_counts == brute-force n-gram paths per key, including
+    cross-key suppression and order tie-breaks."""
+    import pandas as pd
+    import ray
+
+    from alco_ray.stages.window import path_counts
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "o1": rng.integers(0, 50, n),
+        "o2": np.arange(n),
+        "v": rng.choice(list("abc"), n),
+    })
+    ds = ray.data.from_pandas(df)
+    got = path_counts(ds, key_col="k", order_cols=["o1", "o2"],
+                      val_col="v", n=3, approx_rows=n).to_pandas() \
+        .set_index("path")["cnt"].to_dict()
+
+    want: dict = {}
+    for _, g in df.sort_values(["k", "o1", "o2"]).groupby("k"):
+        v = g["v"].tolist()
+        for i in range(len(v) - 2):
+            p = ">".join(v[i:i + 3])
+            want[p] = want.get(p, 0) + 1
+    assert got == want
+
+
+def test_ewma_autocorr_benford_laws():
+    """Replay the three integer laws over sf0.001 events row-by-row."""
+    from alco_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet").to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    v = t["value"].to_numpy() * 100.0
+    t["c"] = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+
+    ew = q.e_ewma(sf).to_pandas().set_index("user_id")
+    ac = q.e_autocorr(sf).to_pandas().set_index("user_id")
+    for uid, g in t.groupby("user_id"):
+        c = g["c"].to_numpy()
+        n = len(c)
+        tail = c[-min(n, 8):][::-1]            # newest first
+        wts = [1 << (7 - k) for k in range(len(tail))]
+        assert int(ew.loc[uid, "ewma_num"]) == int(
+            sum(int(x) * w for x, w in zip(tail, wts)))
+        assert int(ew.loc[uid, "ewma_den"]) == sum(wts)
+        s = int(c.sum())
+        num = sum((n * int(c[i]) - s) * (n * int(c[i + 1]) - s)
+                  for i in range(n - 1))
+        assert int(ac.loc[uid, "ac_num"]) == num
+
+    bf = q.e_benford(sf).to_pandas()
+    assert set(bf["digit"]) <= set(range(1, 10))
+    assert bf["cnt"].sum() == (t["c"] > 0).sum()
+    want = t.loc[t["c"] > 0].assign(
+        digit=lambda d: d["c"].astype(str).str[0].astype(int)) \
+        .groupby(["event_type", "digit"]).size()
+    got = bf.set_index(["event_type", "digit"])["cnt"]
+    assert got.sort_index().equals(want.sort_index().astype("int64"))
+
+
+def test_source_drift_absent_tokens_counted():
+    """The L1 fold must charge |C_t * T_s| for vocabulary a source
+    never emits — a two-source corpus with disjoint vocabularies has
+    maximal drift on both sides."""
+    import pathlib
+    import tempfile
+
+    import pandas as pd
+
+    from alco_ray.pipelines import queries as q
+
+    with tempfile.TemporaryDirectory() as td:
+        df = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["aa aa", "aa", "bb bb bb", ""],
+            "lang": ["en"] * 4,
+            "source": ["s1", "s1", "s2", "s2"],
+            "n_chars": np.int64([5, 2, 8, 0]),
+        })
+        df.to_parquet(pathlib.Path(td) / "documents.parquet")
+        got = q.d_source_drift(td).to_pandas() \
+            .set_index("source").sort_index()
+        # T=6, s1: 3 'aa'; s2: 3 'bb'.  L1(s1) = |3*6-3*3| + |0-3*3|
+        # = 9 + 9 = 18; same for s2.
+        assert got.loc["s1", "n_tokens"] == 3
+        assert got.loc["s1", "l1_scaled"] == 18
+        assert got.loc["s2", "l1_scaled"] == 18
