@@ -6204,6 +6204,132 @@ def d_source_drift(sf_dir: str):
     }))
 
 
+def e_heatmap(sf_dir: str):
+    """Weekday x hour activity heatmap (the ops-dashboard calendar
+    pivot): event counts per (day-of-week, hour-of-day) cell.
+    Map-side partials over the BOUNDED 7 x 24 domain, driver fold
+    (stages/aggregate.fold_partials) — zero shuffle.  Day numbering
+    is Monday = 0 on both sides (pyarrow day_of_week default ==
+    DuckDB isodow - 1)."""
+    from ..stages.aggregate import fold_partials
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(b["ts"])
+        hod = pc.hour(b["ts"])
+        out = pd.DataFrame({
+            "dow": pc.cast(dow, pa.int64()).to_numpy(),
+            "hour": pc.cast(hod, pa.int64()).to_numpy(),
+        }).groupby(["dow", "hour"], as_index=False).size()
+        return pa.table({
+            "dow": pa.array(out["dow"].to_numpy(np.int64)),
+            "hour": pa.array(out["hour"].to_numpy(np.int64)),
+            "cnt": pa.array(out["size"].to_numpy(np.int64)),
+        })
+
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hour"], [("cnt", "sum")],
+        empty_schema=pa.schema([("dow", pa.int64()),
+                                ("hour", pa.int64()),
+                                ("cnt", pa.int64())]))
+    return ray.data.from_arrow(t.rename_columns(["dow", "hour", "cnt"]))
+
+
+def e_gini(sf_dir: str):
+    """Gini concentration of user spend, EXACT in integers (pairs
+    with e_hhi as the inequality measure): over per-user cents totals
+    sorted ascending, ``gini_num = sum_i (2i - n - 1) * x_(i)`` — the
+    numerator of Gini = num / (n * S), division-free so the oracle
+    replays it exactly.  Equal totals make the weight sum over the
+    tie block order-invariant, so no tie-break is needed for
+    correctness.  Shape: ONE user-keyed exchange folds per-user
+    totals (distributed), then the driver ranks only the n_users-row
+    summary — users, not events, reach the driver."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def totals(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64) * 100.0
+        c = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "tot": c})
+        out = out.groupby("user_id", as_index=False)["tot"].sum()
+        out["tot"] = out["tot"].astype(np.int64)
+        return out
+
+    per_user = partition_by_key(
+        ds, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(totals, batch_format="pandas")
+    u = per_user.to_pandas()               # n_users rows, bounded
+    x = np.sort(u["tot"].to_numpy(np.int64))
+    n = np.int64(len(x))
+    i = np.arange(1, n + 1, dtype=np.int64)
+    return pa.table({
+        "n_users": pa.array([n]),
+        "total_cents": pa.array([x.sum()]),
+        "gini_num": pa.array([((2 * i - n - 1) * x).sum()]),
+    })
+
+
+def d_bigram_cond(sf_dir: str):
+    """Most-likely next token per token (the argmax of the
+    conditional bigram distribution — the unigram-context LM every
+    autocomplete baseline starts from): corpus bigram counts from
+    stages/text.ngram_counts (per-batch vectorized partials,
+    gram-hash partition fold), then the per-token argmax (count
+    desc, next-token asc tie-break) over the folded table — the
+    distinct-bigram summary is vocabulary^2-bounded, so the argmax
+    is a driver fold by doctrine."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = text.ngram_counts(
+        ds, n=2, approx_docs=_nrows(_tp(sf_dir, "documents")))
+    g = counts.to_pandas()                 # distinct bigrams, bounded
+    sp = g["gram"].str.split(" ", n=1, expand=True)
+    g = pd.DataFrame({"token": sp[0], "next_token": sp[1],
+                      "cnt": g["cnt"].astype(np.int64)})
+    g = g.sort_values(["token", "cnt", "next_token"],
+                      ascending=[True, False, True], kind="mergesort")
+    g = g.drop_duplicates("token").reset_index(drop=True)
+    return pa.table({
+        "token": pa.array(g["token"], pa.string()),
+        "next_token": pa.array(g["next_token"], pa.string()),
+        "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+    })
+
+
+def t_response_latency(sf_dir: str):
+    """Assistant RESPONSE LATENCY: for every user turn answered by
+    the assistant at turn_idx + 1 (the t_sft_pairs adjacency), the
+    exact microsecond gap between the two timestamps — the
+    conversational-SLA analytic.  Rides the same boundary-stitched
+    adjacency kernel (stages/window.adjacent_pairs over the ts
+    column); the subtraction is a stateless vectorized map."""
+    ds = read_transcripts(_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "role",
+                                   "ts"])
+    pairs = window.adjacent_pairs(
+        ds, key_col="conv_id", order_col="turn_idx", role_col="role",
+        text_col="ts", from_role="user", to_role="assistant",
+        approx_rows=_nrows(_corpus(sf_dir)))
+
+    def lat(b: pa.Table) -> pa.Table:
+        # pin the unit BEFORE the int cast: a pandas round-trip can
+        # resurface these as timestamp[ns], and casting ns to int64
+        # would inflate the gap 1000x (the round-1 unit-drift gotcha)
+        us = pa.timestamp("us")
+        d = pc.subtract(pc.cast(pc.cast(b["response"], us), pa.int64()),
+                        pc.cast(pc.cast(b["prompt"], us), pa.int64()))
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "latency_us": pc.cast(d, pa.int64())})
+
+    return pairs.map_batches(lat, batch_format="pyarrow")
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -6476,6 +6602,10 @@ REGISTRY = {
     "e_benford": e_benford,
     "e_paths": e_paths,
     "d_source_drift": d_source_drift,
+    "e_heatmap": e_heatmap,
+    "e_gini": e_gini,
+    "d_bigram_cond": d_bigram_cond,
+    "t_response_latency": t_response_latency,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -181,3 +181,57 @@ def test_source_drift_absent_tokens_counted():
         assert got.loc["s1", "n_tokens"] == 3
         assert got.loc["s1", "l1_scaled"] == 18
         assert got.loc["s2", "l1_scaled"] == 18
+
+
+def test_gini_law_and_bounds():
+    """Gini numerator replayed over sf0.001 per-user totals; the
+    implied coefficient lies in [0, 1)."""
+    from alco_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["user_id", "value"]).to_pandas()
+    v = t["value"].to_numpy() * 100.0
+    t["c"] = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+    x = np.sort(t.groupby("user_id")["c"].sum().to_numpy(np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1)
+    want = int(((2 * i - n - 1) * x).sum())
+
+    got = q.e_gini(sf).to_pandas()
+    assert int(got.loc[0, "n_users"]) == n
+    assert int(got.loc[0, "total_cents"]) == int(x.sum())
+    assert int(got.loc[0, "gini_num"]) == want
+    assert 0 <= want < n * int(x.sum())
+
+
+def test_response_latency_law():
+    """Every emitted latency is the ts gap of a genuine consecutive
+    user->assistant adjacency, and every such adjacency is emitted."""
+    from alco_ray.pipelines import queries as q
+    from alco_ray.pipelines.queries import _corpus
+    from alco_ray.sources import read_transcripts
+
+    sf = "/root/testdata/sf0.001"
+    got = q.t_response_latency(sf).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    t = read_transcripts(_corpus(sf),
+                         columns=["conv_id", "turn_idx", "role", "ts"]) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"])
+    want = []
+    for cid, g in t.groupby("conv_id"):
+        r = g["role"].to_numpy()
+        ti = g["turn_idx"].to_numpy()
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        for j in range(len(g) - 1):
+            if (r[j] == "user" and r[j + 1] == "assistant"
+                    and ti[j + 1] == ti[j] + 1):
+                want.append((cid, int(ti[j]), int(ts[j + 1] - ts[j])))
+    import pandas as pd
+    want_pd = pd.DataFrame(want, columns=["conv_id", "turn_idx",
+                                          "latency_us"]) \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want_pd)
+    assert (got["latency_us"].to_numpy(np.int64)
+            == want_pd["latency_us"].to_numpy(np.int64)).all()
