@@ -6330,6 +6330,110 @@ def t_response_latency(sf_dir: str):
     return pairs.map_batches(lat, batch_format="pyarrow")
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue-change: a pure
+    filter-and-sum over lineitem (shipdate year window, discount in
+    [5, 7] hundredths, quantity < 24) with revenue =
+    sum(extendedprice * discount) EXACT at 1e-4 units — cents x
+    discount-hundredths, both integer before the multiply, so no
+    float product ever rounds.  The discount predicate compares
+    ROUNDED hundredths, never raw doubles (0.05 is not exactly
+    representable).  Column-pruned read, stateless per-batch
+    partials, single-row driver fold."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d100 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        qty = pc.cast(pc.round(b["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(
+                    b["l_shipdate"],
+                    pa.scalar(np.datetime64("1994-01-01", "us"))),
+                    pc.less(b["l_shipdate"],
+                            pa.scalar(np.datetime64("1995-01-01",
+                                                    "us")))),
+                pc.and_(pc.greater_equal(d100, pa.scalar(5)),
+                        pc.less_equal(d100, pa.scalar(7)))),
+            pc.less(qty, pa.scalar(24)))
+        b2 = b.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(b2["l_extendedprice"],
+                                             100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        d2 = pc.cast(pc.round(pc.multiply(b2["l_discount"], 100),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_items": pa.array([np.int64(b2.num_rows)]),
+            "revenue_e4": pa.array([np.int64((cents * d2).sum())]),
+        })
+
+    # keyless global fold: one summary row per block, summed on the
+    # driver (fold_partials wants >= 1 grouping key)
+    parts = ray.get(ds.map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs())
+    n = np.int64(0)
+    rev = np.int64(0)
+    for pt in parts:
+        if pt.num_rows:
+            n += pt["n_items"].to_numpy(zero_copy_only=False).sum()
+            rev += pt["revenue_e4"].to_numpy(
+                zero_copy_only=False).sum()
+    return pa.table({"n_items": pa.array([n]),
+                     "revenue_e4": pa.array([rev])})
+
+
+def mm_tiff_meta(sf_dir: str):
+    """REAL TIFF 6.0 IFD walk (stages/multimodal.TiffMetaParser):
+    byte-order mark, magic 42, chained Image File Directories with
+    tag/type/count/value entries — SHORT values read from the
+    left-justified inline field under EITHER endianness (the fixture
+    rotates 'II' and 'MM' every other row) and multi-page chains
+    (id%3+1 IFDs).  Strip payloads stay opaque, the MP4-mdat policy;
+    the oracle states the closed forms the fixture was built from."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_tiff_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.TiffMetaParser)
+
+
+def d_hash_bucket_stats(sf_dir: str):
+    """Partitioner SKEW AUDIT — the distribution every shuffle in
+    this repo relies on: per-bucket row counts under the house
+    multiplicative id-hash (d_split_assign's law) into 64 buckets.
+    A hot bucket here is a hot partition everywhere, so this is the
+    first query to run when a key exchange stalls at scale.
+    Map-side partials over the BOUNDED 64-bucket domain, driver
+    fold."""
+    from ..stages.aggregate import fold_partials
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bk = ((ids * np.uint64(2654435761)) % np.uint64(4294967296)
+              % np.uint64(64)).astype(np.int64)
+        cnt = np.bincount(bk, minlength=64).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz])})
+
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], [("cnt", "sum")],
+        empty_schema=pa.schema([("bucket", pa.int64()),
+                                ("cnt", pa.int64())]))
+    return ray.data.from_arrow(t.rename_columns(["bucket", "cnt"]))
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -6606,6 +6710,9 @@ REGISTRY = {
     "e_gini": e_gini,
     "d_bigram_cond": d_bigram_cond,
     "t_response_latency": t_response_latency,
+    "q_forecast_revenue": q_forecast_revenue,
+    "mm_tiff_meta": mm_tiff_meta,
+    "d_hash_bucket_stats": d_hash_bucket_stats,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -1476,3 +1476,142 @@ class BmpDecoder:
             "top_g": _masked(6),
             "top_b": _masked(7),
         })
+
+
+# ------------------------------------------------------ real TIFF (IFD walk)
+# TIFF metadata is a linked list of Image File Directories — tag /
+# type / count / value entries with BOTH byte orders in the wild
+# ('II' little, 'MM' big) — so the parser exercises the endianness
+# branch every other fixture row.  Strip payloads stay opaque (the
+# MP4-mdat policy).
+
+def encode_tiff_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL baseline-TIFF headers with
+    closed forms for the oracle — width = (id%9+1)*3 (LONG entry),
+    height = (id%5+2)*4 (SHORT entry, exercising the left-justified
+    inline-value rule), bits_per_sample = 8 or 16 by id%2,
+    compression = 1, and id%3+1 chained IFDs (multi-page).  Byte
+    order rotates: even ids 'II', odd ids 'MM'."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        little = i % 2 == 0
+        e = "<" if little else ">"
+        w = int(i % 9 + 1) * 3
+        h = int(i % 5 + 2) * 4
+        bps = 8 if i % 2 == 0 else 16
+        pages = int(i % 3 + 1)
+        out = bytearray()
+        out += b"II" if little else b"MM"
+        out += struct.pack(e + "H", 42)
+        out += struct.pack(e + "I", 8)      # first IFD right after
+        pos = 8
+        for p in range(pages):
+            entries = [
+                (256, 4, 1, w),             # ImageWidth, LONG
+                (257, 3, 1, h),             # ImageLength, SHORT
+                (258, 3, 1, bps),           # BitsPerSample, SHORT
+                (259, 3, 1, 1),             # Compression, none
+            ]
+            ifd = bytearray(struct.pack(e + "H", len(entries)))
+            for tag, typ, cnt, val in entries:
+                ifd += struct.pack(e + "HHI", tag, typ, cnt)
+                if typ == 3:                # SHORT: left-justified
+                    ifd += struct.pack(e + "H", val) + b"\x00\x00"
+                else:
+                    ifd += struct.pack(e + "I", val)
+            nxt = pos + 2 + 12 * len(entries) + 4 if p < pages - 1 \
+                else 0
+            ifd += struct.pack(e + "I", nxt)
+            out += ifd
+            pos += len(ifd)
+        payloads.append(bytes(out))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["image/tiff"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class TiffMetaParser:
+    """Actor-pool REAL TIFF IFD walk (TIFF 6.0): byte-order mark +
+    magic 42, then the chained Image File Directories — 12-byte
+    tag/type/count/value entries with SHORT values read from the
+    left-justified inline field under EITHER endianness — emitting
+    (byte_order, width, height, bits_per_sample, compression,
+    n_pages) from the first page.  Strip payloads stay opaque.
+    Malformed files (bad magic, truncated IFD, IFD-offset loop)
+    dead-letter with ``decode_ok = false``."""
+
+    def _decode(self, p: bytes):
+        import struct
+
+        if len(p) < 8 or p[:2] not in (b"II", b"MM"):
+            return None
+        e = "<" if p[:2] == b"II" else ">"
+        if struct.unpack_from(e + "H", p, 2)[0] != 42:
+            return None
+        off = struct.unpack_from(e + "I", p, 4)[0]
+        first = None
+        pages = 0
+        seen = set()
+        while off != 0:
+            if off in seen or off + 2 > len(p):
+                return None
+            seen.add(off)
+            n = struct.unpack_from(e + "H", p, off)[0]
+            end = off + 2 + 12 * n
+            if end + 4 > len(p):
+                return None
+            tags = {}
+            for k in range(n):
+                tag, typ, cnt = struct.unpack_from(
+                    e + "HHI", p, off + 2 + 12 * k)
+                vo = off + 2 + 12 * k + 8
+                if typ == 3 and cnt == 1:
+                    tags[tag] = struct.unpack_from(e + "H", p, vo)[0]
+                elif typ == 4 and cnt == 1:
+                    tags[tag] = struct.unpack_from(e + "I", p, vo)[0]
+            if first is None:
+                if not {256, 257}.issubset(tags):
+                    return None
+                first = (tags[256], tags[257], tags.get(258, 1),
+                         tags.get(259, 1))
+            pages += 1
+            off = struct.unpack_from(e + "I", p, end)[0]
+        if first is None:
+            return None
+        return (p[:2].decode("ascii"),) + first + (pages,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        orders: list = [None] * n
+        ints = np.zeros((n, 5), np.int64)
+        for i in range(n):
+            v = payloads[i].as_py()
+            d = self._decode(v) if v else None
+            if d is None:
+                continue
+            ok[i] = True
+            orders[i] = d[0]
+            ints[i] = d[1:]
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(ints[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "byte_order": pa.array(orders, pa.string()),
+            "width": _masked(0),
+            "height": _masked(1),
+            "bits_per_sample": _masked(2),
+            "compression": _masked(3),
+            "n_pages": _masked(4),
+        })

@@ -235,3 +235,67 @@ def test_response_latency_law():
     assert len(got) == len(want_pd)
     assert (got["latency_us"].to_numpy(np.int64)
             == want_pd["latency_us"].to_numpy(np.int64)).all()
+
+
+def test_tiff_parser_endian_pages_and_poison():
+    """TIFF IFD walk: closed forms under both byte orders, multi-page
+    chains counted, and malformed files (bad magic, truncation,
+    IFD-offset CYCLE) dead-letter."""
+    import struct
+
+    from alco_ray.stages.multimodal import TiffMetaParser, encode_tiff_batch
+
+    ids = list(range(24))
+    enc = encode_tiff_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    parser = TiffMetaParser()
+    out = parser(enc).to_pylist()
+    for i, r in zip(ids, out):
+        assert r["decode_ok"] is True
+        assert r["byte_order"] == ("II" if i % 2 == 0 else "MM")
+        assert r["width"] == (i % 9 + 1) * 3
+        assert r["height"] == (i % 5 + 2) * 4
+        assert r["bits_per_sample"] == (8 if i % 2 == 0 else 16)
+        assert r["n_pages"] == i % 3 + 1
+
+    good = enc["payload"][2].as_py()     # little-endian, 3 pages
+    cyc = bytearray(good)
+    # point the FIRST IFD's next-offset back at itself (offset 8)
+    n_entries = struct.unpack_from("<H", cyc, 8)[0]
+    struct.pack_into("<I", cyc, 8 + 2 + 12 * n_entries, 8)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [good[:9], b"XX" + good[2:], bytes(cyc), b""], pa.binary()),
+    })
+    got = parser(batch).to_pylist()
+    assert [r["decode_ok"] for r in got] == [False] * 4
+
+
+def test_forecast_revenue_exact_fixed_point():
+    """Q6 revenue: engine value equals a decimal-exact replay over the
+    raw parquet (no float product anywhere)."""
+    from decimal import Decimal
+
+    from alco_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    n = 0
+    rev = 0
+    for _, r in t.iterrows():
+        if not (np.datetime64("1994-01-01") <= r["l_shipdate"]
+                < np.datetime64("1995-01-01")):
+            continue
+        d100 = int(Decimal(repr(r["l_discount"])).scaleb(2)
+                   .to_integral_value(rounding="ROUND_HALF_UP"))
+        qty = int(Decimal(repr(r["l_quantity"]))
+                  .to_integral_value(rounding="ROUND_HALF_UP"))
+        if not (5 <= d100 <= 7 and qty < 24):
+            continue
+        cents = int(Decimal(repr(r["l_extendedprice"])).scaleb(2)
+                    .to_integral_value(rounding="ROUND_HALF_UP"))
+        n += 1
+        rev += cents * d100
+    got = q.q_forecast_revenue(sf).to_pandas()
+    assert int(got.loc[0, "n_items"]) == n
+    assert int(got.loc[0, "revenue_e4"]) == rev
