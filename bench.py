@@ -98,6 +98,14 @@ BENCH_QUERIES = [
     # quantization, CUSUM changepoints)
     "d_dsir", "e_ks_drift", "d_dup_triangles", "v_pca",
     "d_winnow", "v_mmr", "v_sq8", "e_cusum",
+    # round-5 second-wave operators (GIF/BMP/TIFF codec walks, exact
+    # EWMA/autocovariance/Gini/Benford analytics, journey paths,
+    # source-distribution drift, TPC-H Q6, reply latency, skew audit)
+    "mm_gif_meta", "mm_bmp_meta", "mm_tiff_meta",
+    "e_ewma", "e_autocorr", "e_benford", "e_paths", "e_gini",
+    "e_heatmap",
+    "d_source_drift", "d_bigram_cond", "t_response_latency",
+    "q_forecast_revenue", "d_hash_bucket_stats",
 ]
 
 
