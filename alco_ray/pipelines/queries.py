@@ -6434,6 +6434,56 @@ def d_hash_bucket_stats(sf_dir: str):
     return ray.data.from_arrow(t.rename_columns(["bucket", "cnt"]))
 
 
+def mm_zip_meta(sf_dir: str):
+    """REAL ZIP ARCHIVE directory parse (stages/multimodal.
+    ZipMetaParser, PKWARE APPNOTE 4.3): document pipelines ingest
+    archives before they decode media, and everything a sweep needs —
+    member count, sizes, methods — lives in the central directory,
+    located by the scan-back-from-tail EOCD search that the fixture's
+    rotating comment length exercises at every size.  Member payloads
+    are never inflated (the mdat policy); STORED members carry real
+    CRC32s.  Closed-form oracle as in the other container parsers."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_zip_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.ZipMetaParser)
+
+
+def d_mix_weights(sf_dir: str):
+    """LANGUAGE-REBALANCING sampling weights (the data-mixing knob of
+    every multilingual training run): per language, the integer ppm
+    up/down-sampling weight that moves the corpus toward a uniform
+    language mix — weight_ppm = (T * 10^6) // (L * c_l), EXACT under
+    floor division so the oracle replays it bit-for-bit.  Map-side
+    per-batch (lang, count) partials over the bounded language
+    domain, driver fold, zero shuffle."""
+    from ..stages.aggregate import fold_partials
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = pd.DataFrame(
+            {"lang": b["lang"].to_numpy(zero_copy_only=False)}) \
+            .groupby("lang", as_index=False).size()
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "cnt": pa.array(out["size"].to_numpy(np.int64)),
+        })
+
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], [("cnt", "sum")],
+        empty_schema=pa.schema([("lang", pa.string()),
+                                ("cnt", pa.int64())]))
+    cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = np.int64(cnt.sum())
+    n_langs = np.int64(len(cnt))
+    w = (total * np.int64(1_000_000)) // (n_langs * cnt)
+    return pa.table({"lang": t["lang"],
+                     "n_docs": pa.array(cnt),
+                     "weight_ppm": pa.array(w.astype(np.int64))})
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -6713,6 +6763,8 @@ REGISTRY = {
     "q_forecast_revenue": q_forecast_revenue,
     "mm_tiff_meta": mm_tiff_meta,
     "d_hash_bucket_stats": d_hash_bucket_stats,
+    "mm_zip_meta": mm_zip_meta,
+    "d_mix_weights": d_mix_weights,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -1615,3 +1615,125 @@ class TiffMetaParser:
             "compression": _masked(3),
             "n_pages": _masked(4),
         })
+
+
+# ------------------------------------------------------ real ZIP (directory)
+# Document pipelines ingest ARCHIVES long before they decode media:
+# what a sweep needs from a .zip is the central directory — member
+# count, sizes, methods — found via the end-of-central-directory
+# record (APPNOTE 4.3.16) whose trailing comment forces the
+# scan-back-from-tail branch every parser must get right.  Member
+# payloads stay opaque (the mdat policy); STORED members carry real
+# CRC32s so the fixture bytes are genuine archives.
+
+def encode_zip_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL ZIP archives with closed
+    forms for the oracle — n_members = id%6+1, member j holds
+    (id+j)%50+1 filler bytes STORED (method 0, real CRC32), names
+    'm00'.., and an EOCD comment of id%7 bytes so the tail scan-back
+    is exercised at every length."""
+    import struct
+    import zlib
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        n_members = int(i % 6 + 1)
+        locals_, centrals = [], []
+        pos = 0
+        for j in range(n_members):
+            name = b"m%02d" % j
+            data = bytes(((int(i) + j + k) % 256
+                          for k in range((int(i) + j) % 50 + 1)))
+            crc = zlib.crc32(data) & 0xFFFFFFFF
+            lfh = (b"PK\x03\x04" + struct.pack(
+                "<HHHHHIIIHH", 20, 0, 0, 0, 0, crc, len(data),
+                len(data), len(name), 0) + name + data)
+            cde = (b"PK\x01\x02" + struct.pack(
+                "<HHHHHHIIIHHHHHII", 20, 20, 0, 0, 0, 0, crc,
+                len(data), len(data), len(name), 0, 0, 0, 0, 0, pos)
+                + name)
+            locals_.append(lfh)
+            centrals.append(cde)
+            pos += len(lfh)
+        cd = b"".join(centrals)
+        comment = bytes((65 + k for k in range(int(i % 7))))
+        eocd = (b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, n_members, n_members, len(cd), pos,
+            len(comment)) + comment)
+        payloads.append(b"".join(locals_) + cd + eocd)
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["application/zip"] * len(ids),
+                               pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class ZipMetaParser:
+    """Actor-pool REAL ZIP central-directory parse (PKWARE APPNOTE
+    4.3): EOCD located by scanning back from the tail through the
+    variable-length comment, then the central directory walked entry
+    by entry — emitting (n_members, total_uncompressed,
+    total_compressed, n_stored, names_bytes, comment_len).  Member
+    payloads are never inflated.  Malformed archives (no EOCD, entry
+    count mismatch, bad entry signature, truncated directory)
+    dead-letter with ``decode_ok = false``."""
+
+    def _decode(self, p: bytes):
+        import struct
+
+        lo = max(0, len(p) - 65557)
+        at = p.rfind(b"PK\x05\x06", lo)
+        if at < 0 or at + 22 > len(p):
+            return None
+        (_, _, n_here, n_total, cd_size, cd_off, clen) = \
+            struct.unpack_from("<HHHHIIH", p, at + 4)
+        if at + 22 + clen != len(p) or n_here != n_total:
+            return None
+        if cd_off + cd_size != at:
+            return None
+        pos = cd_off
+        tot_u = tot_c = stored = names = 0
+        for _ in range(n_total):
+            if pos + 46 > at or p[pos:pos + 4] != b"PK\x01\x02":
+                return None
+            (_, _, _, method, _, _, _, csize, usize, nlen, xlen,
+             klen) = struct.unpack_from("<HHHHHHIIIHHH", p, pos + 4)
+            tot_u += usize
+            tot_c += csize
+            stored += method == 0
+            names += nlen
+            pos += 46 + nlen + xlen + klen
+        if pos != at:
+            return None
+        return (n_total, tot_u, tot_c, stored, names, clen)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        ints = np.zeros((n, 6), np.int64)
+        for i in range(n):
+            v = payloads[i].as_py()
+            d = self._decode(v) if v else None
+            if d is None:
+                continue
+            ok[i] = True
+            ints[i] = d
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(ints[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "n_members": _masked(0),
+            "total_uncompressed": _masked(1),
+            "total_compressed": _masked(2),
+            "n_stored": _masked(3),
+            "names_bytes": _masked(4),
+            "comment_len": _masked(5),
+        })

@@ -105,7 +105,8 @@ BENCH_QUERIES = [
     "e_ewma", "e_autocorr", "e_benford", "e_paths", "e_gini",
     "e_heatmap",
     "d_source_drift", "d_bigram_cond", "t_response_latency",
-    "q_forecast_revenue", "d_hash_bucket_stats",
+    "q_forecast_revenue", "d_hash_bucket_stats", "mm_zip_meta",
+    "d_mix_weights",
 ]
 
 

@@ -299,3 +299,61 @@ def test_forecast_revenue_exact_fixed_point():
     got = q.q_forecast_revenue(sf).to_pandas()
     assert int(got.loc[0, "n_items"]) == n
     assert int(got.loc[0, "revenue_e4"]) == rev
+
+
+def test_zip_parser_directory_and_poison():
+    """ZIP central-directory walk: closed forms incl. the EOCD
+    scan-back through every comment length 0..6; malformed archives
+    (truncated comment, shifted offsets, entry-count lies)
+    dead-letter."""
+    import struct
+
+    from alco_ray.stages.multimodal import ZipMetaParser, encode_zip_batch
+
+    ids = list(range(42))
+    enc = encode_zip_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    parser = ZipMetaParser()
+    out = parser(enc).to_pylist()
+    for i, r in zip(ids, out):
+        nm = i % 6 + 1
+        tu = sum((i + j) % 50 + 1 for j in range(nm))
+        assert r["decode_ok"] is True
+        assert r["n_members"] == nm
+        assert r["total_uncompressed"] == tu
+        assert r["total_compressed"] == tu       # STORED
+        assert r["n_stored"] == nm
+        assert r["names_bytes"] == 3 * nm
+        assert r["comment_len"] == i % 7
+
+    good = enc["payload"][9].as_py()
+    lie = bytearray(good)
+    # EOCD total-entry field inflated by one
+    at = bytes(lie).rfind(b"PK\x05\x06")
+    struct.pack_into("<H", lie, at + 10, 99)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [good[:-1], good[10:], bytes(lie), b""], pa.binary()),
+    })
+    got = parser(batch).to_pylist()
+    assert [r["decode_ok"] for r in got] == [False] * 4
+
+
+def test_mix_weights_law():
+    """Uniform-mix law: weight_ppm == floor(T*1e6 / (L*c)) and a
+    perfectly balanced corpus gets weight exactly 1e6 per language."""
+    from alco_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang"]).to_pandas()
+    c = t.groupby("lang").size()
+    total, n_langs = int(c.sum()), len(c)
+    got = q.d_mix_weights(sf).to_pandas().set_index("lang")
+    for lang, n in c.items():
+        assert int(got.loc[lang, "n_docs"]) == int(n)
+        assert int(got.loc[lang, "weight_ppm"]) == \
+            (total * 1_000_000) // (n_langs * int(n))
+    # balance identity: sum over langs of c_l * w_l ~ T * 1e6
+    s = int((got["n_docs"] * got["weight_ppm"]).sum())
+    assert abs(s - total * 1_000_000) < n_langs * n_langs * 1_000_000
