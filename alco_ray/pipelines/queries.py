@@ -6484,6 +6484,94 @@ def d_mix_weights(sf_dir: str):
                      "weight_ppm": pa.array(w.astype(np.int64))})
 
 
+def e_lifecycle(sf_dir: str):
+    """GROWTH ACCOUNTING (the product-analytics lifecycle ledger):
+    per day, how many active users are NEW (first day ever), RETAINED
+    (also active the previous day) or RESURRECTED (active before, but
+    not yesterday).  Day rides as integer epoch days on both sides —
+    no date dtype to drift.  Shape: map-side (user, day) dedup
+    partials shrink the exchange to |users| x |active days|, ONE
+    user-hash exchange classifies each user's day runs in one
+    vectorized pass, then the per-day class counts fold over the
+    BOUNDED day x 3 domain on the driver."""
+    from ..stages.aggregate import fold_partials
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32())
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    days = ds.map_batches(day_partial, batch_format="pyarrow")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+              .sort_values(["user_id", "day"], kind="mergesort"))
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy().astype(np.int64)
+        first = np.ones(len(g), bool)
+        consec = np.zeros(len(g), bool)
+        if len(g) > 1:
+            same = u[1:] == u[:-1]
+            first[1:] = ~same
+            consec[1:] = same & (d[1:] - d[:-1] == 1)
+        out = pd.DataFrame({
+            "day_num": d,
+            "new_users": first.astype(np.int64),
+            "retained": consec.astype(np.int64),
+            "resurrected": (~first & ~consec).astype(np.int64),
+        }).groupby("day_num", as_index=False).sum()
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    per_part = partition_by_key(
+        days, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(classify, batch_format="pandas")
+    t = fold_partials(
+        per_part, ["day_num"],
+        [("new_users", "sum"), ("retained", "sum"),
+         ("resurrected", "sum")],
+        empty_schema=pa.schema([("day_num", pa.int64()),
+                                ("new_users", pa.int64()),
+                                ("retained", pa.int64()),
+                                ("resurrected", pa.int64())]))
+    return ray.data.from_arrow(t.rename_columns(
+        ["day_num", "new_users", "retained", "resurrected"]))
+
+
+def d_dup_degree(sf_dir: str):
+    """NEAR-DUP GRAPH DEGREE histogram (the duplication-structure
+    profile: are duplicates isolated pairs or giant boilerplate
+    hubs?): per-doc degree in the exact-Jaccard >= 0.5 pair graph
+    (the d_jaccard_pairs law), histogrammed INCLUDING the degree-0
+    mass.  The pair table is bounded by duplicate density (the
+    d_split_leakage doctrine), so the degree fold is a driver pass;
+    the pair generation itself stays the bucketed distributed
+    kernel."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.jaccard_pairs(ds, threshold=0.5,
+                                max_shingle_freq=None).to_pandas()
+    total = _nrows(_tp(sf_dir, "documents"))
+    deg = pd.concat([pairs["doc_a"], pairs["doc_b"]]) \
+        .value_counts() if len(pairs) else pd.Series(dtype="int64")
+    hist = deg.value_counts().sort_index()
+    out = pd.DataFrame({
+        "degree": hist.index.to_numpy(np.int64),
+        "n_docs": hist.to_numpy(np.int64),
+    })
+    zero = pd.DataFrame({"degree": np.array([0], np.int64),
+                         "n_docs": np.array([total - len(deg)],
+                                            np.int64)})
+    out = pd.concat([zero, out], ignore_index=True) \
+        .sort_values("degree").reset_index(drop=True)
+    return pa.table({"degree": pa.array(out["degree"], pa.int64()),
+                     "n_docs": pa.array(out["n_docs"], pa.int64())})
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -6765,6 +6853,8 @@ REGISTRY = {
     "d_hash_bucket_stats": d_hash_bucket_stats,
     "mm_zip_meta": mm_zip_meta,
     "d_mix_weights": d_mix_weights,
+    "e_lifecycle": e_lifecycle,
+    "d_dup_degree": d_dup_degree,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

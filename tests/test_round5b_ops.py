@@ -357,3 +357,52 @@ def test_mix_weights_law():
     # balance identity: sum over langs of c_l * w_l ~ T * 1e6
     s = int((got["n_docs"] * got["weight_ppm"]).sum())
     assert abs(s - total * 1_000_000) < n_langs * n_langs * 1_000_000
+
+
+def test_lifecycle_growth_accounting_law():
+    """new + retained + resurrected == distinct actives per day; a
+    user's first day is 'new'; day-after runs are 'retained' —
+    replayed brute-force over sf0.001."""
+    import pandas as pd
+
+    from alco_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    t["day"] = t["ts"].to_numpy("datetime64[D]").astype(np.int64)
+    ud = t[["user_id", "day"]].drop_duplicates() \
+        .sort_values(["user_id", "day"])
+    want: dict = {}
+    for uid, g in ud.groupby("user_id"):
+        d = g["day"].to_numpy()
+        for j, day in enumerate(d):
+            if j == 0:
+                cls = "new_users"
+            elif d[j] - d[j - 1] == 1:
+                cls = "retained"
+            else:
+                cls = "resurrected"
+            k = (int(day), cls)
+            want[k] = want.get(k, 0) + 1
+    got = q.e_lifecycle(sf).to_pandas().set_index("day_num")
+    for day, row in got.iterrows():
+        for cls in ("new_users", "retained", "resurrected"):
+            assert int(row[cls]) == want.get((int(day), cls), 0)
+    actives = ud.groupby("day").size()
+    total = got[["new_users", "retained", "resurrected"]].sum(axis=1)
+    assert total.sort_index().equals(actives.sort_index()
+                                     .astype("int64"))
+
+
+def test_dup_degree_conserves_docs_and_edges():
+    """Degree histogram masses: sum n_docs == corpus size and
+    sum degree*n_docs == 2 |pairs|."""
+    from alco_ray.pipelines import queries as q
+    from alco_ray.pipelines.queries import _nrows, _tp
+
+    sf = "/root/testdata/sf0.001"
+    hist = q.d_dup_degree(sf).to_pandas()
+    n_pairs = len(q.d_jaccard_pairs(sf).to_pandas())
+    assert int(hist["n_docs"].sum()) == _nrows(_tp(sf, "documents"))
+    assert int((hist["degree"] * hist["n_docs"]).sum()) == 2 * n_pairs
