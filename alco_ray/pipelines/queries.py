@@ -6572,6 +6572,57 @@ def d_dup_degree(sf_dir: str):
                      "n_docs": pa.array(out["n_docs"], pa.int64())})
 
 
+def mm_flac_meta(sf_dir: str):
+    """REAL FLAC metadata parse (stages/multimodal.FlacMetaParser):
+    the METADATA_BLOCK chain (last-flag bit + type + 24-bit length)
+    and STREAMINFO's 64-bit bit-packed field — sample rate (20 bits),
+    channels (3), bits-per-sample (5), 36-bit total samples —
+    extracted across byte boundaries, the bit-level exercise the
+    byte-aligned container parsers never hit.  Exact floor-us
+    duration out; entropy-coded frames stay opaque.  Closed-form
+    oracle over the fixture rotation."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_flac_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.FlacMetaParser)
+
+
+def v_knn_recall(sf_dir: str):
+    """ANN RECALL as a CHECKED quantity (the d_minhash_apply sidecar
+    doctrine applied to vector search): the LSH probe's top-10 ids
+    persist as a sidecar, the exact brute-force top-10 runs
+    distributed, and the emitted row counts their intersection — so
+    the approximate index's recall is hash-verified against the SQL
+    oracle (which replays the exact leg and joins the SAME sidecar)
+    instead of merely pytest-pinned.  One pruned index probe + one
+    broadcast-query brute pass; only 2 x k survivor rows reach the
+    driver."""
+    idx = Path("/tmp/alco_ray_cache") / Path(sf_dir).name / "ann_lsh"
+    sig = _corpus_sig(sf_dir, "embeddings")
+    if not _index_fresh(idx, sig):
+        similarity.build_lsh_index(
+            _read(sf_dir, "embeddings",
+                  columns=["vec_id", "embedding"]),
+            idx, extra_meta={"corpus_sig": sig})
+    q = _query_vec(sf_dir)
+    lsh = similarity.knn_lsh_probe(idx, q, k=10) \
+        .select_columns(["vec_id", "rank"]).to_pandas()
+    _write_sidecar(pa.table({
+        "vec_id": pa.array(lsh["vec_id"].to_numpy(np.int64)),
+        "rank": pa.array(lsh["rank"].to_numpy(np.int64)),
+    }), sf_dir, "knn_recall_lsh.parquet")
+    brute = similarity.knn_brute(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q, k=10).select_columns(["vec_id", "rank"]).to_pandas()
+    hits = np.int64(len(set(lsh["vec_id"].astype(np.int64))
+                        & set(brute["vec_id"].astype(np.int64))))
+    return pa.table({
+        "k": pa.array([np.int64(10)]),
+        "n_probe": pa.array([np.int64(len(lsh))]),
+        "n_hits": pa.array([hits]),
+    })
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -6855,6 +6906,8 @@ REGISTRY = {
     "d_mix_weights": d_mix_weights,
     "e_lifecycle": e_lifecycle,
     "d_dup_degree": d_dup_degree,
+    "mm_flac_meta": mm_flac_meta,
+    "v_knn_recall": v_knn_recall,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -1737,3 +1737,126 @@ class ZipMetaParser:
             "names_bytes": _masked(4),
             "comment_len": _masked(5),
         })
+
+
+# ------------------------------------------------------ real FLAC (headers)
+# FLAC's STREAMINFO packs sample rate (20 bits), channels (3) and
+# bits-per-sample (5) and the 36-bit total-sample count into one
+# 64-bit field spanning byte boundaries — the bit-extraction exercise
+# none of the byte-aligned parsers above hits.  The entropy-coded
+# frames stay opaque (the mdat policy).
+
+def encode_flac_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL FLAC metadata streams with
+    closed forms for the oracle — rate rotates 32000/44100/48000,
+    channels = id%2+1, bits = 16 or 24, total_samples =
+    (id%50+1)*1000 + id%7 (exercising low bits of the 36-bit field).
+    Block rotation: ids%2 == 0 append PADDING, ids%5 == 0 append a
+    VORBIS_COMMENT-typed block, so the last-block flag moves."""
+    import struct
+
+    rates = (32000, 44100, 48000)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        rate = rates[int(i % 3)]
+        ch = int(i % 2 + 1)
+        bps = 16 if i % 2 == 0 else 24
+        total = int(i % 50 + 1) * 1000 + int(i % 7)
+        packed = ((rate << 44) | ((ch - 1) << 41)
+                  | ((bps - 1) << 36) | total)
+        si = (struct.pack(">HH", 1024, 4096)
+              + (34).to_bytes(3, "big") + (8192).to_bytes(3, "big")
+              + packed.to_bytes(8, "big") + bytes(16))
+        blocks = [(0, si)]
+        if i % 2 == 0:
+            blocks.append((1, bytes(int(i % 9 + 1))))   # PADDING
+        if i % 5 == 0:
+            blocks.append((4, b"\x00\x00\x00\x00"))     # VORBIS
+        out = bytearray(b"fLaC")
+        for j, (btype, body) in enumerate(blocks):
+            last = 0x80 if j == len(blocks) - 1 else 0
+            out += bytes((last | btype,)) + len(body).to_bytes(3, "big")
+            out += body
+        payloads.append(bytes(out))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["audio/flac"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class FlacMetaParser:
+    """Actor-pool REAL FLAC metadata parse: 'fLaC' magic, the
+    METADATA_BLOCK chain (1-bit last flag + 7-bit type + 24-bit
+    length), STREAMINFO required FIRST per spec, and the 64-bit
+    bit-packed field split into sample rate / channels /
+    bits-per-sample / 36-bit total samples — exact floor-us duration
+    out.  Frames after the last metadata block stay opaque.
+    Malformed streams (bad magic, STREAMINFO not first or wrong
+    size, truncated block, zero rate) dead-letter."""
+
+    def _decode(self, p: bytes):
+        if len(p) < 8 or p[:4] != b"fLaC":
+            return None
+        pos = 4
+        first = True
+        info = None
+        n_blocks = 0
+        while True:
+            if pos + 4 > len(p):
+                return None
+            hdr = p[pos]
+            last = bool(hdr & 0x80)
+            btype = hdr & 0x7F
+            ln = int.from_bytes(p[pos + 1:pos + 4], "big")
+            b0 = pos + 4
+            if b0 + ln > len(p):
+                return None
+            if first:
+                if btype != 0 or ln != 34:
+                    return None
+                packed = int.from_bytes(p[b0 + 10:b0 + 18], "big")
+                rate = packed >> 44
+                ch = ((packed >> 41) & 0x7) + 1
+                bps = ((packed >> 36) & 0x1F) + 1
+                total = packed & ((1 << 36) - 1)
+                if rate == 0:
+                    return None
+                info = (rate, ch, bps, total,
+                        total * 1_000_000 // rate)
+                first = False
+            n_blocks += 1
+            pos = b0 + ln
+            if last:
+                break
+        return info + (n_blocks,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        ok = np.zeros(n, bool)
+        ints = np.zeros((n, 6), np.int64)
+        for i in range(n):
+            v = payloads[i].as_py()
+            d = self._decode(v) if v else None
+            if d is None:
+                continue
+            ok[i] = True
+            ints[i] = d
+        okm = pa.array(ok)
+
+        def _masked(col):
+            return pc.if_else(okm, pa.array(ints[:, col], pa.int64()),
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": okm,
+            "sample_rate": _masked(0),
+            "channels": _masked(1),
+            "bits_per_sample": _masked(2),
+            "total_samples": _masked(3),
+            "duration_us": _masked(4),
+            "n_blocks": _masked(5),
+        })

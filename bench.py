@@ -106,7 +106,8 @@ BENCH_QUERIES = [
     "e_heatmap",
     "d_source_drift", "d_bigram_cond", "t_response_latency",
     "q_forecast_revenue", "d_hash_bucket_stats", "mm_zip_meta",
-    "d_mix_weights", "e_lifecycle", "d_dup_degree",
+    "d_mix_weights", "e_lifecycle", "d_dup_degree", "mm_flac_meta",
+    "v_knn_recall",
 ]
 
 

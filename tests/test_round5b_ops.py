@@ -406,3 +406,56 @@ def test_dup_degree_conserves_docs_and_edges():
     n_pairs = len(q.d_jaccard_pairs(sf).to_pandas())
     assert int(hist["n_docs"].sum()) == _nrows(_tp(sf, "documents"))
     assert int((hist["degree"] * hist["n_docs"]).sum()) == 2 * n_pairs
+
+
+def test_flac_parser_bitfields_and_poison():
+    """STREAMINFO bit extraction across byte boundaries under the
+    full fixture rotation; malformed streams dead-letter."""
+    from alco_ray.stages.multimodal import FlacMetaParser, encode_flac_batch
+
+    rates = (32000, 44100, 48000)
+    ids = list(range(60))
+    enc = encode_flac_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    parser = FlacMetaParser()
+    out = parser(enc).to_pylist()
+    for i, r in zip(ids, out):
+        total = (i % 50 + 1) * 1000 + i % 7
+        rate = rates[i % 3]
+        assert r["decode_ok"] is True
+        assert r["sample_rate"] == rate
+        assert r["channels"] == i % 2 + 1
+        assert r["bits_per_sample"] == (16 if i % 2 == 0 else 24)
+        assert r["total_samples"] == total
+        assert r["duration_us"] == total * 1_000_000 // rate
+        assert r["n_blocks"] == 1 + (i % 2 == 0) + (i % 5 == 0)
+
+    good = enc["payload"][7].as_py()
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([good[:-1], b"fLaX" + good[4:], b""],
+                            pa.binary()),
+    })
+    got = parser(batch).to_pylist()
+    assert [r["decode_ok"] for r in got] == [False] * 3
+
+
+def test_knn_recall_consistency():
+    """n_hits <= n_probe <= k, and the sidecar the oracle joins is
+    exactly the LSH probe's id set."""
+    from alco_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = q.v_knn_recall(sf).to_pandas()
+    k = int(got.loc[0, "k"])
+    n_probe = int(got.loc[0, "n_probe"])
+    n_hits = int(got.loc[0, "n_hits"])
+    assert 0 <= n_hits <= n_probe <= k == 10
+    side = pq.read_table(
+        "/tmp/alco_ray_cache/sf0.001/knn_recall_lsh.parquet")
+    assert side.num_rows == n_probe
+    # The operator MEASURES recall (the hash-checked quantity); it
+    # does not guarantee it — at this 500-vector scale the banded
+    # probe legitimately returns a low overlap (observed 1/10), and
+    # recall-vs-scale behavior is pinned by the LSH law tests.  Only
+    # assert non-degeneracy: the probe returned something real.
+    assert n_probe == 10 and n_hits >= 1
