@@ -6623,6 +6623,56 @@ def v_knn_recall(sf_dir: str):
     })
 
 
+def e_markov_stationary(sf_dir: str):
+    """STATIONARY DISTRIBUTION of the user-journey Markov chain (the
+    long-run where-do-users-spend-time summary): 12 exact integer
+    power-iteration steps over the per-user consecutive event-type
+    transition matrix — pi'_j = sum_i (pi_i * c_ij) // r_i with
+    PER-TERM floor division, so the oracle replays the recurrence
+    bit-for-bit as a recursive CTE (the v_kmeans/pagerank fixed-point
+    doctrine).  States with no outgoing transitions get a self-loop
+    (c_ii = r_i = 1) on both sides.  The transition matrix folds over
+    the BOUNDED |types|^2 domain (the transition_counts kernel); the
+    iteration is a driver loop over <= 25 cells.  Scale bound:
+    pi ~ 1e12 and c <= |events|, so pi*c stays under int64 to ~10^6
+    transitions per cell pair per type — the docstringed limit."""
+    # path_counts at n=2 gives exact (from>to) pair counts under the
+    # composite (ts, event_id) order (transition_counts orders by a
+    # single column, so the n-gram kernel is the right primitive).
+    from ..stages.window import path_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    t = path_counts(ds, key_col="user_id",
+                    order_cols=["ts", "event_id"],
+                    val_col="event_type", n=2, sep=">",
+                    approx_rows=_nrows(_tp(sf_dir, "events")))
+    tp = t.to_pandas()
+    sp = tp["path"].str.split(">", n=1, expand=True)
+    frm = sp[0].to_numpy()
+    to = sp[1].to_numpy()
+    cnt = tp["cnt"].to_numpy(np.int64)
+    states = np.unique(np.concatenate([frm, to]))
+    sidx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    c = np.zeros((n, n), np.int64)
+    for f, tt, k in zip(frm, to, cnt):
+        c[sidx[f], sidx[tt]] += k
+    r = c.sum(axis=1)
+    for i in np.flatnonzero(r == 0):      # absorbing: self-loop
+        c[i, i] = 1
+        r[i] = 1
+    scale = np.int64(10) ** 12
+    pi = np.full(n, scale // n, np.int64)
+    for _ in range(12):
+        pi = ((pi[:, None] * c) // r[:, None]).sum(axis=0)
+    return pa.table({
+        "event_type": pa.array(states, pa.string()),
+        "pi_scaled": pa.array(pi.astype(np.int64)),
+    })
+
+
 REGISTRY = {
     # ------------------------------------------------------------------
     # ORDERING CONTRACT: the graft driver's correctness gate records
@@ -6908,6 +6958,7 @@ REGISTRY = {
     "d_dup_degree": d_dup_degree,
     "mm_flac_meta": mm_flac_meta,
     "v_knn_recall": v_knn_recall,
+    "e_markov_stationary": e_markov_stationary,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note

@@ -107,7 +107,7 @@ BENCH_QUERIES = [
     "d_source_drift", "d_bigram_cond", "t_response_latency",
     "q_forecast_revenue", "d_hash_bucket_stats", "mm_zip_meta",
     "d_mix_weights", "e_lifecycle", "d_dup_degree", "mm_flac_meta",
-    "v_knn_recall",
+    "v_knn_recall", "e_markov_stationary",
 ]
 
 

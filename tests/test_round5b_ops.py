@@ -459,3 +459,43 @@ def test_knn_recall_consistency():
     # recall-vs-scale behavior is pinned by the LSH law tests.  Only
     # assert non-degeneracy: the probe returned something real.
     assert n_probe == 10 and n_hits >= 1
+
+
+def test_markov_stationary_law():
+    """12-step integer power iteration replayed brute-force over
+    sf0.001; mass is conserved up to the per-term floor losses and
+    the result is a near-fixed point of one more step."""
+    import pandas as pd
+
+    from alco_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet").to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    pairs: dict = {}
+    for _, g in t.groupby("user_id"):
+        v = g["event_type"].tolist()
+        for a, b in zip(v, v[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    states = sorted({s for p in pairs for s in p})
+    n = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    c = np.zeros((n, n), np.int64)
+    for (a, b), k in pairs.items():
+        c[idx[a], idx[b]] = k
+    r = c.sum(axis=1)
+    for i in np.flatnonzero(r == 0):
+        c[i, i] = 1
+        r[i] = 1
+    pi = np.full(n, 10 ** 12 // n, np.int64)
+    for _ in range(12):
+        pi = ((pi[:, None] * c) // r[:, None]).sum(axis=0)
+
+    got = q.e_markov_stationary(sf).to_pandas() \
+        .set_index("event_type").sort_index()
+    assert list(got.index) == states
+    assert (got["pi_scaled"].to_numpy(np.int64) == pi).all()
+    # floor losses only ever shrink mass, and only slightly
+    assert 10 ** 12 >= pi.sum() > 10 ** 12 - 12 * n * n * 5
+    nxt = ((pi[:, None] * c) // r[:, None]).sum(axis=0)
+    assert np.abs(nxt - pi).max() <= max(64, int(0.001 * pi.max()))
