@@ -6390,6 +6390,226 @@ def q_forecast_revenue(sf_dir: str):
                      "revenue_e4": pa.array([rev])})
 
 
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7-shaped volume shipping between two trading nations
+    (supp_nation, cust_nation, ship year -> revenue), both directions
+    NATION_1 <-> NATION_2.  Scale shape: both nation-filtered
+    dimension sides are SELECTIVE (2/25 of suppliers / customers) —
+    the supplier map broadcasts and filters lineitem IN PLACE with
+    zero shuffle; the customer side attaches its nation code to
+    orders through auto_join's broadcast-vs-shuffle planner (a 100x
+    customer table degrades to the hash-shuffle join, never a driver
+    OOM); ONE fact-fact hash join remains (lineitem already 2/25
+    pre-filtered).  Nation codes travel the shuffle as int64 and only
+    the bounded (pair x year) fold maps codes to names.  Revenue is
+    exact 1e-4 units (integer cents x integer (100 - discount
+    hundredths) — no float product ever rounds)."""
+    import pyarrow.dataset as pads
+
+    from ..stages.join import auto_join
+
+    nat = pq.read_table(_tp(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"])
+    pick = {"NATION_1", "NATION_2"}
+    code2name = {int(k): n for k, n in
+                 zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()) if n in pick}
+
+    supp = pq.read_table(_tp(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sm = pc.is_in(pc.cast(supp["s_nationkey"], pa.int64()),
+                  value_set=pa.array(sorted(code2name), pa.int64()))
+    supp = supp.filter(sm)
+    supp_ref = ray.put((
+        pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(supp["s_nationkey"], pa.int64()).combine_chunks()))
+
+    cust = pq.read_table(_tp(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    cm = pc.is_in(pc.cast(cust["c_nationkey"], pa.int64()),
+                  value_set=pa.array(sorted(code2name), pa.int64()))
+    cust = cust.filter(cm)
+    cust_tbl = pa.table({
+        "c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
+        "c_nat": pc.cast(cust["c_nationkey"], pa.int64())})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_n = auto_join(orders, ray.data.from_arrow(cust_tbl),
+                         "o_custkey", right_on="c_custkey",
+                         right_rows=cust_tbl.num_rows) \
+        .drop_columns(["o_custkey"])
+
+    import datetime
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"],
+               filter=(pads.field("l_shipdate")
+                       >= datetime.datetime(1995, 1, 1))
+               & (pads.field("l_shipdate")
+                  < datetime.datetime(1997, 1, 1)))
+
+    def supp_probe(b: pa.Table) -> pa.Table:
+        k0, n0 = ray.get(supp_ref)
+        ix = pc.index_in(b["l_suppkey"], value_set=k0)
+        b = b.filter(pc.is_valid(ix))
+        ix = pc.index_in(b["l_suppkey"], value_set=k0)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        d100 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_nat": pc.take(n0, ix),
+            "l_year": pc.year(b["l_shipdate"]),
+            "u": pc.multiply(cents, pc.subtract(pa.scalar(100,
+                                                          pa.int64()),
+                                                d100))})
+
+    li = li.map_batches(supp_probe, batch_format="pyarrow")
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(orders_n, "inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["s_nat"], b["c_nat"]))
+        g = (pa.table({"s_nat": b["s_nat"], "c_nat": b["c_nat"],
+                       "l_year": b["l_year"], "u": b["u"]})
+             .group_by(["s_nat", "c_nat", "l_year"])
+             .aggregate([([], "count_all"), ("u", "sum")]))
+        return g.rename_columns(["s_nat", "c_nat", "l_year",
+                                 "n_items", "revenue_e4"])
+
+    folded = agg_stage.fold_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["s_nat", "c_nat", "l_year"],
+        [("n_items", "sum"), ("revenue_e4", "sum")],
+        empty_schema=pa.schema([("s_nat", pa.int64()),
+                                ("c_nat", pa.int64()),
+                                ("l_year", pa.int64()),
+                                ("n_items", pa.int64()),
+                                ("revenue_e4", pa.int64())]))
+    names = pa.array([code2name[int(v)] for v in
+                      folded["s_nat"].to_pylist()], pa.string())
+    cnames = pa.array([code2name[int(v)] for v in
+                       folded["c_nat"].to_pylist()], pa.string())
+    return pa.table({"supp_nation": names, "cust_nation": cnames,
+                     "l_year": folded["l_year"],
+                     "n_items": folded["n_items"],
+                     "revenue_e4": folded["revenue_e4"]})
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8-shaped national market share: of the ECONOMY-part
+    volume sold to ASIA-region customers in 1996-1997, the share
+    supplied by NATION_2, per order year — returned as the exact
+    integer (target_e4, total_e4) ratio pair rather than a float
+    share.  Scale shape: three broadcast dimension probes (partkey
+    set 1/6, custkey set 1/5 region-filtered, suppkey -> is-target
+    flag), each filtering or flagging a fact table IN PLACE inside
+    map_batches with zero shuffle; the one fact-fact hash join runs
+    on the doubly-pre-filtered sides; the per-year fold is bounded
+    (2 keys) and driver-side.  At 100x dimension scale the custkey
+    probe swaps to runtime_filter_semi_join's hash-shuffle fallback
+    — the planner call is the documented seam."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    part = pq.read_table(_tp(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    pk = pc.cast(part.filter(pc.equal(part["p_type"], "ECONOMY"))
+                 ["p_partkey"], pa.int64()).combine_chunks()
+    part_ref = ray.put(pk)
+
+    nat = pq.read_table(_tp(sf_dir, "nation"))
+    region = pq.read_table(_tp(sf_dir, "region"))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA")) \
+        ["r_regionkey"].to_pylist()[0]
+    asia_nk = pa.array(
+        [int(k) for k, r in zip(nat["n_nationkey"].to_pylist(),
+                                nat["n_regionkey"].to_pylist())
+         if int(r) == int(asia)], pa.int64())
+    tgt_nk = [int(k) for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                     nat["n_name"].to_pylist())
+              if n == "NATION_2"][0]
+
+    cust = pq.read_table(_tp(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = pc.cast(cust.filter(
+        pc.is_in(pc.cast(cust["c_nationkey"], pa.int64()),
+                 value_set=asia_nk))["c_custkey"],
+        pa.int64()).combine_chunks()
+    cust_ref = ray.put(ck)
+
+    supp = pq.read_table(_tp(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_ref = ray.put((
+        pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(pc.equal(pc.cast(supp["s_nationkey"], pa.int64()),
+                         pa.scalar(tgt_nk, pa.int64())),
+                pa.int64()).combine_chunks()))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pads.field("o_orderdate")
+                           >= datetime.datetime(1996, 1, 1))
+                   & (pads.field("o_orderdate")
+                      < datetime.datetime(1998, 1, 1)))
+
+    def cust_probe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["o_custkey"],
+                              value_set=ray.get(cust_ref)))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_year": pc.year(b["o_orderdate"])})
+
+    orders = orders.map_batches(cust_probe, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def li_probe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_partkey"],
+                              value_set=ray.get(part_ref)))
+        k0, f0 = ray.get(supp_ref)
+        ix = pc.index_in(b["l_suppkey"], value_set=k0)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        d100 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        u = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                           d100))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "tgt": pc.take(f0, ix), "u": u})
+
+    li = li.map_batches(li_probe, batch_format="pyarrow")
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(orders, "inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"o_year": b["o_year"],
+                       "t": pc.multiply(b["tgt"], b["u"]), "u": b["u"]})
+             .group_by(["o_year"])
+             .aggregate([([], "count_all"), ("t", "sum"), ("u", "sum")]))
+        return g.rename_columns(["o_year", "n_items", "target_e4",
+                                 "total_e4"])
+
+    return agg_stage.fold_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_year"],
+        [("n_items", "sum"), ("target_e4", "sum"), ("total_e4", "sum")],
+        empty_schema=pa.schema([("o_year", pa.int64()),
+                                ("n_items", pa.int64()),
+                                ("target_e4", pa.int64()),
+                                ("total_e4", pa.int64())]))
+
+
 def mm_tiff_meta(sf_dir: str):
     """REAL TIFF 6.0 IFD walk (stages/multimodal.TiffMetaParser):
     byte-order mark, magic 42, chained Image File Directories with
@@ -6959,6 +7179,8 @@ REGISTRY = {
     "mm_flac_meta": mm_flac_meta,
     "v_knn_recall": v_knn_recall,
     "e_markov_stationary": e_markov_stationary,
+    "q_volume_shipping": q_volume_shipping,
+    "q_market_share": q_market_share,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note
