@@ -6610,6 +6610,124 @@ def q_market_share(sf_dir: str):
                                 ("total_e4", pa.int64())]))
 
 
+def t_error_runs(sf_dir: str):
+    """GAPS-AND-ISLANDS over parsed level: per conversation, the
+    longest run of CONSECUTIVE ERROR turns and the number of distinct
+    error runs (an incident-shape signal: one 10-turn cascade is a
+    different failure than ten isolated errors).  The kernel is a pure
+    boundary-diff pass — lexsort (conv, turn), run starts where err
+    flips on or the conversation changes, run lengths via one
+    ``np.bincount`` — and rides ``_grouped_kernel``'s shuffle-eliding
+    conv-partition plan; convs without errors produce no row, so the
+    output is error-conversation-sized, not corpus-sized."""
+    from ..stages.window import _grouped_kernel
+
+    ds = _parsed_level(sf_dir)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        order_ix = np.lexsort((g["turn_idx"].to_numpy(),
+                               g["conv_id"].to_numpy()))
+        conv = g["conv_id"].to_numpy()[order_ix]
+        err = g["level"].to_numpy()[order_ix] == "ERROR"
+        n = len(conv)
+        if n == 0 or not err.any():
+            return pd.DataFrame({
+                "conv_id": np.array([], object),
+                "max_err_run": np.array([], np.int64),
+                "n_err_runs": np.array([], np.int64)})
+        same_conv = np.zeros(n, bool)
+        same_conv[1:] = conv[1:] == conv[:-1]
+        prev_err = np.zeros(n, bool)
+        prev_err[1:] = err[:-1]
+        start = err & ~(same_conv & prev_err)
+        rid = np.cumsum(start) - 1
+        lengths = np.bincount(rid[err]).astype(np.int64)
+        runs = pd.DataFrame({"conv_id": conv[start], "len": lengths})
+        out = (runs.groupby("conv_id", sort=False)
+               .agg(max_err_run=("len", "max"),
+                    n_err_runs=("len", "size")).reset_index())
+        out["max_err_run"] = out["max_err_run"].astype("int64")
+        out["n_err_runs"] = out["n_err_runs"].astype("int64")
+        return out
+
+    return _grouped_kernel(ds, "conv_id", body, None,
+                           _nrows(_corpus(sf_dir)))
+
+
+def t_tool_lift(sf_dir: str):
+    """TOOL CO-OCCURRENCE LIFT: for every pair of tools used in the
+    same conversation, observed-over-expected co-use as an exact
+    integer ratio in ppm — lift = 1e6 * c_ab * n / (c_a * c_b), where
+    counts are over DISTINCT (conv, tool) uses and n is the number of
+    tool-using conversations.  Scale shape: per-conv distinct pairs
+    are computed inside ``_grouped_kernel``'s conv-partitions (the
+    tool vocabulary is dictionary-bounded, so each partition emits a
+    <= |tools|^2-row PARTIAL — pair counts, marginals and the conv
+    count ride one long table with sentinel '' keys); the driver
+    folds partials and forms the ratio in arbitrary-precision Python
+    ints before the int64 cast (1e6 * c_ab * n overflows int64 at
+    10^12-turn scale; the fold table is 66 rows, never the corpus)."""
+    from ..stages.window import _grouped_kernel
+
+    ds = read_transcripts(_corpus(sf_dir), columns=["conv_id", "tool"])
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"].notna()]
+        if not len(g):
+            return pd.DataFrame({"tool_a": np.array([], object),
+                                 "tool_b": np.array([], object),
+                                 "c": np.array([], np.int64)})
+        ct = g.drop_duplicates(["conv_id", "tool"])
+        rows_a, rows_b, cnt = [], [], []
+        # marginals + conv count (sentinel '' = "any")
+        m = ct.groupby("tool", sort=False).size()
+        rows_a += list(m.index); rows_b += [""] * len(m)
+        cnt += [int(v) for v in m.to_numpy()]
+        rows_a.append(""); rows_b.append("")
+        cnt.append(int(ct["conv_id"].nunique()))
+        # distinct pairs per conv: vectorized conv self-merge (row
+        # blow-up is |tools-per-conv|^2 <= 144x convs, never corpus^2)
+        pr = ct.merge(ct, on="conv_id", suffixes=("_a", "_b"))
+        pr = pr[pr["tool_a"] < pr["tool_b"]]
+        pm = pr.groupby(["tool_a", "tool_b"], sort=False).size()
+        rows_a += [k[0] for k in pm.index]
+        rows_b += [k[1] for k in pm.index]
+        cnt += [int(v) for v in pm.to_numpy()]
+        out = (pd.DataFrame({"tool_a": rows_a, "tool_b": rows_b,
+                             "c": np.asarray(cnt, np.int64)})
+               .groupby(["tool_a", "tool_b"], sort=False)["c"]
+               .sum().reset_index())
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    partials = _grouped_kernel(ds, "conv_id", body, None,
+                               _nrows(_corpus(sf_dir)))
+    folded = agg_stage.fold_partials(partials, ["tool_a", "tool_b"],
+                                     [("c", "sum")])
+    ta = folded["tool_a"].to_pylist()
+    tb = folded["tool_b"].to_pylist()
+    c = folded["c"].to_pylist()
+    n_convs = 0
+    marg: dict[str, int] = {}
+    for a, b, v in zip(ta, tb, c):
+        if a == "" and b == "":
+            n_convs = v
+        elif b == "":
+            marg[a] = v
+    oa, ob, oc, ol = [], [], [], []
+    for a, b, v in zip(ta, tb, c):
+        if a == "" or b == "":
+            continue
+        oa.append(a); ob.append(b); oc.append(v)
+        ol.append((1_000_000 * v * n_convs) // (marg[a] * marg[b]))
+    order_ix = sorted(range(len(oa)), key=lambda i: (oa[i], ob[i]))
+    return pa.table({
+        "tool_a": pa.array([oa[i] for i in order_ix], pa.string()),
+        "tool_b": pa.array([ob[i] for i in order_ix], pa.string()),
+        "n_convs": pa.array([oc[i] for i in order_ix], pa.int64()),
+        "lift_ppm": pa.array([ol[i] for i in order_ix], pa.int64())})
+
+
 def mm_tiff_meta(sf_dir: str):
     """REAL TIFF 6.0 IFD walk (stages/multimodal.TiffMetaParser):
     byte-order mark, magic 42, chained Image File Directories with
@@ -7181,6 +7299,8 @@ REGISTRY = {
     "e_markov_stationary": e_markov_stationary,
     "q_volume_shipping": q_volume_shipping,
     "q_market_share": q_market_share,
+    "t_error_runs": t_error_runs,
+    "t_tool_lift": t_tool_lift,
 }
 
 # Round-5 FINAL driver-window rotation (see the ORDERING CONTRACT note
