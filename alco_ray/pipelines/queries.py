@@ -6610,6 +6610,195 @@ def q_market_share(sf_dir: str):
                                 ("total_e4", pa.int64())]))
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity-order revenue: total revenue
+    from lineitems of Brand#3 ECONOMY parts whose quantity is below
+    20% of that part's average order quantity.  The correlated
+    subquery becomes TWO pruned fact scans: pass 1 computes per-part
+    (sum qty, count) for the ~1/150 broadcast-filtered partkey set
+    via a distributed groupby (per-part stats stay unbounded-safe —
+    no driver fold over partkeys); pass 2 re-scans the same filtered
+    lineitems and joins the per-part stats through auto_join's
+    broadcast-vs-shuffle planner, then evaluates the avg comparison
+    as the EXACT integer cross-product ``5*qty*cnt < sum_qty`` (no
+    float division ever happens), folding one (n_items, cents) row.
+    Scale shape: zero all-to-all on the fact table except the
+    stats-side groupby over the pre-filtered 1/150 subset."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import auto_join
+
+    part = pq.read_table(_tp(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_type"])
+    keep = pc.and_(pc.equal(part["p_brand"], "Brand#3"),
+                   pc.equal(part["p_type"], "ECONOMY"))
+    pkeys = pc.cast(part.filter(keep)["p_partkey"],
+                    pa.int64()).combine_chunks()
+    pkeys = pkeys.take(pc.array_sort_indices(pkeys))
+    pref = ray.put(pkeys)
+
+    def filtered_li(columns):
+        ds = _read(sf_dir, "lineitem", columns=columns)
+
+        def probe(b: pa.Table) -> pa.Table:
+            ks = ray.get(pref)
+            m = pc.is_in(pc.cast(b["l_partkey"], pa.int64()),
+                         value_set=ks)
+            return b.filter(m)
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        g = (pa.table({"l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+                       "q": q})
+             .group_by(["l_partkey"])
+             .aggregate([("q", "sum"), ([], "count_all")]))
+        return g.rename_columns(["l_partkey", "sq", "cnt"])
+
+    stats_tbl = agg_stage.concat_nonempty(ray.get(
+        filtered_li(["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_arrow_refs()))
+    if stats_tbl.num_columns == 0:
+        stats_tbl = pa.table({"l_partkey": pa.array([], pa.int64()),
+                              "sq": pa.array([], pa.int64()),
+                              "cnt": pa.array([], pa.int64())})
+    stats = ray.data.from_arrow(stats_tbl)
+
+    li2 = filtered_li(["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = auto_join(li2, stats, "l_partkey",
+                       right_rows=stats_tbl.num_rows)
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        keep = pc.less(pc.multiply(pc.multiply(q, pa.scalar(5, pa.int64())),
+                                   b["cnt"]),
+                       b["sq"])
+        b = b.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({
+            "n_items": pa.array([b.num_rows], pa.int64()),
+            "sum_price_e2": pa.array(
+                [int(pc.sum(cents).as_py() or 0)], pa.int64())})
+
+    t = agg_stage.concat_nonempty(
+        ray.get(joined.map_batches(small_partial, batch_format="pyarrow")
+                      .to_arrow_refs()))
+    n = (pc.sum(t["n_items"]).as_py() or 0) if "n_items" in \
+        getattr(t, "column_names", []) else 0
+    s = (pc.sum(t["sum_price_e2"]).as_py() or 0) if "sum_price_e2" in \
+        getattr(t, "column_names", []) else 0
+    return pa.table({"n_items": pa.array([n], pa.int64()),
+                     "sum_price_e2": pa.array([s], pa.int64())})
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume orders: every order whose total
+    line quantity exceeds 300 units, with its customer.  Scale shape:
+    the per-orderkey quantity sum is the one unavoidable unbounded-key
+    exchange (map-side per-batch partials collapse duplicate orderkeys
+    before the hash shuffle); survivors are an extreme tail (5 / 46 /
+    473 rows at sf0.001/0.01/0.1), so BOTH dimension attachments run
+    as broadcast survivor-key probes over pruned orders / customer
+    scans — no second shuffle, no driver-side scan of either table.
+    Money is exact integer cents."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        g = (pa.table({"l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                       "q": q})
+             .group_by(["l_orderkey"]).aggregate([("q", "sum")]))
+        return g.rename_columns(["l_orderkey", "q"])
+
+    sums = (li.map_batches(qty_partial, batch_format="pyarrow")
+              .groupby("l_orderkey")
+              .aggregate(Sum("q", alias_name="sum_qty")))
+    def over_threshold(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["sum_qty"], pa.scalar(300, pa.int64())))
+
+    big = pa.concat_tables(
+        ray.get(sums.map_batches(over_threshold, batch_format="pyarrow")
+                    .to_arrow_refs()))
+    if big.num_rows == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "o_totalprice_e2": pa.array([], pa.int64()),
+                         "sum_qty": pa.array([], pa.int64())})
+    okeys = pc.cast(big["l_orderkey"], pa.int64()).combine_chunks()
+    if isinstance(okeys, pa.ChunkedArray):
+        okeys = okeys.combine_chunks()
+    okeys = okeys.take(pc.array_sort_indices(okeys))
+    oref = ray.put(okeys)
+
+    def order_probe(b: pa.Table) -> pa.Table:
+        ks = ray.get(oref)
+        b = b.filter(pc.is_in(pc.cast(b["o_orderkey"], pa.int64()),
+                              value_set=ks))
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "o_orderdate": pc.cast(b["o_orderdate"], pa.timestamp("us")),
+            "o_totalprice_e2": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100),
+                         round_mode="half_towards_infinity"), pa.int64())})
+
+    surv_orders = pa.concat_tables(ray.get(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"])
+        .map_batches(order_probe, batch_format="pyarrow")
+        .to_arrow_refs()))
+
+    ckeys = pc.unique(surv_orders["o_custkey"])
+    ckeys = ckeys.take(pc.array_sort_indices(ckeys))
+    cref = ray.put(ckeys)
+
+    def cust_probe(b: pa.Table) -> pa.Table:
+        ks = ray.get(cref)
+        b = b.filter(pc.is_in(pc.cast(b["c_custkey"], pa.int64()),
+                              value_set=ks))
+        return pa.table({"c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                         "c_name": pc.cast(b["c_name"], pa.string())})
+
+    surv_cust = pa.concat_tables(ray.get(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(cust_probe, batch_format="pyarrow")
+        .to_arrow_refs()))
+
+    # Driver-side assembly over the survivor tail only (hundreds of
+    # rows at sf0.1; bounded by the >300 threshold's selectivity).
+    qmap = dict(zip(big["l_orderkey"].to_pylist(),
+                    big["sum_qty"].to_pylist()))
+    cmap = dict(zip(surv_cust["c_custkey"].to_pylist(),
+                    surv_cust["c_name"].to_pylist()))
+    ck = [int(v) for v in surv_orders["o_custkey"].to_pylist()]
+    ok = [int(v) for v in surv_orders["o_orderkey"].to_pylist()]
+    return pa.table({
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_name": pa.array([cmap[c] for c in ck], pa.string()),
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_orderdate": surv_orders["o_orderdate"],
+        "o_totalprice_e2": surv_orders["o_totalprice_e2"],
+        "sum_qty": pa.array([int(qmap[o]) for o in ok], pa.int64())})
+
+
 def t_error_runs(sf_dir: str):
     """GAPS-AND-ISLANDS over parsed level: per conversation, the
     longest run of CONSECUTIVE ERROR turns and the number of distinct
@@ -7299,6 +7488,8 @@ REGISTRY = {
     "e_markov_stationary": e_markov_stationary,
     "q_volume_shipping": q_volume_shipping,
     "q_market_share": q_market_share,
+    "q_small_qty_revenue": q_small_qty_revenue,
+    "q_large_orders": q_large_orders,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

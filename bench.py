@@ -108,6 +108,10 @@ BENCH_QUERIES = [
     "q_forecast_revenue", "d_hash_bucket_stats", "mm_zip_meta",
     "d_mix_weights", "e_lifecycle", "d_dup_degree", "mm_flac_meta",
     "v_knn_recall", "e_markov_stationary",
+    # round-5 third-wave operators (TPC-H Q7/Q8/Q17/Q18 join shapes,
+    # error-run islands, tool co-occurrence lift)
+    "q_volume_shipping", "q_market_share", "q_small_qty_revenue",
+    "q_large_orders", "t_error_runs", "t_tool_lift",
 ]
 
 

@@ -499,3 +499,54 @@ def test_markov_stationary_law():
     assert 10 ** 12 >= pi.sum() > 10 ** 12 - 12 * n * n * 5
     nxt = ((pi[:, None] * c) // r[:, None]).sum(axis=0)
     assert np.abs(nxt - pi).max() <= max(64, int(0.001 * pi.max()))
+
+
+def test_small_qty_revenue_oracle_law():
+    """Q17 analog replayed brute-force in pandas over sf0.001: the
+    integer cross-product comparison 5*qty*cnt < sum_qty is the exact
+    float-free form of qty < 0.2*avg(qty)."""
+    sf = "/root/testdata/sf0.001"
+    part = pq.read_table(f"{sf}/part.parquet").to_pandas()
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    pk = set(part.loc[(part.p_brand == "Brand#3")
+                      & (part.p_type == "ECONOMY"), "p_partkey"])
+    sub = li[li.l_partkey.isin(pk)].copy()
+    sub["q"] = sub.l_quantity.round().astype("int64")
+    st = sub.groupby("l_partkey")["q"].agg(["sum", "count"])
+    j = sub.join(st, on="l_partkey")
+    keep = 5 * j["q"] * j["count"] < j["sum"]
+    want_n = int(keep.sum())
+    want_s = int((j.loc[keep, "l_extendedprice"] * 100).round()
+                 .astype("int64").sum())
+
+    got = q.q_small_qty_revenue(sf).to_pandas()
+    assert int(got.loc[0, "n_items"]) == want_n
+    assert int(got.loc[0, "sum_price_e2"]) == want_s
+    assert want_n > 0  # the fixture really exercises the branch
+
+
+def test_large_orders_oracle_law():
+    """Q18 analog replayed in pandas over sf0.001: every order over
+    300 total units appears exactly once with its customer name and
+    exact-cents total price."""
+    sf = "/root/testdata/sf0.001"
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    li["q"] = li.l_quantity.round().astype("int64")
+    sums = li.groupby("l_orderkey")["q"].sum()
+    big = sums[sums > 300]
+    assert len(big) > 0
+
+    got = q.q_large_orders(sf).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert set(got.o_orderkey) == set(big.index)
+    assert len(got) == len(big)
+    omap = orders.set_index("o_orderkey")
+    cmap = cust.set_index("c_custkey")["c_name"]
+    for _, r in got.iterrows():
+        o = omap.loc[r.o_orderkey]
+        assert int(r.sum_qty) == int(big.loc[r.o_orderkey])
+        assert int(r.c_custkey) == int(o.o_custkey)
+        assert r.c_name == cmap.loc[int(o.o_custkey)]
+        assert int(r.o_totalprice_e2) == int(round(o.o_totalprice * 100))
