@@ -7114,6 +7114,37 @@ def mm_flac_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.FlacMetaParser)
 
 
+def mm_webp_meta(sf_dir: str):
+    """REAL WebP container parse (stages/multimodal.WebpMetaParser):
+    one RIFF walk, three dimension encodings — VP8's lossy frame
+    header behind the 9D 01 2A start code (14-bit w/h), VP8L's
+    14+14+1+3-bit little-endian packed header, VP8X's 24-bit
+    minus-one canvas fields + feature-flag byte; the fixture rotates
+    all three variants and nests ALPH + VP8 chunks under VP8X so the
+    multi-chunk walk is exercised at every scale.  Entropy-coded
+    VP8/VP8L payloads stay declared stubs (the mdat doctrine)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_webp_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.WebpMetaParser)
+
+
+def mm_ogg_meta(sf_dir: str):
+    """REAL Ogg page walk with CRC ENFORCEMENT (stages/multimodal.
+    OggMetaParser, RFC 3533): the only container here that carries a
+    real integrity check — each page's non-reflected CRC-32 (poly
+    0x04C11DB7) is recomputed over the CRC-zeroed page and any
+    mismatch dead-letters the document; lacing tables give exact
+    packet accounting (the 255-split and 0-terminator branches both
+    occur under the fixture's length rotation), BOS/EOS and
+    page-sequence continuity are enforced.  Codec payloads inside
+    the packets stay opaque."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_ogg_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.OggMetaParser)
+
+
 def v_knn_recall(sf_dir: str):
     """ANN RECALL as a CHECKED quantity (the d_minhash_apply sidecar
     doctrine applied to vector search): the LSH probe's top-10 ids
@@ -7490,6 +7521,8 @@ REGISTRY = {
     "q_market_share": q_market_share,
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_large_orders": q_large_orders,
+    "mm_webp_meta": mm_webp_meta,
+    "mm_ogg_meta": mm_ogg_meta,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

@@ -1860,3 +1860,275 @@ class FlacMetaParser:
             "duration_us": _masked(4),
             "n_blocks": _masked(5),
         })
+
+
+# ------------------------------------------------------------ real WebP
+# WebP is a RIFF container (like WAV) whose three chunk variants carry
+# their dimensions in three DIFFERENT encodings — VP8 in the lossy
+# frame header behind a start code, VP8L in a 14+14+1+3-bit
+# little-endian bitstream (the bit-packed exercise), VP8X in 24-bit
+# minus-one fields.  All three are parsed for real; the VP8/VP8L
+# entropy-coded payloads remain declared stubs (the mdat doctrine).
+
+def encode_webp_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL WebP containers with closed
+    forms for the oracle — w = id%300+1, h = id%200+1, variant
+    id%3 in {VP8, VP8L, VP8X}, has_alpha = id%2 for the variants that
+    can carry it (VP8 cannot).  VP8X ids nest an ALPH chunk (when the
+    alpha flag is set) and a real VP8 frame chunk, so the chunk walk
+    sees multi-chunk files at every scale."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = int(i % 300 + 1)
+        h = int(i % 200 + 1)
+        alpha = int(i % 2)
+        variant = int(i % 3)
+
+        def vp8_chunk(w=w, h=h, i=i):
+            version = int(i % 4)
+            part_size = int(i % 50 + 1)
+            tag = (0 | (version << 1) | (1 << 4) | (part_size << 5))
+            body = struct.pack("<I", tag)[:3]
+            body += b"\x9d\x01\x2a"
+            body += struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+            body += bytes(((int(i) + j) % 256 for j in range(part_size)))
+            return b"VP8 " + struct.pack("<I", len(body)) + body \
+                + (b"\x00" if len(body) & 1 else b"")
+
+        if variant == 0:
+            chunks = vp8_chunk()
+        elif variant == 1:
+            bits = ((w - 1) & 0x3FFF) | (((h - 1) & 0x3FFF) << 14) \
+                | (alpha << 28) | (0 << 29)
+            body = b"\x2f" + struct.pack("<I", bits)
+            body += bytes(((int(i) * 3 + j) % 256
+                           for j in range(int(i % 20 + 1))))
+            chunks = b"VP8L" + struct.pack("<I", len(body)) + body \
+                + (b"\x00" if len(body) & 1 else b"")
+        else:
+            flags = (alpha << 4)  # bit 4: alpha (RFC 9649 layout)
+            body = bytes((flags, 0, 0, 0))
+            body += struct.pack("<I", w - 1)[:3]
+            body += struct.pack("<I", h - 1)[:3]
+            chunks = b"VP8X" + struct.pack("<I", len(body)) + body
+            if alpha:
+                ab = bytes((0,)) + bytes(((int(i) + j) % 256
+                                          for j in range(int(i % 9 + 1))))
+                chunks += b"ALPH" + struct.pack("<I", len(ab)) + ab \
+                    + (b"\x00" if len(ab) & 1 else b"")
+            chunks += vp8_chunk()
+        payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) \
+            + b"WEBP" + chunks
+        payloads.append(payload)
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["image/webp"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class WebpMetaParser:
+    """Actor-pool REAL WebP container parse: RIFF validation, chunk
+    walk with word alignment, then the variant-specific dimension
+    decode — VP8 lossy frame header (start-code check, 14-bit w/h),
+    VP8L bit-packed header (signature byte, 14+14+1+3 LE bits), VP8X
+    24-bit minus-one canvas fields + feature flags.  Malformed
+    payloads dead-letter as ``decode_ok = false``."""
+
+    def _parse(self, p: bytes):
+        import struct
+
+        if not p or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+            return None
+        if struct.unpack("<I", p[4:8])[0] != len(p) - 8:
+            return None
+        pos, chunks = 12, []
+        while pos + 8 <= len(p):
+            cid = p[pos:pos + 4]
+            size = struct.unpack("<I", p[pos + 4:pos + 8])[0]
+            body = p[pos + 8:pos + 8 + size]
+            if len(body) != size:
+                return None
+            chunks.append((cid, body))
+            pos += 8 + size + (size & 1)
+        if not chunks:
+            return None
+        cid, body = chunks[0]
+        if cid == b"VP8 ":
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                return None
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return "VP8", w, h, 0, len(chunks)
+        if cid == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                return None
+            bits = struct.unpack("<I", body[1:5])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            if (bits >> 29) & 0x7:          # version must be 0
+                return None
+            return "VP8L", w, h, alpha, len(chunks)
+        if cid == b"VP8X":
+            if len(body) < 10:
+                return None
+            alpha = (body[0] >> 4) & 1
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            return "VP8X", w, h, alpha, len(chunks)
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._parse(p) for p in batch["payload"].to_pylist()]
+        ok = pa.array([r is not None for r in rows])
+
+        def col(k, typ):
+            return pa.array([r[k] if r is not None else None
+                             for r in rows], typ)
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": ok,
+            "fmt": col(0, pa.string()),
+            "width": col(1, pa.int64()),
+            "height": col(2, pa.int64()),
+            "has_alpha": col(3, pa.int64()),
+            "n_chunks": col(4, pa.int64()),
+        })
+
+
+# ------------------------------------------------------------- real Ogg
+# Ogg (RFC 3533) is the page-framed transport under Vorbis/Opus/FLAC
+# streams.  Unlike every other container here it carries a REAL
+# non-reflected CRC-32 (poly 0x04C11DB7, init 0, no final xor) over
+# each page — the parser recomputes and enforces it, so this stage
+# exercises actual integrity verification, not just field extraction.
+
+#: Byte bit-reversal table: the Ogg CRC is the NON-reflected form of
+#: the CRC-32 polynomial, and GF(2) polynomial division commutes with
+#: bit order — so ogg_crc(m) = rev32(zlib_raw_crc(bitrev_bytes(m)))
+#: with zlib's init/xorout conditioning cancelled.  That turns the
+#: per-byte Python table walk into two C calls (bytes.translate +
+#: zlib.crc32); the slow spec-literal table implementation lives in
+#: tests/test_round5b_ops.py as the independent reference the fast
+#: path must agree with (the adpcm/jpeg two-decoders doctrine).
+_BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
+
+def _ogg_crc(data: bytes) -> int:
+    import zlib
+
+    raw = zlib.crc32(data.translate(_BITREV), 0xFFFFFFFF) ^ 0xFFFFFFFF
+    return int(f"{raw:032b}"[::-1], 2)
+
+
+def encode_ogg_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL Ogg streams with closed
+    forms — n_pages = id%5+1, serial = (id*7+13)%100000, page p's
+    payload length = (id*3+p*7)%600+1 (so the 255-lacing split and
+    the 0-terminator branch both occur), granule = (id%97+1)*1000+p,
+    BOS/EOS flags on the first/last page, REAL page CRCs."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        n_pages = int(i % 5 + 1)
+        serial = int((i * 7 + 13) % 100000)
+        out = bytearray()
+        for p in range(n_pages):
+            length = int((i * 3 + p * 7) % 600 + 1)
+            full, rem = divmod(length, 255)
+            lacing = bytes([255] * full + [rem])
+            body = bytes(((int(i) + p + j) % 256 for j in range(length)))
+            htype = (0x02 if p == 0 else 0) | \
+                (0x04 if p == n_pages - 1 else 0)
+            granule = int((i % 97 + 1) * 1000 + p)
+            page = bytearray(b"OggS\x00")
+            page.append(htype)
+            page += struct.pack("<qII", granule, serial, p)
+            page += b"\x00\x00\x00\x00"          # CRC placeholder
+            page.append(len(lacing))
+            page += lacing + body
+            crc = _ogg_crc(bytes(page))
+            page[22:26] = struct.pack("<I", crc)
+            out += page
+        payloads.append(bytes(out))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["audio/ogg"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class OggMetaParser:
+    """Actor-pool REAL Ogg page walk (RFC 3533): capture-pattern and
+    version checks, lacing-table packet accounting, granule/serial
+    extraction, BOS/EOS flag accounting — and per-page CRC-32
+    RE-VERIFICATION against the spec polynomial, so a flipped bit
+    anywhere in a page dead-letters the document."""
+
+    def _parse(self, p: bytes):
+        import struct
+
+        pos, n_pages, n_packets, total = 0, 0, 0, 0
+        serial0, last_granule, saw_bos, saw_eos = None, None, False, False
+        while pos < len(p):
+            if pos + 27 > len(p) or p[pos:pos + 4] != b"OggS" \
+                    or p[pos + 4] != 0:
+                return None
+            htype = p[pos + 5]
+            granule, serial, seq = struct.unpack(
+                "<qII", p[pos + 6:pos + 22])
+            crc_stored = struct.unpack("<I", p[pos + 22:pos + 26])[0]
+            nseg = p[pos + 26]
+            seg_end = pos + 27 + nseg
+            if seg_end > len(p):
+                return None
+            lacing = p[pos + 27:seg_end]
+            body_len = sum(lacing)
+            page_end = seg_end + body_len
+            if page_end > len(p):
+                return None
+            page = bytearray(p[pos:page_end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if _ogg_crc(bytes(page)) != crc_stored:
+                return None
+            if serial0 is None:
+                serial0 = serial
+            elif serial != serial0:
+                return None
+            if seq != n_pages:
+                return None
+            n_pages += 1
+            n_packets += sum(1 for v in lacing if v < 255)
+            total += body_len
+            saw_bos |= bool(htype & 0x02)
+            saw_eos |= bool(htype & 0x04)
+            last_granule = granule
+            pos = page_end
+        if n_pages == 0 or not saw_bos or not saw_eos:
+            return None
+        return n_pages, n_packets, serial0, last_granule, total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._parse(p) for p in batch["payload"].to_pylist()]
+        ok = pa.array([r is not None for r in rows])
+
+        def col(k):
+            return pa.array([r[k] if r is not None else None
+                             for r in rows], pa.int64())
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": ok,
+            "n_pages": col(0),
+            "n_packets": col(1),
+            "serial": col(2),
+            "last_granule": col(3),
+            "payload_bytes": col(4),
+        })

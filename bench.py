@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     # error-run islands, tool co-occurrence lift)
     "q_volume_shipping", "q_market_share", "q_small_qty_revenue",
     "q_large_orders", "t_error_runs", "t_tool_lift",
+    "mm_webp_meta", "mm_ogg_meta",
 ]
 
 

@@ -550,3 +550,94 @@ def test_large_orders_oracle_law():
         assert int(r.c_custkey) == int(o.o_custkey)
         assert r.c_name == cmap.loc[int(o.o_custkey)]
         assert int(r.o_totalprice_e2) == int(round(o.o_totalprice * 100))
+
+
+def test_webp_parser_variants_and_poison():
+    """All three WebP chunk variants decode to the fixture closed
+    forms; malformed containers dead-letter."""
+    from alco_ray.stages.multimodal import WebpMetaParser, encode_webp_batch
+
+    ids = list(range(60))
+    enc = encode_webp_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = WebpMetaParser()(enc).to_pylist()
+    for i, r in zip(ids, out):
+        assert r["decode_ok"] is True
+        assert r["fmt"] == ["VP8", "VP8L", "VP8X"][i % 3]
+        assert r["width"] == i % 300 + 1
+        assert r["height"] == i % 200 + 1
+        assert r["has_alpha"] == (0 if i % 3 == 0 else i % 2)
+        assert r["n_chunks"] == (1 if i % 3 < 2 else 2 + i % 2)
+    good = enc["payload"][0].as_py()       # VP8 variant
+    goodl = enc["payload"][1].as_py()      # VP8L variant
+    poison = [
+        good[:11],                              # truncated header
+        b"RIFX" + good[4:],                     # bad RIFF magic
+        good[:8] + b"WAVE" + good[12:],         # wrong form type
+        good[:15] + b"\xff" + good[16:],        # VP8 start code broken
+        goodl[:20] + b"\x01" + goodl[21:],      # VP8L version != 0
+    ]
+    bad = pa.table({
+        "doc_id": pa.array(list(range(len(poison))), pa.int64()),
+        "payload": pa.array(poison, pa.binary())})
+    br = WebpMetaParser()(bad).to_pylist()
+    assert all(r["decode_ok"] is False for r in br[:4])
+    # start-code poison on the VP8 path must dead-letter too
+    assert br[3]["decode_ok"] is False
+
+
+def test_ogg_parser_crc_and_poison():
+    """Ogg page walk: closed forms back out, the fast zlib-transform
+    CRC agrees with the spec-literal table implementation, and a
+    single flipped payload bit dead-letters via CRC."""
+    from alco_ray.stages.multimodal import (OggMetaParser, _ogg_crc,
+                                            encode_ogg_batch)
+
+    # independent spec-literal reference CRC (slow table walk)
+    tbl = []
+    for b in range(256):
+        r = b << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                else (r << 1) & 0xFFFFFFFF
+        tbl.append(r)
+
+    def ref_crc(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc = ((crc << 8) & 0xFFFFFFFF) ^ tbl[((crc >> 24) ^ b) & 0xFF]
+        return crc
+
+    import os
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 27, 400):
+        m = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _ogg_crc(m) == ref_crc(m)
+
+    ids = list(range(120))
+    enc = encode_ogg_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = OggMetaParser()(enc).to_pylist()
+    for i, r in zip(ids, out):
+        n = i % 5 + 1
+        assert r["decode_ok"] is True
+        assert r["n_pages"] == n and r["n_packets"] == n
+        assert r["serial"] == (i * 7 + 13) % 100000
+        assert r["last_granule"] == (i % 97 + 1) * 1000 + n - 1
+        assert r["payload_bytes"] == sum(
+            (i * 3 + p * 7) % 600 + 1 for p in range(n))
+    # the length rotation really exercises the 255-lacing split
+    assert any((i * 3 + p * 7) % 600 + 1 >= 255
+               for i in ids for p in range(i % 5 + 1))
+
+    good = bytearray(enc["payload"][3].as_py())
+    flipped = bytes(good[:-1] + bytes([good[-1] ^ 1]))
+    poison = [
+        flipped,                                 # CRC mismatch
+        bytes(good)[:20],                        # truncated page
+        b"OggX" + bytes(good)[4:],               # bad capture pattern
+        bytes(good[:4]) + b"\x01" + bytes(good[5:]),  # bad version
+    ]
+    bad = pa.table({
+        "doc_id": pa.array(list(range(len(poison))), pa.int64()),
+        "payload": pa.array(poison, pa.binary())})
+    br = OggMetaParser()(bad).to_pylist()
+    assert all(r["decode_ok"] is False for r in br)
