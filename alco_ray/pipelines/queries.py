@@ -2205,6 +2205,19 @@ def d_jaccard_pairs(sf_dir: str):
     return dedup.jaccard_pairs(ds, threshold=0.5, max_shingle_freq=None)
 
 
+def d_containment(sf_dir: str):
+    """DIRECTED containment near-dup pairs (stages/dedup.
+    containment_pairs): C(A->B) = |sh(A) ∩ sh(B)| / |sh(A)| >= 0.8 —
+    the asymmetric relation Jaccard misses (a short doc quoted whole
+    inside a long one: J ≈ |A|/|B| small, containment 1.0; the
+    sub-document duplication signal for quote/boilerplate removal).
+    Same bucketed shingle-hash exchange as d_jaccard_pairs, directed
+    feasibility prune, exact integer threshold, n >= 5 shingle
+    guard."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.containment_pairs(ds, threshold=0.8, min_shingles=5)
+
+
 # Sidecar artifacts under /tmp/alco_ray_cache/<sf>/: intermediate
 # hash-family outputs (LSH candidates, SimHash signatures) written by
 # the engine at query time so the DuckDB oracle can consume the SAME
@@ -2558,6 +2571,27 @@ def v_knn_multi(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return similarity.knn_brute_multi(
         ds, qmat, qt["vec_id"].to_numpy(), k=10)
+
+
+def v_triplet_mining(sf_dir: str):
+    """HARD-TRIPLET mining (stages/similarity.triplet_mine): for each
+    anchor (the bounded probe set vec_id % 50 == 0), the nearest
+    same-label vector (positive, self excluded) and nearest
+    different-label vector (hard negative) by exact cosine — the
+    contrastive-training pair generator.  One matmul + 2q masked
+    lexsorts per block, 2q local winners out, driver merges
+    blocks x 2q rows; anchors broadcast once."""
+    at = pq.read_table(_tp(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding", "label"])
+    vids = at["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    at = at.filter(pa.array(vids % 50 == 0)).sort_by("vec_id")
+    amat = np.array([np.asarray(v, dtype=np.float64)
+                     for v in at["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    return similarity.triplet_mine(
+        ds, amat, at["vec_id"].to_numpy(),
+        at["label"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 
 def _corpus_sig(sf_dir: str, table: str) -> str:
@@ -6799,6 +6833,86 @@ def q_large_orders(sf_dir: str):
         "sum_qty": pa.array([int(qmap[o]) for o in ok], pa.int64())})
 
 
+def q_min_cost_supp(sf_dir: str):
+    """TPC-H Q2-shaped minimum-cost supplier (adapted to this schema:
+    lineitem is the part-supplier price relation): for every ECONOMY
+    part, the supplier with the lowest EXACT integer unit price
+    floor(cents * 10^4 / qty) across its shipments, ties to the
+    lowest suppkey.  Scale shape: the 1/6 partkey set broadcasts and
+    filters lineitem in place; per-batch pandas partials collapse to
+    one (partkey, best-up, best-supp) row per partkey per block
+    BEFORE the one partkey-hash exchange; supplier names attach to
+    the part-bounded result via a driver dict over the pruned
+    dimension read (broadcast-side, never a fact shuffle)."""
+    import pandas as pd
+
+    part = pq.read_table(_tp(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    pkeys = pc.cast(part.filter(pc.equal(part["p_type"], "ECONOMY"))
+                    ["p_partkey"], pa.int64()).combine_chunks()
+    if isinstance(pkeys, pa.ChunkedArray):
+        pkeys = pkeys.combine_chunks()
+    pkeys = pkeys.take(pc.array_sort_indices(pkeys))
+    pref = ray.put(pkeys)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial_best(b: pa.Table) -> pa.Table:
+        ks = ray.get(pref)
+        b = b.filter(pc.is_in(pc.cast(b["l_partkey"], pa.int64()),
+                              value_set=ks))
+        if b.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "up": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        qty = pc.cast(pc.round(b["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64()).to_numpy()
+        up = cents * 10_000 // qty
+        df = pd.DataFrame({
+            "l_partkey": pc.cast(b["l_partkey"],
+                                 pa.int64()).to_numpy(),
+            "up": up,
+            "l_suppkey": pc.cast(b["l_suppkey"],
+                                 pa.int64()).to_numpy()})
+        df = df.sort_values(["l_partkey", "up", "l_suppkey"],
+                            kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates("l_partkey"), preserve_index=False)
+
+    def final_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "up", "l_suppkey"],
+                          kind="mergesort")
+        return g.drop_duplicates("l_partkey")
+
+    best = agg_stage.concat_nonempty(ray.get(
+        li.map_batches(partial_best, batch_format="pyarrow")
+          .groupby("l_partkey")
+          .map_groups(final_best, batch_format="pandas")
+          .to_arrow_refs()))
+    if best.num_columns == 0:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "min_unit_e6": pa.array([], pa.int64())})
+    supp = pq.read_table(_tp(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"])
+    smap = dict(zip(pc.cast(supp["s_suppkey"],
+                            pa.int64()).to_pylist(),
+                    supp["s_name"].to_pylist()))
+    sk = [int(v) for v in best["l_suppkey"].to_pylist()]
+    return pa.table({
+        "p_partkey": best["l_partkey"],
+        "s_suppkey": pa.array(sk, pa.int64()),
+        "s_name": pa.array([smap[s] for s in sk], pa.string()),
+        "min_unit_e6": best["up"]})
+
+
 def t_error_runs(sf_dir: str):
     """GAPS-AND-ISLANDS over parsed level: per conversation, the
     longest run of CONSECUTIVE ERROR turns and the number of distinct
@@ -7523,6 +7637,9 @@ REGISTRY = {
     "q_large_orders": q_large_orders,
     "mm_webp_meta": mm_webp_meta,
     "mm_ogg_meta": mm_ogg_meta,
+    "d_containment": d_containment,
+    "v_triplet_mining": v_triplet_mining,
+    "q_min_cost_supp": q_min_cost_supp,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

@@ -335,6 +335,92 @@ def jaccard_pairs(ds, threshold: float = 0.5, *, text_col: str = "text",
         sum_finalize, batch_format="pandas")
 
 
+def containment_pairs(ds, threshold: float = 0.8, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, min_shingles: int = 5,
+                      max_shingle_freq: int | None = None,
+                      n_buckets: int | None = None):
+    """DIRECTED n-gram containment pairs: C(A->B) = |sh(A) ∩ sh(B)|
+    / |sh(A)| >= threshold — the asymmetric near-dup relation Jaccard
+    misses (a short document quoted whole inside a long one scores
+    J ≈ |A|/|B| but containment 1.0).  Returns Dataset(contained,
+    container, inter, n_contained), one row PER DIRECTION that
+    passes, exact integer threshold (inter*1000 >= n_a*thr_ppt),
+    n_a >= min_shingles guards degenerate tiny docs.
+
+    Scale shape: identical to :func:`jaccard_pairs` (one shingle-hash
+    bucket exchange, bucket-local pandas self-merge, pair-hash
+    re-partitioned exact finalize) — only the feasibility prune
+    changes: a directed pass needs inter <= min(na, nb) >= thr*na,
+    so pairs where NEITHER direction satisfies thr*min <= 1000*max
+    drop before the second exchange."""
+    import pandas as pd  # noqa: F811
+
+    sh = ds.map_batches(
+        lambda b: shingle_explode(b, text_col, id_col, k),
+        batch_format="pyarrow")
+    if n_buckets is None:
+        n_buckets = suggest_pair_partitions(ds.count())
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = pc.cast(
+            pc.bit_wise_and(b["shingle"],
+                            pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int32())
+        return b.append_column("bucket", bk)
+
+    sh = sh.map_batches(bucketize, batch_format="pyarrow")
+    thr = round(threshold * 1000)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if max_shingle_freq is not None:
+            freq = g.groupby("shingle")["shingle"].transform("size")
+            g = g[freq <= max_shingle_freq]
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = (m.groupby([f"{id_col}_a", f"{id_col}_b"])
+                .agg(inter=("shingle", "size"),
+                     na=("n_shingles_a", "first"),
+                     nb=("n_shingles_b", "first"))
+                .reset_index()
+                .rename(columns={f"{id_col}_a": "doc_a",
+                                 f"{id_col}_b": "doc_b"}))
+        na = out["na"].to_numpy()
+        nb = out["nb"].to_numpy()
+        # feasibility: inter <= min(na, nb); a->b needs thr*na <=
+        # 1000*min(na, nb) i.e. thr*na <= 1000*nb; b->a symmetric.
+        ok = ((thr * na <= 1000 * nb) | (thr * nb <= 1000 * na))
+        out = out[ok]
+        out = out.assign(part2=pair_partition_ids(
+            out["doc_a"].to_numpy(), out["doc_b"].to_numpy(), n_buckets))
+        return out
+
+    pair_partials = sh.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+
+    def containment_finalize(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["doc_a", "doc_b"], sort=False)
+              .agg(inter=("inter", "sum"), na=("na", "max"),
+                   nb=("nb", "max"))
+              .reset_index())
+        inter = s["inter"].to_numpy().astype("int64")
+        na = s["na"].to_numpy().astype("int64")
+        nb = s["nb"].to_numpy().astype("int64")
+        rows = []
+        for cont_id, ctr_id, n_c in (("doc_a", "doc_b", na),
+                                     ("doc_b", "doc_a", nb)):
+            keep = (inter * 1000 >= thr * n_c) & (n_c >= min_shingles)
+            rows.append(pd.DataFrame({
+                "contained": s.loc[keep, cont_id].astype("int64"),
+                "container": s.loc[keep, ctr_id].astype("int64"),
+                "inter": inter[keep],
+                "n_contained": n_c[keep]}))
+        return pd.concat(rows, ignore_index=True)
+
+    return pair_partials.groupby("part2").map_groups(
+        containment_finalize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- MinHash
 
 N_HASHES = 64

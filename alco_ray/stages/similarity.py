@@ -162,6 +162,78 @@ def knn_brute_multi(ds, query_mat, qids, k: int = 10, *,
     }))
 
 
+def triplet_mine(ds, anchor_mat, anchor_ids, anchor_labels, *,
+                 col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label"):
+    """HARD-TRIPLET mining for contrastive training: per anchor, the
+    nearest SAME-label corpus vector (positive, self excluded) and
+    the nearest DIFFERENT-label vector (hard negative), exact cosine,
+    tie-break (-sim, vec_id).  Returns pa.Table(anchor_id, pos_id,
+    neg_id) — ids nullable when a class has no candidate.
+
+    Scale shape: the anchor matrix is the caller's BOUNDED probe set
+    broadcast once via ``ray.put`` (the knn_brute_multi contract);
+    each block pays one matmul + 2q masked lexsorts and emits at most
+    2q local-winner rows, so the driver merge holds blocks x 2q tiny
+    rows, never corpus rows."""
+    import ray
+
+    q = np.asarray(anchor_mat, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    aids = np.asarray(anchor_ids, dtype=np.int64)
+    albl = np.asarray(anchor_labels, dtype=np.int64)
+    ref = ray.put((qn, aids, albl))
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        qm, av, al = ray.get(ref)
+        m = _matrix(batch, col)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-30)
+        sims = (m / norms) @ qm.T  # (n, q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lbl = batch[label_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_a, out_c, out_s, out_same = [], [], [], []
+        for j in range(qm.shape[0]):
+            same = (lbl == al[j]) & (ids != av[j])
+            diff = lbl != al[j]
+            for mask, is_same in ((same, 1), (diff, 0)):
+                if not mask.any():
+                    continue
+                ii = np.flatnonzero(mask)
+                best = ii[np.lexsort((ids[ii], -sims[ii, j]))[0]]
+                out_a.append(av[j])
+                out_c.append(ids[best])
+                out_s.append(sims[best, j])
+                out_same.append(is_same)
+        return pa.table({
+            "anchor_id": pa.array(out_a, pa.int64()),
+            "cand_id": pa.array(out_c, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+            "is_same": pa.array(out_same, pa.int64())})
+
+    local = ds.map_batches(local_best, batch_format="pyarrow",
+                           batch_size=None)
+    from .aggregate import concat_nonempty
+    merged = concat_nonempty(ray.get(local.to_arrow_refs()))
+    pos: dict = {}
+    neg: dict = {}
+    if merged.num_columns:
+        a = merged["anchor_id"].to_numpy(zero_copy_only=False)
+        c = merged["cand_id"].to_numpy(zero_copy_only=False)
+        s = merged["sim"].to_numpy(zero_copy_only=False)
+        sm = merged["is_same"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, -s, sm, a))
+        for i in order:  # first row per (anchor, class) wins
+            d = pos if sm[i] == 1 else neg
+            d.setdefault(int(a[i]), int(c[i]))
+    return pa.table({
+        "anchor_id": pa.array(aids, pa.int64()),
+        "pos_id": pa.array([pos.get(int(v)) for v in aids], pa.int64()),
+        "neg_id": pa.array([neg.get(int(v)) for v in aids], pa.int64()),
+    })
+
+
 def range_search(ds, query_vec, tau: float, *, col: str = "embedding",
                  id_col: str = "vec_id"):
     """Radius (range) cosine search: every vector with

@@ -641,3 +641,114 @@ def test_ogg_parser_crc_and_poison():
         "payload": pa.array(poison, pa.binary())})
     br = OggMetaParser()(bad).to_pylist()
     assert all(r["decode_ok"] is False for r in br)
+
+
+def test_containment_law():
+    """Directed containment replayed brute-force over sf0.001: every
+    emitted (contained, container) pair has inter/n_contained >= 0.8
+    over literal 3-token shingle sets, and no qualifying pair is
+    missed."""
+    sf = "/root/testdata/sf0.001"
+    import re
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    sh = {}
+    for r in docs:
+        tk = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        sh[r["doc_id"]] = {" ".join(tk[i:i + 3])
+                           for i in range(len(tk) - 2)}
+    want = set()
+    items = [(d, s) for d, s in sh.items() if s]
+    for da, sa in items:
+        if len(sa) < 5:
+            continue
+        for db, sb in items:
+            if da == db:
+                continue
+            inter = len(sa & sb)
+            if inter * 1000 >= 800 * len(sa):
+                want.add((da, db, inter, len(sa)))
+
+    got = q.d_containment(sf).to_pandas()
+    got_set = {(int(r.contained), int(r.container), int(r.inter),
+                int(r.n_contained)) for r in got.itertuples()}
+    assert got_set == want
+    assert len(want) > 0
+
+    # asymmetry witness: a short doc quoted whole inside a much
+    # longer one must emit (short -> long) but NOT (long -> short)
+    import pathlib
+    import tempfile
+
+    import pandas as pd
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = ("intro words here first " + quote
+                + " and then many unrelated closing tokens follow "
+                  "one two three four five six seven eight nine ten "
+                  "eleven twelve thirteen fourteen fifteen sixteen")
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame({
+            "doc_id": np.int64([1, 2]),
+            "text": [quote, long_doc],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": np.int64([len(quote), len(long_doc)]),
+        }).to_parquet(pathlib.Path(td) / "documents.parquet")
+        syn = q.d_containment(td).to_pandas()
+        pairs = {(int(r.contained), int(r.container))
+                 for r in syn.itertuples()}
+        assert (1, 2) in pairs and (2, 1) not in pairs
+
+
+def test_triplet_mining_law():
+    """Hard-triplet mining replayed brute-force: per anchor the
+    max-cosine same-label (self excluded) and different-label ids,
+    ties to the smaller vec_id."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    X = np.stack([np.asarray(v, np.float64) for v in t.embedding])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    ids = t.vec_id.to_numpy().astype(np.int64)
+    lbl = t.label.to_numpy().astype(np.int64)
+    anchors = ids[ids % 50 == 0]
+
+    got = q.v_triplet_mining(sf).to_pandas().set_index("anchor_id")
+    assert sorted(got.index) == sorted(anchors)
+    for a in anchors:
+        ai = np.flatnonzero(ids == a)[0]
+        sims = Xn @ Xn[ai]
+        for mask, col in ((
+                (lbl == lbl[ai]) & (ids != a), "pos_id"),
+                (lbl != lbl[ai], "neg_id")):
+            if not mask.any():
+                assert got.loc[a, col] is None or np.isnan(got.loc[a, col])
+                continue
+            ii = np.flatnonzero(mask)
+            best = ii[np.lexsort((ids[ii], -sims[ii]))[0]]
+            assert int(got.loc[a, col]) == int(ids[best])
+
+
+def test_min_cost_supp_law():
+    """Q2 analog replayed in pandas: exact floor unit price, argmin
+    per part with suppkey tie-break."""
+    sf = "/root/testdata/sf0.001"
+    part = pq.read_table(f"{sf}/part.parquet").to_pandas()
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    supp = pq.read_table(f"{sf}/supplier.parquet").to_pandas()
+    pk = set(part.loc[part.p_type == "ECONOMY", "p_partkey"])
+    sub = li[li.l_partkey.isin(pk)].copy()
+    sub["up"] = (sub.l_extendedprice * 100).round().astype("int64") \
+        * 10_000 // sub.l_quantity.round().astype("int64")
+    sub = sub.sort_values(["l_partkey", "up", "l_suppkey"],
+                          kind="mergesort").drop_duplicates("l_partkey")
+    got = q.q_min_cost_supp(sf).to_pandas() \
+        .sort_values("p_partkey").reset_index(drop=True)
+    assert len(got) == len(sub)
+    smap = supp.set_index("s_suppkey")["s_name"]
+    want = sub.sort_values("l_partkey").reset_index(drop=True)
+    assert (got.p_partkey.to_numpy() == want.l_partkey.to_numpy()).all()
+    assert (got.s_suppkey.to_numpy() == want.l_suppkey.to_numpy()).all()
+    assert (got.min_unit_e6.to_numpy() == want.up.to_numpy()).all()
+    assert (got.s_name == [smap.loc[s] for s in want.l_suppkey]).all()
