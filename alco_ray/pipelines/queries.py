@@ -2594,6 +2594,24 @@ def v_triplet_mining(sf_dir: str):
         at["label"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 
+def v_pq(sf_dir: str):
+    """PRODUCT-QUANTIZATION ADC top-10 (stages/similarity.pq_probe):
+    4 subspaces x 16 centroids fitted with the pinned fixed-point
+    k-means recurrence, every vector encoded per-subspace (argmin of
+    exact integer squared distance, ties to the lowest cluster), and
+    the probe ranked by the asymmetric distance read out of the
+    (4 x 16) integer query-to-centroid table — the memory-bounded ANN
+    path for a 100-TB embedding store (codes are 4 bytes/vector vs
+    256 for the raw float64).  The fitted codebook persists as a
+    sidecar; the oracle replays ENCODE + ADC in SQL from it, so fit
+    quality is checked through the codes it induces."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    topk, cents = similarity.pq_probe(ds, _query_vec(sf_dir),
+                                      m=4, kc=16, iters=2, k=10)
+    _write_sidecar(cents, sf_dir, "pq_centroids.parquet")
+    return topk
+
+
 def _corpus_sig(sf_dir: str, table: str) -> str:
     """Source-file identity (path, size, mtime) — a persisted index
     built from a different corpus state must be rebuilt, not served."""
@@ -7640,6 +7658,7 @@ REGISTRY = {
     "d_containment": d_containment,
     "v_triplet_mining": v_triplet_mining,
     "q_min_cost_supp": q_min_cost_supp,
+    "v_pq": v_pq,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

@@ -1005,6 +1005,104 @@ def kmeans_fixed_point(ds, k: int = 8, iters: int = 3, *,
         [emit_task.remote(r, col, id_col, scale, cents) for r in refs])
 
 
+def pq_probe(ds, query_vec, *, m: int = 4, kc: int = 16,
+             iters: int = 2, k: int = 10, scale: int = 1024,
+             col: str = "embedding", id_col: str = "vec_id"):
+    """PRODUCT QUANTIZATION (Jégou et al., PAMI 2011) fit + encode +
+    ADC probe, EXACT in fixed point end to end: the embedding is
+    split into ``m`` contiguous subspaces, each fitted with the
+    pinned integer k-means recurrence (:func:`kmeans_fixed_point`,
+    ``kc`` centroids), every vector encoded as the per-subspace
+    argmin code (ties to the lowest cluster index), and the
+    asymmetric-distance top-k for ``query_vec`` computed from the
+    (m x kc) integer table of query-subvector-to-centroid squared
+    distances.  Because quantization, assignment and ADC are all
+    integer, the oracle replays ENCODE + ADC in SQL from the
+    persisted centroid sidecar — fit correctness is checked through
+    the codes it induces.
+
+    Returns ``(topk_table, centroids_long)`` — the (vec_id,
+    adc_dist, rank) top-k and the (sub, cl, jj, c) long-form
+    centroid table for the sidecar.
+
+    Scale shape: m x (iters+1) raw-task waves fit the codebooks
+    (only m*kc*d/m ints ship per wave); encode+probe is ONE
+    map_batches pass emitting k local survivors per block (the
+    knn_brute merge contract) — codes for a persistent index would
+    be written per-block, never collected."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = q.shape[0]
+    if d % m:
+        raise ValueError(f"pq_probe: dim {d} not divisible by m={m}")
+    sub_d = d // m
+
+    cents = []
+    for s in range(m):
+        lo = s * sub_d
+
+        def slicer(b: pa.Table, lo=lo) -> pa.Table:
+            mtx = _matrix(b, col)[:, lo:lo + sub_d]
+            return pa.table({id_col: b[id_col],
+                             col: pa.array(list(mtx))})
+
+        sub = ds.map_batches(slicer, batch_format="pyarrow")
+        cents.append(kmeans_fixed_point(
+            sub, k=kc, iters=iters, col=col, id_col=id_col,
+            scale=scale, centroids_only=True))
+    C = np.stack(cents)                        # (m, kc, sub_d) int64
+    qq = np.copysign(np.floor(np.abs(q * scale) + 0.5),
+                     q * scale).astype(np.int64)
+    qs = qq.reshape(m, sub_d)
+    qd = ((qs[:, None, :] - C) ** 2).sum(axis=2)   # (m, kc) int64
+    ref = ray.put((C, qd))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        Cm, qdm = ray.get(ref)
+        X = _km_quant(b, col, scale)
+        n = X.shape[0]
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.int64())})
+        Xs = X.reshape(n, m, sub_d)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            xsq = (Xs[:, s] ** 2).sum(axis=1)[:, None]
+            csq = (Cm[s] ** 2).sum(axis=1)[None, :]
+            dist = xsq - 2 * (Xs[:, s] @ Cm[s].T) + csq
+            codes[:, s] = dist.argmin(axis=1)    # first = lowest cl
+        adist = qdm[np.arange(m)[None, :], codes].sum(axis=1)
+        order = np.lexsort((ids, adist))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "adc_dist": pa.array(adist[order], pa.int64())})
+
+    local = ds.map_batches(local_top, batch_format="pyarrow",
+                           batch_size=None)
+    from .aggregate import concat_nonempty
+    merged = concat_nonempty(ray.get(local.to_arrow_refs()))
+    ids = merged[id_col].to_numpy(zero_copy_only=False)
+    ad = merged["adc_dist"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ad))[:k]
+    topk = pa.table({
+        id_col: pa.array(ids[order], pa.int64()),
+        "adc_dist": pa.array(ad[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
+    subs, cls, jjs, vals = [], [], [], []
+    for s in range(m):
+        for c in range(kc):
+            for j in range(sub_d):
+                subs.append(s); cls.append(c); jjs.append(j)
+                vals.append(int(C[s, c, j]))
+    cent_long = pa.table({
+        "sub": pa.array(subs, pa.int64()),
+        "cl": pa.array(cls, pa.int64()),
+        "jj": pa.array(jjs, pa.int64()),
+        "c": pa.array(vals, pa.int64())})
+    return topk, cent_long
+
+
 # ------------------------------------------------ fixed-point power PCA
 
 def pca_power_fixed_point(ds, *, iters: int = 4, col: str = "embedding",

@@ -113,7 +113,7 @@ BENCH_QUERIES = [
     "q_volume_shipping", "q_market_share", "q_small_qty_revenue",
     "q_large_orders", "t_error_runs", "t_tool_lift",
     "mm_webp_meta", "mm_ogg_meta",
-    "d_containment", "v_triplet_mining", "q_min_cost_supp",
+    "d_containment", "v_triplet_mining", "q_min_cost_supp", "v_pq",
 ]
 
 

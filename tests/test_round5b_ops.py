@@ -752,3 +752,60 @@ def test_min_cost_supp_law():
     assert (got.s_suppkey.to_numpy() == want.l_suppkey.to_numpy()).all()
     assert (got.min_unit_e6.to_numpy() == want.up.to_numpy()).all()
     assert (got.s_name == [smap.loc[s] for s in want.l_suppkey]).all()
+
+
+def test_pq_probe_law():
+    """PQ replayed brute-force over sf0.001: fixed-point subspace
+    codebooks induce first-occurrence-argmin codes, ADC = sum of the
+    query's per-subspace distances at those codes, top-10 ordered by
+    (adist, vec_id)."""
+    import ray
+
+    from alco_ray.stages.similarity import kmeans_fixed_point, pq_probe
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    Xq = np.copysign(np.floor(np.abs(X * 1024) + 0.5),
+                     X * 1024).astype(np.int64)
+    m, kc, d = 4, 16, X.shape[1]
+    sd = d // m
+
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qvec = X[ids == 0][0]
+    topk, cents = pq_probe(ds, qvec, m=m, kc=kc, iters=2, k=10)
+
+    # rebuild C from the long-form sidecar table and replay
+    C = np.zeros((m, kc, sd), np.int64)
+    for r in cents.to_pylist():
+        C[r["sub"], r["cl"], r["jj"]] = r["c"]
+    # the sidecar codebook must BE the pinned kmeans fixed point
+    for s in range(m):
+        sub_tbl = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(X[:, s * sd:(s + 1) * sd]))})
+        want_c = kmeans_fixed_point(
+            ray.data.from_arrow(sub_tbl), k=kc, iters=2,
+            centroids_only=True)
+        assert (C[s] == want_c).all()
+
+    Xs = Xq.reshape(len(ids), m, sd)
+    codes = np.empty((len(ids), m), np.int64)
+    for s in range(m):
+        dist = ((Xs[:, s][:, None, :] - C[s][None]) ** 2).sum(axis=2)
+        codes[:, s] = dist.argmin(axis=1)
+    qsub = Xq[ids == 0][0].reshape(m, sd)
+    qd = ((qsub[:, None, :] - C) ** 2).sum(axis=2)
+    adist = qd[np.arange(m)[None, :], codes].sum(axis=1)
+    order = np.lexsort((ids, adist))[:10]
+
+    got = topk.to_pylist()
+    assert [r["vec_id"] for r in got] == [int(ids[i]) for i in order]
+    assert [r["adc_dist"] for r in got] == [int(adist[i]) for i in order]
+    # ADC is an approximation with teeth: its top-10 must overlap the
+    # exact top-10 (the query itself is always ADC-reachable)
+    exact = np.lexsort((ids, -((Xq @ Xq[ids == 0][0]))))[:10]
+    assert len({int(ids[i]) for i in exact}
+               & {r["vec_id"] for r in got}) >= 1
