@@ -1307,6 +1307,61 @@ def e_funnel(sf_dir: str):
             "part").map_groups(body, batch_format="pandas")
 
 
+def e_conversion_lag(sf_dir: str):
+    """TIME-TO-CONVERT: per user, the exact microsecond lag from the
+    FIRST signup to the FIRST purchase at-or-after it — the funnel
+    latency metric e_funnel's count can't express.  Both event types
+    push to the read; ONE user-hash partition co-locates each user's
+    rows; the kernel is three vectorized pandas passes (min signup,
+    conditional-min purchase via a merge, epoch subtraction); users
+    that never convert emit no row, so the output is
+    converter-sized."""
+    import pyarrow.dataset as pads
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"],
+               filter=pads.field("event_type").isin(
+                   ["signup", "purchase"]))
+
+    def body(g: "pd.DataFrame") -> "pd.DataFrame":
+        sg = (g[g["event_type"] == "signup"]
+              .groupby("user_id")["ts"].min())
+        if len(sg) == 0:
+            return pd.DataFrame({
+                "user_id": np.array([], np.int64),
+                "lag_us": np.array([], np.int64)})
+        pur = g[g["event_type"] == "purchase"]
+        m = pur.merge(sg.rename("fs"), left_on="user_id",
+                      right_index=True)
+        m = m[m["ts"] >= m["fs"]]
+        first = m.groupby("user_id").agg(ts=("ts", "min"),
+                                         fs=("fs", "first"))
+        lag = (first["ts"].astype("datetime64[us]").astype("int64")
+               - first["fs"].astype("datetime64[us]").astype("int64"))
+        return pd.DataFrame({
+            "user_id": first.index.to_numpy().astype(np.int64),
+            "lag_us": lag.to_numpy().astype(np.int64)})
+
+    return window.partition_by_key(
+        ds, "user_id",
+        approx_rows=_nrows(_tp(sf_dir, "events"))).groupby(
+            "part").map_groups(body, batch_format="pandas")
+
+
+def v_cluster_purity(sf_dir: str):
+    """CLUSTER-PURITY audit of the labeled embedding table
+    (stages/similarity.cluster_purity): per label, members sitting
+    closer (exact integer squared distance, quantized scale 1024) to
+    another label's truncating-division centroid than their own —
+    the confusion readout every clustering / auto-labeling stage
+    needs before its labels feed a mixture sampler.  Centroid state
+    is schema-sized, the confusion pass broadcasts the (L x d)
+    matrix, the fold is bounded by |labels|."""
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    return similarity.cluster_purity(ds)
+
+
 def q_returns_topk(sf_dir: str):
     """Q10-like top-20 customers by RETURNED-item revenue: the flag
     predicate pushes to the lineitem read, per-order cents
@@ -5774,7 +5829,14 @@ def d_dsir(sf_dir: str):
         return pa.table({"token": b["token"],
                          "ratio": pa.array(r.astype(np.int64))})
 
-    rt = g.map_batches(ratio, batch_format="pyarrow")
+    # The grouped aggregate can emit zero-row EMPTY-SCHEMA blocks that
+    # the ratio map never sees (no batches to feed it) and the join's
+    # shuffle finalize then rejects ("no match for FieldRef token") —
+    # observed intermittently under a busy session.  Drop them with
+    # metadata-sized probes; the vocab blocks themselves stay put.
+    rt = agg_stage.drop_empty_blocks(
+        g.map_batches(ratio, batch_format="pyarrow"),
+        pa.schema([("token", pa.string()), ("ratio", pa.int64())]))
 
     def tf_partial(b: pa.Table) -> pa.Table:
         toks = text.token_explode(b)
@@ -7659,6 +7721,8 @@ REGISTRY = {
     "v_triplet_mining": v_triplet_mining,
     "q_min_cost_supp": q_min_cost_supp,
     "v_pq": v_pq,
+    "e_conversion_lag": e_conversion_lag,
+    "v_cluster_purity": v_cluster_purity,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

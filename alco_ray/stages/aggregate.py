@@ -36,6 +36,33 @@ def concat_nonempty(parts: list[pa.Table]) -> pa.Table:
     return with_schema[0] if with_schema else pa.table({})
 
 
+def drop_empty_blocks(ds, empty_schema: pa.Schema):
+    """Rebuild a Dataset without Ray's schema-less EMPTY blocks.
+
+    A hash-shuffle Aggregate (and any fully-filtering map) can emit
+    zero-row blocks carrying an EMPTY schema; ``Dataset.join`` then
+    dies in the HashShuffleAggregator finalize with "No match ... for
+    key field reference" because the key column is absent from that
+    block (observed intermittently on d_dsir's vocab join under a
+    busy session).  Row counts come from metadata-sized remote probes
+    — block payloads never move to the driver; if everything was
+    empty, one TYPED empty block (``empty_schema``) keeps downstream
+    joins schema-stable."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    refs = ds.materialize().to_arrow_refs()
+    keep = [r for r, n in zip(refs, ray.get([_rows.remote(r)
+                                             for r in refs])) if n]
+    if not keep:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    return ray.data.from_arrow_refs(keep)
+
+
 def fold_partials(partial_ds, keys: list[str], aggs: list[tuple[str, str]],
                   empty_schema: pa.Schema | None = None) -> pa.Table:
     """Collect per-block partial-aggregate tables and merge driver-side.

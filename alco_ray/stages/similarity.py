@@ -1005,6 +1005,80 @@ def kmeans_fixed_point(ds, k: int = 8, iters: int = 3, *,
         [emit_task.remote(r, col, id_col, scale, cents) for r in refs])
 
 
+def cluster_purity(ds, *, scale: int = 1024, col: str = "embedding",
+                   id_col: str = "vec_id", label_col: str = "label"):
+    """CLUSTER PURITY / confusion audit over a labeled embedding
+    table — the eval every labeling or clustering stage needs: per
+    label, how many member vectors sit CLOSER (exact integer squared
+    distance in quantized units) to another label's centroid than to
+    their own.  Centroids are the truncating-division means of the
+    quantized vectors (the kmeans update step), so the whole chain is
+    integer and a SQL oracle reproduces it bit-for-bit.
+
+    Returns pa.Table(label, n_members, n_confused).
+
+    Scale shape: centroids come from :func:`label_vector_sums`
+    (per-block (label, dim) partials, bounded driver fold — schema-
+    sized state); the confusion pass is one map_batches with the
+    (L x d) centroid matrix broadcast, each block emitting <= L
+    partial rows; final fold is bounded by |labels|."""
+    import ray
+
+    from .aggregate import concat_nonempty
+
+    sums = concat_nonempty(ray.get(
+        label_vector_sums(ds, vec_col=col, label_col=label_col,
+                          scale=scale).to_arrow_refs()))
+    labels = np.unique(sums[label_col].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+    d = int(sums["dim"].to_numpy().max())
+    C = np.zeros((len(labels), d), np.int64)
+    lidx = {int(v): i for i, v in enumerate(labels)}
+    svals = sums["s"].to_numpy(zero_copy_only=False)
+    nvals = sums["n"].to_numpy(zero_copy_only=False)
+    lvals = sums[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dvals = sums["dim"].to_numpy(zero_copy_only=False)
+    for lab, dim, s, n in zip(lvals, dvals, svals, nvals):
+        C[lidx[int(lab)], int(dim) - 1] = \
+            (abs(int(s)) // int(n)) * (1 if s >= 0 else -1)
+    ref = ray.put((labels, C))
+
+    def local(b: pa.Table) -> pa.Table:
+        labs, Cm = ray.get(ref)
+        X = _km_quant(b, col, scale)
+        n = X.shape[0]
+        if n == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64()),
+                             "n_confused": pa.array([], pa.int64())})
+        lbl = b[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        xsq = (X ** 2).sum(axis=1)[:, None]
+        csq = (Cm ** 2).sum(axis=1)[None, :]
+        d2 = xsq - 2 * (X @ Cm.T) + csq          # (n, L) exact int64
+        own_ix = np.searchsorted(labs, lbl)
+        own_d = d2[np.arange(n), own_ix]
+        masked = d2.copy()
+        masked[np.arange(n), own_ix] = np.iinfo(np.int64).max
+        other_d = masked.min(axis=1)
+        confused = (other_d < own_d).astype(np.int64)
+        order = np.argsort(lbl, kind="stable")
+        ul, starts = np.unique(lbl[order], return_index=True)
+        members = np.diff(np.append(starts, n))
+        conf = np.add.reduceat(confused[order], starts)
+        return pa.table({"label": pa.array(ul, pa.int64()),
+                         "n_members": pa.array(members, pa.int64()),
+                         "n_confused": pa.array(conf, pa.int64())})
+
+    from .aggregate import fold_partials
+    return fold_partials(
+        ds.map_batches(local, batch_format="pyarrow"),
+        ["label"], [("n_members", "sum"), ("n_confused", "sum")],
+        empty_schema=pa.schema([("label", pa.int64()),
+                                ("n_members", pa.int64()),
+                                ("n_confused", pa.int64())]))
+
+
 def pq_probe(ds, query_vec, *, m: int = 4, kc: int = 16,
              iters: int = 2, k: int = 10, scale: int = 1024,
              col: str = "embedding", id_col: str = "vec_id"):

@@ -809,3 +809,57 @@ def test_pq_probe_law():
     exact = np.lexsort((ids, -((Xq @ Xq[ids == 0][0]))))[:10]
     assert len({int(ids[i]) for i in exact}
                & {r["vec_id"] for r in got}) >= 1
+
+
+def test_conversion_lag_law():
+    """Time-to-convert replayed row-by-row over sf0.001: first signup,
+    first purchase at-or-after it, exact microsecond lag, converters
+    only."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["user_id", "ts", "event_type"]).to_pandas()
+    want = {}
+    for uid, g in t.groupby("user_id"):
+        sg = g.loc[g.event_type == "signup", "ts"]
+        if sg.empty:
+            continue
+        t0 = sg.min()
+        pur = g.loc[(g.event_type == "purchase") & (g.ts >= t0), "ts"]
+        if pur.empty:
+            continue
+        want[int(uid)] = int((pur.min().value - t0.value) // 1000)
+
+    got = q.e_conversion_lag(sf).to_pandas()
+    got_map = dict(zip(got.user_id.astype(int), got.lag_us.astype(int)))
+    assert got_map == want
+    assert len(want) > 0
+
+
+def test_cluster_purity_law():
+    """Cluster purity replayed brute-force: truncating-division
+    centroids over quantized vectors, strict-inequality confusion."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.stack([np.asarray(v, np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    lbl = t.column("label").to_numpy().astype(np.int64)
+    Xq = np.copysign(np.floor(np.abs(X * 1024) + 0.5),
+                     X * 1024).astype(np.int64)
+    labels = np.unique(lbl)
+    C = np.zeros((len(labels), X.shape[1]), np.int64)
+    for i, L in enumerate(labels):
+        s = Xq[lbl == L].sum(axis=0)
+        n = (lbl == L).sum()
+        C[i] = np.sign(s) * (np.abs(s) // n)
+    d2 = ((Xq[:, None, :] - C[None]) ** 2).sum(axis=2)
+    own_ix = np.searchsorted(labels, lbl)
+    own = d2[np.arange(len(lbl)), own_ix]
+    masked = d2.copy()
+    masked[np.arange(len(lbl)), own_ix] = np.iinfo(np.int64).max
+    other = masked.min(axis=1)
+
+    got = q.v_cluster_purity(sf).to_pandas().set_index("label")
+    for i, L in enumerate(labels):
+        assert int(got.loc[L, "n_members"]) == int((lbl == L).sum())
+        assert int(got.loc[L, "n_confused"]) == int(
+            ((other < own) & (lbl == L)).sum())
