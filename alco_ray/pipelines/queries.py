@@ -6821,13 +6821,13 @@ def q_large_orders(sf_dir: str):
     line quantity exceeds 300 units, with its customer.  Scale shape:
     the per-orderkey quantity sum is the one unavoidable unbounded-key
     exchange (map-side per-batch partials collapse duplicate orderkeys
-    before the hash shuffle); survivors are an extreme tail (5 / 46 /
-    473 rows at sf0.001/0.01/0.1), so BOTH dimension attachments run
-    as broadcast survivor-key probes over pruned orders / customer
-    scans — no second shuffle, no driver-side scan of either table.
-    Money is exact integer cents."""
-    from ray.data.aggregate import Sum
-
+    before the orderkey-hash partition + vectorized pandas fold — the
+    measured-faster shape over Ray's hash-shuffle Aggregate);
+    survivors are an extreme tail (5 / 46 / 473 rows at
+    sf0.001/0.01/0.1), so BOTH dimension attachments run as broadcast
+    survivor-key probes over pruned orders / customer scans — no
+    second shuffle, no driver-side scan of either table.  Money is
+    exact integer cents."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
     def qty_partial(b: pa.Table) -> pa.Table:
@@ -6839,16 +6839,22 @@ def q_large_orders(sf_dir: str):
              .group_by(["l_orderkey"]).aggregate([("q", "sum")]))
         return g.rename_columns(["l_orderkey", "q"])
 
-    sums = (li.map_batches(qty_partial, batch_format="pyarrow")
-              .groupby("l_orderkey")
-              .aggregate(Sum("q", alias_name="sum_qty")))
-    def over_threshold(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(b["sum_qty"], pa.scalar(300, pa.int64())))
+    def sum_and_filter(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("l_orderkey", as_index=False)["q"].sum()
+        out = out[out["q"] > 300]
+        return out.rename(columns={"q": "sum_qty"}).astype("int64")
 
-    big = pa.concat_tables(
-        ray.get(sums.map_batches(over_threshold, batch_format="pyarrow")
-                    .to_arrow_refs()))
-    if big.num_rows == 0:
+    # orderkey-hash partitions + one vectorized pandas fold per
+    # partition (the q_returns_topk shape — measured faster than
+    # Ray's hash-shuffle Aggregate on unbounded keys); the >300
+    # filter runs INSIDE the fold so only the survivor tail leaves.
+    sums = (window.partition_by_key(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        "l_orderkey", approx_rows=_nrows(_tp(sf_dir, "lineitem")))
+        .groupby("part").map_groups(sum_and_filter,
+                                    batch_format="pandas"))
+    big = agg_stage.concat_nonempty(ray.get(sums.to_arrow_refs()))
+    if big.num_columns == 0 or big.num_rows == 0:
         return pa.table({"c_custkey": pa.array([], pa.int64()),
                          "c_name": pa.array([], pa.string()),
                          "o_orderkey": pa.array([], pa.int64()),
