@@ -1637,6 +1637,84 @@ def t_role_transitions(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
+def t_templates(sf_dir: str):
+    """LOG TEMPLATE MINING (the Drain-style analytic a log pipeline
+    runs to discover message shapes): messages group by (token count,
+    first token) — the classic Drain partition key — and each
+    position is kept verbatim when every message in the group agrees
+    on it, else wildcarded to ``<*>``; out come (template, n_msgs)
+    rows, one per discovered shape.  Scale shape: per-batch DISTINCT
+    collapse of (n, first, pos, token) rows shrinks the one exchange
+    to the template vocabulary (duplicate messages cost nothing);
+    the (n, first) message counts fold driver-side over a
+    template-bounded key domain and ride into the partition kernel
+    as a broadcast dict; the per-group template rebuild is a
+    vectorized nunique/min pass + one join per TEMPLATE (not per
+    message)."""
+    import pandas as pd
+
+    ds = read_transcripts(_corpus(sf_dir), columns=["text"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        la = pc.split_pattern(b["text"], " ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offs = np.asarray(la.offsets)
+        toks = la.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        n = np.repeat(lens, lens)
+        first = np.repeat(toks[offs[:-1]], lens)
+        pos = np.arange(len(toks), dtype=np.int64) \
+            - np.repeat(offs[:-1], lens) + 1
+        t = pa.table({"n": pa.array(n, pa.int64()),
+                      "first": pa.array(first, pa.string()),
+                      "pos": pa.array(pos, pa.int64()),
+                      "token": pa.array(toks, pa.string())})
+        return (t.group_by(["n", "first", "pos", "token"])
+                 .aggregate([])
+                 .select(["n", "first", "pos", "token"]))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        la = pc.split_pattern(b["text"], " ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offs = np.asarray(la.offsets)
+        toks = la.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        t = pa.table({"n": pa.array(lens.astype(np.int64), pa.int64()),
+                      "first": pa.array(toks[offs[:-1]], pa.string())})
+        g = t.group_by(["n", "first"]).aggregate([([], "count_all")])
+        return g.rename_columns(["n", "first", "cnt"])
+
+    counts = agg_stage.fold_partials(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["n", "first"], [("cnt", "sum")],
+        empty_schema=pa.schema([("n", pa.int64()),
+                                ("first", pa.string()),
+                                ("cnt", pa.int64())]))
+    cmap = {(int(a), b): int(c) for a, b, c in
+            zip(counts["n"].to_pylist(), counts["first"].to_pylist(),
+                counts["cnt"].to_pylist())}
+
+    def build_templates(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["n", "first", "pos"])["token"]
+                .agg(["nunique", "min"]).reset_index())
+        agg["tt"] = np.where(agg["nunique"] == 1, agg["min"], "<*>")
+        agg = agg.sort_values(["n", "first", "pos"], kind="mergesort")
+        out_t, out_c = [], []
+        for (nn, ff), gg in agg.groupby(["n", "first"], sort=False):
+            out_t.append(" ".join(gg["tt"]))
+            out_c.append(cmap[(int(nn), ff)])
+        return pd.DataFrame({"template": out_t,
+                             "n_msgs": np.asarray(out_c, np.int64)})
+
+    dis = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    return (window.partition_by_key(
+        dis, ["n", "first"], approx_rows=max(len(cmap) * 16, 1024))
+        .groupby("part").map_groups(build_templates,
+                                    batch_format="pandas"))
+
+
 def t_sft_pairs(sf_dir: str):
     """SFT TRAINING-PAIR extraction: (prompt, response) rows — each
     user turn paired with the assistant turn that immediately answers
@@ -7729,6 +7807,7 @@ REGISTRY = {
     "v_pq": v_pq,
     "e_conversion_lag": e_conversion_lag,
     "v_cluster_purity": v_cluster_purity,
+    "t_templates": t_templates,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

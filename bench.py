@@ -114,7 +114,7 @@ BENCH_QUERIES = [
     "q_large_orders", "t_error_runs", "t_tool_lift",
     "mm_webp_meta", "mm_ogg_meta",
     "d_containment", "v_triplet_mining", "q_min_cost_supp", "v_pq",
-    "e_conversion_lag", "v_cluster_purity",
+    "e_conversion_lag", "v_cluster_purity", "t_templates",
 ]
 
 

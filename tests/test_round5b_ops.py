@@ -863,3 +863,39 @@ def test_cluster_purity_law():
         assert int(got.loc[L, "n_members"]) == int((lbl == L).sum())
         assert int(got.loc[L, "n_confused"]) == int(
             ((other < own) & (lbl == L)).sum())
+
+
+def test_templates_law():
+    """Drain-style template mining replayed brute-force over the
+    sf0.001 corpus: (token count, first token) groups, per-position
+    keep-if-unanimous else '<*>', message counts exact."""
+    import glob
+
+    import pandas as pd
+
+    from alco_ray import fixtures
+
+    corpus = fixtures.corpus_for_sf("/root/testdata/sf0.001")
+    texts = []
+    for f in sorted(glob.glob(f"{corpus}/*.parquet")):
+        texts.extend(pq.read_table(f, columns=["text"])
+                     ["text"].to_pylist())
+    groups: dict = {}
+    for s in texts:
+        tk = s.split(" ")
+        groups.setdefault((len(tk), tk[0]), []).append(tk)
+    want = {}
+    for (_, _), msgs in groups.items():
+        cols = list(zip(*msgs))
+        tpl = " ".join(c[0] if len(set(c)) == 1 else "<*>"
+                       for c in cols)
+        want[tpl] = want.get(tpl, 0) + len(msgs)
+
+    got = q.t_templates("/root/testdata/sf0.001").to_pandas()
+    got_map = dict(zip(got.template, got.n_msgs.astype(int)))
+    assert got_map == want
+    # the miner genuinely wildcards: some template has '<*>' and some
+    # position survives verbatim
+    assert any("<*>" in t for t in want)
+    assert any("level=INFO" in t or "level=DEBUG" in t or "<*>" != t
+               for t in want)
