@@ -7423,6 +7423,52 @@ def mm_ogg_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.OggMetaParser)
 
 
+def mm_ico_meta(sf_dir: str):
+    """REAL ICO directory parse (stages/multimodal.IcoMetaParser):
+    the favicon container is a DIRECTORY of images — ICONDIR walk,
+    strict per-entry offset/size bounds accounting, the width-0=256
+    quirk, and per-image payload SNIFFING (embedded PNG signature vs
+    BITMAPINFOHEADER blob) — the routing step a multimodal sweep runs
+    before dispatching image decoders.  Closed-form oracle over the
+    fixture rotation; payload pixel data stays opaque."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_ico_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.IcoMetaParser)
+
+
+def v_dim_truncation(sf_dir: str):
+    """MATRYOSHKA-STYLE dimension-truncation evaluation: the exact
+    cosine top-10 using only the FIRST 16 of 64 embedding dimensions,
+    each row flagged with membership in the full-dimension top-10 —
+    the retrieval-quality readout that decides whether truncated
+    embeddings (4x cheaper storage + bandwidth at 100 TB) are good
+    enough.  Both legs are knn_brute (broadcast query, per-block
+    local top-k, driver merges blocks x k survivors); the truncated
+    leg slices dimensions INSIDE map_batches so only 16 dims travel;
+    the membership flag joins two 10-row lists on the driver."""
+    full_q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = agg_stage.concat_nonempty(ray.get(
+        similarity.knn_brute(ds, full_q, k=10).to_arrow_refs()))
+
+    def truncate(b: pa.Table) -> pa.Table:
+        m = similarity._matrix(b, "embedding")[:, :16]
+        return pa.table({"vec_id": b["vec_id"],
+                         "embedding": pa.array(list(m))})
+
+    ds16 = ds.map_batches(truncate, batch_format="pyarrow")
+    trunc = agg_stage.concat_nonempty(ray.get(
+        similarity.knn_brute(ds16, full_q[:16], k=10).to_arrow_refs()))
+    in_full = set(full["vec_id"].to_pylist())
+    return pa.table({
+        "vec_id": pc.cast(trunc["vec_id"], pa.int64()),
+        "rank": pc.cast(trunc["rank"], pa.int64()),
+        "in_full_topk": pa.array(
+            [1 if int(v) in in_full else 0
+             for v in trunc["vec_id"].to_pylist()], pa.int64())})
+
+
 def v_knn_recall(sf_dir: str):
     """ANN RECALL as a CHECKED quantity (the d_minhash_apply sidecar
     doctrine applied to vector search): the LSH probe's top-10 ids
@@ -7808,6 +7854,8 @@ REGISTRY = {
     "e_conversion_lag": e_conversion_lag,
     "v_cluster_purity": v_cluster_purity,
     "t_templates": t_templates,
+    "mm_ico_meta": mm_ico_meta,
+    "v_dim_truncation": v_dim_truncation,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

@@ -2132,3 +2132,102 @@ class OggMetaParser:
             "last_granule": col(3),
             "payload_bytes": col(4),
         })
+
+
+# ------------------------------------------------------------- real ICO
+# ICO is the DIRECTORY-of-images container (favicon.ico): a 6-byte
+# ICONDIR, count x 16-byte ICONDIRENTRY records (with the width-0 =
+# 256 quirk), and per-image payloads that are EITHER embedded PNG
+# streams or headerless-BMP (BITMAPINFOHEADER-first) blobs — so the
+# parser exercises offset/bounds accounting plus payload SNIFFING,
+# the step every multimodal router runs before dispatching decoders.
+
+def encode_ico_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL ICO containers with closed
+    forms — n_images = id%4+1; image i has raw width byte
+    (id + i*17) % 256 (0 decodes to 256 — the quirk is exercised),
+    bpp rotating over {1,4,8,24,32}, payload length (id*5+i*3)%200+8,
+    PNG payload when (id+i)%2 else BMP (biSize=40 first)."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        n = int(i % 4 + 1)
+        entries, blobs = [], []
+        offset = 6 + 16 * n
+        for k in range(n):
+            wraw = int((i + k * 17) % 256)
+            bpp = [1, 4, 8, 24, 32][int((i + k) % 5)]
+            size = int((i * 5 + k * 3) % 200) + 8
+            if (i + k) % 2:
+                blob = b"\x89PNG\r\n\x1a\n" + bytes(
+                    ((int(i) + k + j) % 256 for j in range(size - 8)))
+            else:
+                blob = struct.pack("<I", 40) + bytes(
+                    ((int(i) * 2 + k + j) % 256 for j in range(size - 4)))
+            entries.append(struct.pack(
+                "<BBBBHHII", wraw, wraw, 0, 0, 1, bpp, len(blob),
+                offset))
+            blobs.append(blob)
+            offset += len(blob)
+        payloads.append(b"\x00\x00\x01\x00" + struct.pack("<H", n)
+                        + b"".join(entries) + b"".join(blobs))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["image/x-icon"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class IcoMetaParser:
+    """Actor-pool REAL ICO parse: ICONDIR validation, entry walk with
+    strict offset/size bounds accounting, width-0 = 256 decode, and
+    per-image payload SNIFFING (PNG signature vs BITMAPINFOHEADER
+    biSize) — an entry pointing outside the file, a bad type field or
+    an unrecognizable payload dead-letters the document."""
+
+    def _parse(self, p: bytes):
+        import struct
+
+        if not p or len(p) < 6 or p[:4] != b"\x00\x00\x01\x00":
+            return None
+        n = struct.unpack("<H", p[4:6])[0]
+        if n == 0 or 6 + 16 * n > len(p):
+            return None
+        max_w, max_bpp, total, n_png = 0, 0, 0, 0
+        for k in range(n):
+            e = p[6 + 16 * k:6 + 16 * (k + 1)]
+            wraw, _h, _c, res, _pl, bpp, size, off = struct.unpack(
+                "<BBBBHHII", e)
+            if res != 0 or off + size > len(p) or size < 4:
+                return None
+            blob = p[off:off + size]
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                n_png += 1
+            elif struct.unpack("<I", blob[:4])[0] == 40:
+                pass
+            else:
+                return None
+            max_w = max(max_w, wraw if wraw else 256)
+            max_bpp = max(max_bpp, bpp)
+            total += size
+        return n, max_w, max_bpp, total, n_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._parse(p) for p in batch["payload"].to_pylist()]
+        ok = pa.array([r is not None for r in rows])
+
+        def col(k):
+            return pa.array([r[k] if r is not None else None
+                             for r in rows], pa.int64())
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": ok,
+            "n_images": col(0),
+            "max_width": col(1),
+            "max_bpp": col(2),
+            "payload_bytes": col(3),
+            "n_png": col(4),
+        })

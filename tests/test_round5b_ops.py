@@ -899,3 +899,61 @@ def test_templates_law():
     assert any("<*>" in t for t in want)
     assert any("level=INFO" in t or "level=DEBUG" in t or "<*>" != t
                for t in want)
+
+
+def test_ico_parser_quirk_and_poison():
+    """ICO directory walk: closed forms back out including the
+    width-0 = 256 quirk; bad type/truncation/bounds dead-letter."""
+    from alco_ray.stages.multimodal import IcoMetaParser, encode_ico_batch
+
+    ids = list(range(300))
+    enc = encode_ico_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = IcoMetaParser()(enc).to_pylist()
+    saw256 = False
+    for i, r in zip(ids, out):
+        n = i % 4 + 1
+        assert r["decode_ok"] is True
+        assert r["n_images"] == n
+        ws = [((i + k * 17) % 256) or 256 for k in range(n)]
+        assert r["max_width"] == max(ws)
+        saw256 |= max(ws) == 256
+        assert r["max_bpp"] == max(
+            [1, 4, 8, 24, 32][(i + k) % 5] for k in range(n))
+        assert r["payload_bytes"] == sum(
+            (i * 5 + k * 3) % 200 + 8 for k in range(n))
+        assert r["n_png"] == sum(1 for k in range(n) if (i + k) % 2)
+    assert saw256  # the 0-byte -> 256 decode really occurred
+
+    good = enc["payload"][5].as_py()
+    poison = [good[:10], b"\x00\x00\x02\x00" + good[4:],
+              good[:6 + 16 * 2 - 1], b""]
+    bad = pa.table({
+        "doc_id": pa.array(list(range(len(poison))), pa.int64()),
+        "payload": pa.array(poison, pa.binary())})
+    br = IcoMetaParser()(bad).to_pylist()
+    assert all(r["decode_ok"] is False for r in br)
+
+
+def test_dim_truncation_law():
+    """Truncated-leg top-10 replayed brute-force; membership flags
+    match the full-dim top-10."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.stack([np.asarray(v, np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    qv = X[ids == 0][0]
+
+    def topk(M, q):
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-30)
+        s = Mn @ (q / max(np.linalg.norm(q), 1e-30))
+        return ids[np.lexsort((ids, -s))[:10]]
+
+    full = set(topk(X, qv))
+    tr = topk(X[:, :16], qv[:16])
+    got = q.v_dim_truncation(sf).to_pylist()
+    assert [r["vec_id"] for r in got] == [int(v) for v in tr]
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    assert [r["in_full_topk"] for r in got] == [
+        1 if int(v) in full else 0 for v in tr]
