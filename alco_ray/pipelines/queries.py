@@ -1307,6 +1307,92 @@ def e_funnel(sf_dir: str):
             "part").map_groups(body, batch_format="pandas")
 
 
+def e_mannwhitney(sf_dir: str):
+    """MANN-WHITNEY U rank-sum test between the even-day and odd-day
+    halves of the event stream (e_ks_drift's location-shift sibling:
+    KS asks "any distribution change?", U asks "did values move up or
+    down?").  Reported as the EXACT integer 2*U1 = sum_v c1(v) *
+    (2*C2(<v) + c2(v)) — ties contribute exactly one each, no float
+    rank averaging ever happens.  Scale shape identical to
+    e_ks_drift: per-batch (cents, c1, c2) partials -> one value-keyed
+    groupby -> ordered_prefix_sum over the sorted support (O(blocks)
+    driver state) -> one vectorized product map folding a single
+    row; the support never materializes on the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.scan import ordered_prefix_sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        odd = (us // 86_400_000_000) % 2
+        t = pa.table({"cents": cents,
+                      "c1": pa.array((odd == 0).astype(np.int64)),
+                      "c2": pa.array((odd == 1).astype(np.int64))})
+        g = t.group_by(["cents"]).aggregate([("c1", "sum"),
+                                             ("c2", "sum")])
+        return g.rename_columns(["cents", "c1", "c2"])
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("cents").aggregate(Sum("c1", alias_name="c1"),
+                                     Sum("c2", alias_name="c2"))
+         .materialize())
+    n1 = int(g.sum("c1"))
+    n2 = int(g.sum("c2"))
+    p = ordered_prefix_sum(g.sort("cents"), "c2", "cents",
+                           out_col="c2le", exclusive=False)
+
+    def umap(b: pa.Table) -> pa.Table:
+        c1 = b["c1"].to_numpy(zero_copy_only=False)
+        c2 = b["c2"].to_numpy(zero_copy_only=False)
+        c2lt = b["c2le"].to_numpy(zero_copy_only=False) - c2
+        u = (c1 * (2 * c2lt + c2)).sum()
+        return pa.table({"u2": pa.array([int(u)], pa.int64())})
+
+    t = agg_stage.concat_nonempty(ray.get(
+        p.map_batches(umap, batch_format="pyarrow").to_arrow_refs()))
+    u2 = int(pc.sum(t["u2"]).as_py() or 0)
+    return pa.table({"n1": pa.array([n1], pa.int64()),
+                     "n2": pa.array([n2], pa.int64()),
+                     "u2_first": pa.array([u2], pa.int64())})
+
+
+def e_rolling_median(sf_dir: str):
+    """ROLLING MEDIAN smoothing (the robust counterpart of e_ewma —
+    one outlier can't move it): per user, over (ts, event_id) order,
+    the median of the trailing 5-value window of exact integer cents,
+    emitted as 2*median so the even-window middle-pair average stays
+    integer.  One user-hash exchange, then a vectorized
+    pandas-rolling pass per partition — per-user sequences are
+    partition-local so windows never cross blocks."""
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def body(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        v = g["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v)
+        med = (pd.Series(cents, index=g.index)
+               .groupby(g["user_id"], sort=False)
+               .rolling(5, min_periods=1).median()
+               .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "med2": (med * 2).round().astype("int64").to_numpy()})
+
+    return (partition_by_key(ds, "user_id",
+                             approx_rows=_nrows(_tp(sf_dir, "events")))
+            .groupby("part").map_groups(body, batch_format="pandas"))
+
+
 def e_conversion_lag(sf_dir: str):
     """TIME-TO-CONVERT: per user, the exact microsecond lag from the
     FIRST signup to the FIRST purchase at-or-after it — the funnel
@@ -7856,6 +7942,8 @@ REGISTRY = {
     "t_templates": t_templates,
     "mm_ico_meta": mm_ico_meta,
     "v_dim_truncation": v_dim_truncation,
+    "e_mannwhitney": e_mannwhitney,
+    "e_rolling_median": e_rolling_median,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

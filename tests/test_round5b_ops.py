@@ -957,3 +957,50 @@ def test_dim_truncation_law():
     assert [r["rank"] for r in got] == list(range(1, 11))
     assert [r["in_full_topk"] for r in got] == [
         1 if int(v) in full else 0 for v in tr]
+
+
+def test_mannwhitney_law_and_identity():
+    """2*U1 replayed brute-force over sf0.001 pairs, and the rank-sum
+    identity 2U1 + 2U2 == 2*n1*n2 holds."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["ts", "value"]).to_pandas()
+    us = t["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    v = t["value"].to_numpy() * 100.0
+    cents = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+    odd = (us // 86_400_000_000) % 2
+    s1 = np.sort(cents[odd == 0])
+    s2 = np.sort(cents[odd == 1])
+    # brute 2*U1 via searchsorted (greater + ties counted once)
+    lt = np.searchsorted(s2, s1, side="left")
+    le = np.searchsorted(s2, s1, side="right")
+    want = int((2 * lt + (le - lt)).sum())
+
+    got = q.e_mannwhitney(sf).to_pylist()[0]
+    assert got["n1"] == len(s1) and got["n2"] == len(s2)
+    assert got["u2_first"] == want
+    # identity: 2U1 + 2U2 = 2 n1 n2
+    lt2 = np.searchsorted(s1, s2, side="left")
+    le2 = np.searchsorted(s1, s2, side="right")
+    u2_second = int((2 * lt2 + (le2 - lt2)).sum())
+    assert got["u2_first"] + u2_second == 2 * len(s1) * len(s2)
+
+
+def test_rolling_median_law():
+    """Trailing 5-window 2x-median replayed per user row-by-row."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet").to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    v = t["value"].to_numpy() * 100.0
+    t["c"] = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+    want = {}
+    for uid, g in t.groupby("user_id"):
+        c = g["c"].tolist()
+        for i, eid in enumerate(g["event_id"]):
+            w = sorted(c[max(0, i - 4):i + 1])
+            n = len(w)
+            m2 = w[n // 2] * 2 if n % 2 else w[n // 2 - 1] + w[n // 2]
+            want[int(eid)] = int(m2)
+    got = q.e_rolling_median(sf).to_pandas()
+    got_map = dict(zip(got.event_id.astype(int), got.med2.astype(int)))
+    assert got_map == want
