@@ -7555,6 +7555,21 @@ def v_dim_truncation(sf_dir: str):
              for v in trunc["vec_id"].to_pylist()], pa.int64())})
 
 
+def mm_srt_meta(sf_dir: str):
+    """REAL SRT subtitle parse (stages/multimodal.SrtMetaParser): the
+    TEXT-format temporal container every video pipeline carries —
+    cue-block structure, millisecond range arithmetic, monotone index
+    enforcement, and the OVERLAP count (next cue starts before the
+    previous ends — the subtitle-QA signal), all exact integers.
+    Closed-form oracle over the fixture rotation; structural poison
+    (bad arrow, minutes >= 60, index gap, non-UTF-8) dead-letters in
+    the pytest suite."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_srt_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.SrtMetaParser)
+
+
 def v_knn_recall(sf_dir: str):
     """ANN RECALL as a CHECKED quantity (the d_minhash_apply sidecar
     doctrine applied to vector search): the LSH probe's top-10 ids
@@ -7944,6 +7959,7 @@ REGISTRY = {
     "v_dim_truncation": v_dim_truncation,
     "e_mannwhitney": e_mannwhitney,
     "e_rolling_median": e_rolling_median,
+    "mm_srt_meta": mm_srt_meta,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

@@ -2231,3 +2231,119 @@ class IcoMetaParser:
             "payload_bytes": col(3),
             "n_png": col(4),
         })
+
+
+# ------------------------------------------------------------- real SRT
+# SubRip is the TEXT-format temporal container (every video pipeline
+# carries subtitle sidecars): indexed cues with millisecond time
+# ranges and multi-line payloads.  Unlike the binary walks above, the
+# hazards are textual — field counts, timestamp shape, range order,
+# cue overlap — so the parser validates structure and emits exact
+# integer timeline accounting.
+
+def encode_srt_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL SRT documents with closed
+    forms — n_cues = id%6+1; cue c starts at c*3000 ms, lasts
+    (id*7+c*13)%3000+500 ms (so consecutive cues OVERLAP exactly when
+    that duration exceeds 3000 ms), carries 1+(id+c)%2 text lines."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def fmt(ms: int) -> str:
+        h, ms = divmod(ms, 3_600_000)
+        m, ms = divmod(ms, 60_000)
+        s, ms = divmod(ms, 1_000)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+    payloads = []
+    for i in ids:
+        n = int(i % 6 + 1)
+        cues = []
+        for c in range(n):
+            start = c * 3000
+            dur = int((i * 7 + c * 13) % 3000) + 500
+            lines = "\n".join(f"line{j} of cue {c} doc {int(i)}"
+                              for j in range(1 + int(i + c) % 2))
+            cues.append(f"{c + 1}\n{fmt(start)} --> {fmt(start + dur)}"
+                        f"\n{lines}\n")
+        payloads.append("\n".join(cues).encode())
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["text/srt"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class SrtMetaParser:
+    """Actor-pool REAL SRT parse: cue-block structure (index line,
+    ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` range, >= 1 text line),
+    millisecond arithmetic, monotone index enforcement, end-before-
+    start rejection — emitting exact integer timeline accounting
+    including the OVERLAP count (next cue starts before the previous
+    ends), the subtitle-QA signal."""
+
+    _TS = None
+
+    def _ms(self, s: str):
+        import re
+
+        if SrtMetaParser._TS is None:
+            SrtMetaParser._TS = re.compile(
+                r"^(\d{2}):(\d{2}):(\d{2}),(\d{3})$")
+        m = SrtMetaParser._TS.match(s)
+        if not m:
+            return None
+        h, mi, se, ms = map(int, m.groups())
+        if mi >= 60 or se >= 60:
+            return None
+        return ((h * 60 + mi) * 60 + se) * 1000 + ms
+
+    def _parse(self, p: bytes):
+        try:
+            text = p.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        blocks = [b for b in text.split("\n\n") if b.strip()]
+        if not blocks:
+            return None
+        n_cues, total_dur, n_lines, n_overlap = 0, 0, 0, 0
+        prev_end, prev_start = None, None
+        for b in blocks:
+            lines = b.split("\n")
+            lines = [ln for ln in lines if ln != ""] \
+                if lines and lines[-1] == "" else lines
+            if len(lines) < 3:
+                return None
+            if not lines[0].isdigit() or int(lines[0]) != n_cues + 1:
+                return None
+            rng = lines[1].split(" --> ")
+            if len(rng) != 2:
+                return None
+            start, end = self._ms(rng[0]), self._ms(rng[1])
+            if start is None or end is None or end < start:
+                return None
+            if prev_start is not None and start < prev_start:
+                return None
+            if prev_end is not None and start < prev_end:
+                n_overlap += 1
+            n_cues += 1
+            total_dur += end - start
+            n_lines += len(lines) - 2
+            prev_end, prev_start = end, start
+        return n_cues, total_dur, n_lines, n_overlap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._parse(p) for p in batch["payload"].to_pylist()]
+        ok = pa.array([r is not None for r in rows])
+
+        def col(k):
+            return pa.array([r[k] if r is not None else None
+                             for r in rows], pa.int64())
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": ok,
+            "n_cues": col(0),
+            "total_dur_ms": col(1),
+            "n_lines": col(2),
+            "n_overlaps": col(3),
+        })

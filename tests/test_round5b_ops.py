@@ -1004,3 +1004,38 @@ def test_rolling_median_law():
     got = q.e_rolling_median(sf).to_pandas()
     got_map = dict(zip(got.event_id.astype(int), got.med2.astype(int)))
     assert got_map == want
+
+
+def test_srt_parser_timeline_and_poison():
+    """SRT cue walk: closed forms back out incl. the overlap count;
+    structural poison dead-letters."""
+    from alco_ray.stages.multimodal import SrtMetaParser, encode_srt_batch
+
+    ids = list(range(500))
+    enc = encode_srt_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = SrtMetaParser()(enc).to_pylist()
+    saw_ov = 0
+    for i, r in zip(ids, out):
+        n = i % 6 + 1
+        assert r["decode_ok"] is True
+        assert r["n_cues"] == n
+        durs = [(i * 7 + c * 13) % 3000 + 500 for c in range(n)]
+        assert r["total_dur_ms"] == sum(durs)
+        assert r["n_lines"] == sum(1 + (i + c) % 2 for c in range(n))
+        ov = sum(1 for c in range(n - 1) if durs[c] > 3000)
+        assert r["n_overlaps"] == ov
+        saw_ov += ov
+    assert saw_ov > 0  # the rotation really produces overlapping cues
+
+    good = enc["payload"][7].as_py().decode()
+    poison = [
+        good.replace(" --> ", " -> ", 1).encode(),    # bad arrow
+        good.replace("00:00:00,000", "00:99:00,000", 1).encode(),
+        ("0\n" + good).encode(),                      # index gap
+        b"\xff\xfe\x00bad",                           # not utf-8
+    ]
+    bad = pa.table({
+        "doc_id": pa.array(list(range(len(poison))), pa.int64()),
+        "payload": pa.array(poison, pa.binary())})
+    br = SrtMetaParser()(bad).to_pylist()
+    assert all(r["decode_ok"] is False for r in br)
