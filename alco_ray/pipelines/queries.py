@@ -2831,6 +2831,24 @@ def v_pq(sf_dir: str):
     return topk
 
 
+def v_ivfpq(sf_dir: str):
+    """IVF-PQ ADC top-10 (stages/similarity.ivfpq_probe) — the
+    PRODUCTION big-ANN composition: 8 coarse inverted lists prune the
+    scan to the 2 lists nearest the query, PQ codes of the integer
+    RESIDUALS (4 subspaces x 16 centroids) compress what remains,
+    and the ranking is residual-ADC against per-list query tables —
+    all fixed-point, so the oracle replays coarse assignment, probe
+    selection, residual encoding and ADC in SQL from the two
+    persisted codebook sidecars."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    topk, coarse, pqc = similarity.ivfpq_probe(
+        ds, _query_vec(sf_dir), kl=8, m=4, kc=16, iters=2, nprobe=2,
+        k=10)
+    _write_sidecar(coarse, sf_dir, "ivfpq_coarse.parquet")
+    _write_sidecar(pqc, sf_dir, "ivfpq_pq.parquet")
+    return topk
+
+
 def _corpus_sig(sf_dir: str, table: str) -> str:
     """Source-file identity (path, size, mtime) — a persisted index
     built from a different corpus state must be rebuilt, not served."""
@@ -7960,6 +7978,7 @@ REGISTRY = {
     "e_mannwhitney": e_mannwhitney,
     "e_rolling_median": e_rolling_median,
     "mm_srt_meta": mm_srt_meta,
+    "v_ivfpq": v_ivfpq,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

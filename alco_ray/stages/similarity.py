@@ -1177,6 +1177,152 @@ def pq_probe(ds, query_vec, *, m: int = 4, kc: int = 16,
     return topk, cent_long
 
 
+def ivfpq_probe(ds, query_vec, *, kl: int = 8, m: int = 4,
+                kc: int = 16, iters: int = 2, nprobe: int = 2,
+                k: int = 10, scale: int = 1024,
+                col: str = "embedding", id_col: str = "vec_id"):
+    """IVF-PQ — the PRODUCTION big-ANN shape (coarse inverted lists
+    prune the search space, PQ codes of the RESIDUALS compress what
+    remains), exact in fixed point end to end: the coarse quantizer
+    is the pinned integer k-means (``kl`` lists), residuals
+    ``x - c_list`` stay integer, the residual codebooks are ``m``
+    more pinned k-means fits, and the probe scans only the ``nprobe``
+    lists nearest the query (integer coarse distance, ties to the
+    lower list), ranking by residual-ADC against per-list query
+    residuals.  Everything replayable in SQL from the two persisted
+    codebook sidecars.
+
+    Returns ``(topk_table, coarse_long, pq_long)``.
+
+    Scale shape: (1 + m) x (iters+1) raw-task codebook waves (k x d
+    ints each); encode+probe is ONE map_batches pass — each block
+    coarse-assigns, prunes to probed lists, PQ-encodes only the
+    survivors, and emits k local winners (the knn_brute merge
+    contract)."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = q.shape[0]
+    if d % m:
+        raise ValueError(f"ivfpq_probe: dim {d} not divisible by {m}")
+    sub_d = d // m
+
+    CL = kmeans_fixed_point(ds, k=kl, iters=iters, col=col,
+                            id_col=id_col, scale=scale,
+                            centroids_only=True)          # (kl, d)
+    clref = ray.put(CL)
+
+    def residual_batch(b: pa.Table) -> pa.Table:
+        cl = ray.get(clref)
+        X = _km_quant(b, col, scale)
+        if X.shape[0] == 0:
+            return pa.table({id_col: b[id_col], col: b[col]})
+        xsq = (X ** 2).sum(axis=1)[:, None]
+        csq = (cl ** 2).sum(axis=1)[None, :]
+        dist = xsq - 2 * (X @ cl.T) + csq
+        lists = dist.argmin(axis=1)
+        R = (X - cl[lists]).astype(np.float64) / scale
+        return pa.table({id_col: b[id_col],
+                         col: pa.array(list(R))})
+
+    res = ds.map_batches(residual_batch, batch_format="pyarrow")
+    cents = []
+    for s in range(m):
+        lo = s * sub_d
+
+        def slicer(b: pa.Table, lo=lo) -> pa.Table:
+            mtx = _matrix(b, col)[:, lo:lo + sub_d]
+            return pa.table({id_col: b[id_col],
+                             col: pa.array(list(mtx))})
+
+        sub = res.map_batches(slicer, batch_format="pyarrow")
+        cents.append(kmeans_fixed_point(
+            sub, k=kc, iters=iters, col=col, id_col=id_col,
+            scale=scale, centroids_only=True))
+    C = np.stack(cents)                          # (m, kc, sub_d)
+
+    qq = np.copysign(np.floor(np.abs(q * scale) + 0.5),
+                     q * scale).astype(np.int64)
+    qd_coarse = ((qq[None, :] - CL) ** 2).sum(axis=1)     # (kl,)
+    probe_order = np.lexsort((np.arange(kl), qd_coarse))
+    probed = np.sort(probe_order[:nprobe])
+    # per probed list: the query residual's distance table (m, kc)
+    qds = {}
+    for li in probed:
+        qr = qq - CL[li]
+        qs = qr.reshape(m, sub_d)
+        qds[int(li)] = ((qs[:, None, :] - C) ** 2).sum(axis=2)
+    ref = ray.put((CL, C, probed, qds))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        cl, Cm, pl, qdm = ray.get(ref)
+        X = _km_quant(b, col, scale)
+        n = X.shape[0]
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "adc_dist": pa.array([], pa.int64()),
+                          "list_id": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        xsq = (X ** 2).sum(axis=1)[:, None]
+        csq = (cl ** 2).sum(axis=1)[None, :]
+        lists = (xsq - 2 * (X @ cl.T) + csq).argmin(axis=1)
+        keep = np.isin(lists, pl)
+        if not keep.any():
+            return empty
+        X, ids, lists = X[keep], ids[keep], lists[keep]
+        R = X - cl[lists]
+        Rs = R.reshape(len(ids), m, sub_d)
+        codes = np.empty((len(ids), m), np.int64)
+        for s in range(m):
+            rsq = (Rs[:, s] ** 2).sum(axis=1)[:, None]
+            ksq = (Cm[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = (rsq - 2 * (Rs[:, s] @ Cm[s].T)
+                           + ksq).argmin(axis=1)
+        adist = np.empty(len(ids), np.int64)
+        for li in np.unique(lists):
+            mask = lists == li
+            adist[mask] = qdm[int(li)][
+                np.arange(m)[None, :], codes[mask]].sum(axis=1)
+        order = np.lexsort((ids, adist))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "adc_dist": pa.array(adist[order], pa.int64()),
+            "list_id": pa.array(lists[order], pa.int64())})
+
+    local = ds.map_batches(local_top, batch_format="pyarrow",
+                           batch_size=None)
+    from .aggregate import concat_nonempty
+    merged = concat_nonempty(ray.get(local.to_arrow_refs()))
+    if merged.num_columns == 0 or merged.num_rows == 0:
+        topk = pa.table({id_col: pa.array([], pa.int64()),
+                         "adc_dist": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    else:
+        ids = merged[id_col].to_numpy(zero_copy_only=False)
+        ad = merged["adc_dist"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ad))[:k]
+        topk = pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "adc_dist": pa.array(ad[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64))})
+    cl_rows = [(int(li), int(j), int(CL[li, j]))
+               for li in range(kl) for j in range(d)]
+    coarse_long = pa.table({
+        "cl": pa.array([r[0] for r in cl_rows], pa.int64()),
+        "j": pa.array([r[1] for r in cl_rows], pa.int64()),
+        "c": pa.array([r[2] for r in cl_rows], pa.int64())})
+    pq_rows = [(s, c, j, int(C[s, c, j])) for s in range(m)
+               for c in range(kc) for j in range(sub_d)]
+    pq_long = pa.table({
+        "sub": pa.array([r[0] for r in pq_rows], pa.int64()),
+        "cl": pa.array([r[1] for r in pq_rows], pa.int64()),
+        "jj": pa.array([r[2] for r in pq_rows], pa.int64()),
+        "c": pa.array([r[3] for r in pq_rows], pa.int64())})
+    return topk, coarse_long, pq_long
+
+
 # ------------------------------------------------ fixed-point power PCA
 
 def pca_power_fixed_point(ds, *, iters: int = 4, col: str = "embedding",

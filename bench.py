@@ -115,7 +115,7 @@ BENCH_QUERIES = [
     "mm_webp_meta", "mm_ogg_meta",
     "d_containment", "v_triplet_mining", "q_min_cost_supp", "v_pq",
     "e_conversion_lag", "v_cluster_purity", "t_templates",
-    "mm_ico_meta", "v_dim_truncation", "e_mannwhitney", "e_rolling_median", "mm_srt_meta",
+    "mm_ico_meta", "v_dim_truncation", "e_mannwhitney", "e_rolling_median", "mm_srt_meta", "v_ivfpq",
 ]
 
 

@@ -1039,3 +1039,58 @@ def test_srt_parser_timeline_and_poison():
         "payload": pa.array(poison, pa.binary())})
     br = SrtMetaParser()(bad).to_pylist()
     assert all(r["decode_ok"] is False for r in br)
+
+
+def test_ivfpq_probe_law():
+    """IVF-PQ replayed brute-force from the returned codebooks over
+    sf0.001: coarse assignment, probe selection (nprobe=2, tie to
+    lower list), residual encoding and ADC top-10."""
+    import ray
+
+    from alco_ray.stages.similarity import ivfpq_probe
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.stack([np.asarray(v, np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    Xq = np.copysign(np.floor(np.abs(X * 1024) + 0.5),
+                     X * 1024).astype(np.int64)
+    qv = X[ids == 0][0]
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    topk, coarse, pqc = ivfpq_probe(ds, qv, kl=8, m=4, kc=16,
+                                    iters=2, nprobe=2, k=10)
+    d = X.shape[1]
+    m, kc, sd = 4, 16, d // 4
+    CL = np.zeros((8, d), np.int64)
+    for r in coarse.to_pylist():
+        CL[r["cl"], r["j"]] = r["c"]
+    C = np.zeros((m, kc, sd), np.int64)
+    for r in pqc.to_pylist():
+        C[r["sub"], r["cl"], r["jj"]] = r["c"]
+
+    lists = ((Xq[:, None, :] - CL[None]) ** 2).sum(axis=2).argmin(axis=1)
+    qq = Xq[ids == 0][0]
+    qd = ((qq[None] - CL) ** 2).sum(axis=1)
+    probed = np.sort(np.lexsort((np.arange(8), qd))[:2])
+    keep = np.isin(lists, probed)
+    R = (Xq - CL[lists])[keep].reshape(-1, m, sd)
+    kids, klists = ids[keep], lists[keep]
+    codes = np.empty((len(kids), m), np.int64)
+    for s in range(m):
+        codes[:, s] = ((R[:, s][:, None, :] - C[s][None]) ** 2) \
+            .sum(axis=2).argmin(axis=1)
+    adist = np.empty(len(kids), np.int64)
+    for li in probed:
+        qr = (qq - CL[li]).reshape(m, sd)
+        qdt = ((qr[:, None, :] - C) ** 2).sum(axis=2)
+        msk = klists == li
+        adist[msk] = qdt[np.arange(m)[None, :], codes[msk]].sum(axis=1)
+    order = np.lexsort((kids, adist))[:10]
+
+    got = topk.to_pylist()
+    assert [r["vec_id"] for r in got] == [int(kids[i]) for i in order]
+    assert [r["adc_dist"] for r in got] == [int(adist[i]) for i in order]
+    # the query's own list is probed, so vec 0 is reachable
+    assert lists[ids == 0][0] in probed
