@@ -1307,6 +1307,40 @@ def e_funnel(sf_dir: str):
             "part").map_groups(body, batch_format="pandas")
 
 
+def e_exp_hist(sf_dir: str):
+    """EXPONENTIAL (power-of-two) HISTOGRAM per event type — the
+    DDSketch-family bucket layout every latency/metrics pipeline
+    stores: bucket = bit_length(|cents|) (0 for exact zero, sign
+    folded into a separate negative flag), so any quantile is
+    answerable later to a factor-2 guarantee from O(64) counters per
+    series.  Buckets via numpy ``frexp`` (exact for |cents| < 2^53 —
+    no float log2 misrounding at power boundaries); bounded
+    (type x bucket x sign) fold, zero shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.multiply(b["value"], 100)
+        cents = pc.cast(pc.round(v, round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        mag = np.abs(cents)
+        bucket = np.where(mag == 0, 0,
+                          np.frexp(mag.astype(np.float64))[1])
+        t = pa.table({"event_type": b["event_type"],
+                      "bucket": pa.array(bucket.astype(np.int64)),
+                      "neg": pa.array((cents < 0).astype(np.int64))})
+        g = (t.group_by(["event_type", "bucket", "neg"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "bucket", "neg", "cnt"])
+
+    return agg_stage.fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bucket", "neg"], [("cnt", "sum")],
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("bucket", pa.int64()),
+                                ("neg", pa.int64()),
+                                ("cnt", pa.int64())]))
+
+
 def e_mannwhitney(sf_dir: str):
     """MANN-WHITNEY U rank-sum test between the even-day and odd-day
     halves of the event stream (e_ks_drift's location-shift sibling:
@@ -2847,6 +2881,70 @@ def v_ivfpq(sf_dir: str):
     _write_sidecar(coarse, sf_dir, "ivfpq_coarse.parquet")
     _write_sidecar(pqc, sf_dir, "ivfpq_pq.parquet")
     return topk
+
+
+def v_pq_recall(sf_dir: str):
+    """PQ RETRIEVAL QUALITY as a CHECKED quantity (the v_knn_recall
+    doctrine applied to product quantization): the ADC top-10 of v_pq
+    intersected with the exact cosine top-10 — BOTH legs fully
+    SQL-derivable (codes from the persisted codebook sidecar, exact
+    leg direct), so compression quality lives inside the correctness
+    contract with no approximation laundering."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qv = _query_vec(sf_dir)
+    topk, cents = similarity.pq_probe(ds, qv, m=4, kc=16, iters=2,
+                                      k=10)
+    _write_sidecar(cents, sf_dir, "pq_centroids.parquet")
+    exact = agg_stage.concat_nonempty(ray.get(
+        similarity.knn_brute(ds, qv, k=10).to_arrow_refs()))
+    hits = len(set(topk["vec_id"].to_pylist())
+               & set(exact["vec_id"].to_pylist()))
+    return pa.table({"k": pa.array([10], pa.int64()),
+                     "n_hits": pa.array([hits], pa.int64())})
+
+
+def q_priority_lines(sf_dir: str):
+    """TPC-H Q12-shaped priority accounting (adapted: no shipmode
+    column, so the dimension is l_returnflag): per returnflag, how
+    many lineitems belong to HIGH-priority orders (1-URGENT / 2-HIGH)
+    vs not — the two-level CASE fold after the one fact-fact join.
+    Scale shape: the priority flag collapses to int8 map-side BEFORE
+    the orderkey join (strings never shuffle), per-batch partials
+    fold the bounded (flag x priority) domain driver-side."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(b["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "hi": pc.cast(hi, pa.int64())})
+
+    o = orders.map_batches(flag, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"])
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = li.join(o, "inner", num_partitions=n_parts,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "high_lines": pa.array(hi),
+                      "low_lines": pa.array(1 - hi)})
+        g = (t.group_by(["l_returnflag"])
+             .aggregate([("high_lines", "sum"), ("low_lines", "sum")]))
+        return g.rename_columns(["l_returnflag", "high_lines",
+                                 "low_lines"])
+
+    return agg_stage.fold_partials(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("high_lines", "sum"), ("low_lines", "sum")],
+        empty_schema=pa.schema([("l_returnflag", pa.string()),
+                                ("high_lines", pa.int64()),
+                                ("low_lines", pa.int64())]))
 
 
 def _corpus_sig(sf_dir: str, table: str) -> str:
@@ -7588,6 +7686,19 @@ def mm_srt_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.SrtMetaParser)
 
 
+def mm_avi_meta(sf_dir: str):
+    """REAL AVI container parse (stages/multimodal.AviMetaParser):
+    the NESTED-list RIFF walk — the main header two LIST levels deep,
+    per-stream fourcc classification three deep, movi payload
+    accounting — the recursion the flat WAV/WebP walks never
+    exercise.  Frame payloads stay opaque (the mdat doctrine);
+    closed-form oracle over the fixture rotation."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_avi_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.AviMetaParser)
+
+
 def v_knn_recall(sf_dir: str):
     """ANN RECALL as a CHECKED quantity (the d_minhash_apply sidecar
     doctrine applied to vector search): the LSH probe's top-10 ids
@@ -7979,6 +8090,10 @@ REGISTRY = {
     "e_rolling_median": e_rolling_median,
     "mm_srt_meta": mm_srt_meta,
     "v_ivfpq": v_ivfpq,
+    "v_pq_recall": v_pq_recall,
+    "q_priority_lines": q_priority_lines,
+    "e_exp_hist": e_exp_hist,
+    "mm_avi_meta": mm_avi_meta,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

@@ -2347,3 +2347,143 @@ class SrtMetaParser:
             "n_lines": col(2),
             "n_overlaps": col(3),
         })
+
+
+# ------------------------------------------------------------- real AVI
+# AVI is the NESTED-list RIFF container (WAV and WebP walk flat chunk
+# sequences; AVI's hdrl/strl/movi hierarchy requires a recursive LIST
+# walk) — the last structural exercise of the RIFF family: the main
+# header lives two levels deep, per-stream headers three.
+
+def encode_avi_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL AVI containers with closed
+    forms — total_frames = id%1000+1, width = (id%64+1)*16, height =
+    (id%36+1)*16, n_streams = id%3+1 alternating vids/auds starting
+    with vids, movi payload (id*11)%500+4 bytes."""
+    import struct
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        frames = int(i % 1000 + 1)
+        w = int(i % 64 + 1) * 16
+        h = int(i % 36 + 1) * 16
+        n_str = int(i % 3 + 1)
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return cid + struct.pack("<I", len(body)) + body \
+                + (b"\x00" if len(body) & 1 else b"")
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        avih = struct.pack("<10I", 33366, 0, 0, 0, frames, 0, n_str,
+                           0, w, h) + b"\x00" * 16
+        strls = b""
+        for s in range(n_str):
+            fcc = b"vids" if s % 2 == 0 else b"auds"
+            strh = fcc + b"FAKE" + struct.pack("<IHHIII", 0, 0, 0, 0,
+                                               1, 25 + s)
+            strh += b"\x00" * (56 - len(strh))
+            strf = bytes(((int(i) + s + j) % 256 for j in range(16)))
+            strls += lst(b"strl", chunk(b"strh", strh)
+                         + chunk(b"strf", strf))
+        hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+        movi_len = int((i * 11) % 500) + 4
+        movi = lst(b"movi", chunk(
+            b"00dc", bytes(((int(i) + j) % 256
+                            for j in range(movi_len)))))
+        body = b"AVI " + hdrl + movi
+        payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["video/avi"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class AviMetaParser:
+    """Actor-pool REAL AVI container parse: recursive RIFF LIST walk
+    (hdrl two levels deep, strl three), avih main-header decode,
+    per-stream fourcc classification, movi payload accounting.  The
+    frame payloads inside movi stay opaque (the mdat doctrine);
+    structural damage dead-letters."""
+
+    def _chunks(self, p: bytes, pos: int, end: int):
+        out = []
+        while pos + 8 <= end:
+            cid = p[pos:pos + 4]
+            import struct
+
+            size = struct.unpack("<I", p[pos + 4:pos + 8])[0]
+            body_end = pos + 8 + size
+            if body_end > end:
+                return None
+            out.append((cid, pos + 8, body_end))
+            pos = body_end + (size & 1)
+        return out
+
+    def _parse(self, p: bytes):
+        import struct
+
+        if not p or len(p) < 12 or p[:4] != b"RIFF" \
+                or p[8:12] != b"AVI ":
+            return None
+        if struct.unpack("<I", p[4:8])[0] != len(p) - 8:
+            return None
+        top = self._chunks(p, 12, len(p))
+        if not top:
+            return None
+        frames = w = h = n_streams = None
+        n_vids = n_auds = 0
+        movi_bytes = None
+        for cid, lo, hi in top:
+            if cid != b"LIST" or hi - lo < 4:
+                return None
+            kind = p[lo:lo + 4]
+            inner = self._chunks(p, lo + 4, hi)
+            if inner is None:
+                return None
+            if kind == b"hdrl":
+                for c2, l2, h2 in inner:
+                    if c2 == b"avih":
+                        if h2 - l2 < 40:
+                            return None
+                        v = struct.unpack("<10I", p[l2:l2 + 40])
+                        frames, n_streams, w, h = v[4], v[6], v[8], v[9]
+                    elif c2 == b"LIST" and p[l2:l2 + 4] == b"strl":
+                        sub = self._chunks(p, l2 + 4, h2)
+                        if not sub or sub[0][0] != b"strh":
+                            return None
+                        fcc = p[sub[0][1]:sub[0][1] + 4]
+                        if fcc == b"vids":
+                            n_vids += 1
+                        elif fcc == b"auds":
+                            n_auds += 1
+                        else:
+                            return None
+            elif kind == b"movi":
+                movi_bytes = sum(h2 - l2 for _, l2, h2 in inner)
+        if frames is None or movi_bytes is None \
+                or n_streams != n_vids + n_auds:
+            return None
+        return frames, w, h, n_vids, n_auds, movi_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._parse(p) for p in batch["payload"].to_pylist()]
+        ok = pa.array([r is not None for r in rows])
+
+        def col(k):
+            return pa.array([r[k] if r is not None else None
+                             for r in rows], pa.int64())
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": ok,
+            "total_frames": col(0),
+            "width": col(1),
+            "height": col(2),
+            "n_video": col(3),
+            "n_audio": col(4),
+            "movi_bytes": col(5),
+        })

@@ -1094,3 +1094,73 @@ def test_ivfpq_probe_law():
     assert [r["adc_dist"] for r in got] == [int(adist[i]) for i in order]
     # the query's own list is probed, so vec 0 is reachable
     assert lists[ids == 0][0] in probed
+
+
+def test_avi_parser_nested_walk_and_poison():
+    """AVI nested-LIST walk: closed forms back out; structural
+    damage dead-letters."""
+    from alco_ray.stages.multimodal import AviMetaParser, encode_avi_batch
+
+    ids = list(range(120))
+    enc = encode_avi_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = AviMetaParser()(enc).to_pylist()
+    for i, r in zip(ids, out):
+        n = i % 3 + 1
+        assert r["decode_ok"] is True
+        assert r["total_frames"] == i % 1000 + 1
+        assert r["width"] == (i % 64 + 1) * 16
+        assert r["height"] == (i % 36 + 1) * 16
+        assert r["n_video"] == (n + 1) // 2
+        assert r["n_audio"] == n // 2
+        assert r["movi_bytes"] == (i * 11) % 500 + 4
+    good = enc["payload"][5].as_py()
+    poison = [good[:20], b"RIFX" + good[4:],
+              good[:8] + b"WAVE" + good[12:], b""]
+    bad = pa.table({
+        "doc_id": pa.array(list(range(len(poison))), pa.int64()),
+        "payload": pa.array(poison, pa.binary())})
+    br = AviMetaParser()(bad).to_pylist()
+    assert all(r["decode_ok"] is False for r in br)
+
+
+def test_pq_recall_consistency():
+    """v_pq_recall's n_hits equals the PQ-top10 ∩ exact-top10 size
+    recomputed from the two legs directly."""
+    import ray
+
+    from alco_ray.stages.similarity import knn_brute, pq_probe
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    X = np.stack([np.asarray(v, np.float64)
+                  for v in t.column("embedding").to_pylist()])
+    qv = X[ids == 0][0]
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    topk, _ = pq_probe(ds, qv, m=4, kc=16, iters=2, k=10)
+    exact = knn_brute(ds, qv, k=10).to_pandas()
+    want = len(set(topk["vec_id"].to_pylist())
+               & set(exact.vec_id.astype(int)))
+    got = q.v_pq_recall(sf).to_pylist()[0]
+    assert got["k"] == 10 and got["n_hits"] == want
+    assert got["n_hits"] >= 1  # the query itself is ADC-reachable
+
+
+def test_exp_hist_law():
+    """Power-of-two buckets replayed row-by-row; counts conserve."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    v = t["value"].to_numpy() * 100.0
+    cents = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+    want: dict = {}
+    for et, c in zip(t.event_type, cents):
+        b = 0 if c == 0 else int(abs(int(c))).bit_length()
+        key = (et, b, 1 if c < 0 else 0)
+        want[key] = want.get(key, 0) + 1
+    got = q.e_exp_hist(sf).to_pylist()
+    got_map = {(r["event_type"], r["bucket"], r["neg"]): r["cnt"]
+               for r in got}
+    assert got_map == want
+    assert sum(want.values()) == len(t)
