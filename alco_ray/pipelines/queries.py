@@ -4551,6 +4551,56 @@ def e_events_1h(sf_dir: str):
         approx_rows=_nrows(_tp(sf_dir, "events")))
 
 
+def d_langid_confusion(sf_dir: str):
+    """LANGUAGE-ID CONFUSION MATRIX (the eval readout of the learned
+    classifier before its labels drive a mixture rebalance): counts
+    per (true lang, predicted lang) under the identical distributed
+    fit + predict of d_lang_id_learned — but the prediction never
+    leaves the batch: each block scores its rows and emits bounded
+    (lang x pred) partials, so the whole matrix costs ZERO exchanges
+    beyond the profile fit's bounded fold."""
+    import ray as _ray
+
+    from ..stages.text import _char_trigrams_distinct
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    profiles = text.fit_trigram_profiles(ds)
+    langs = sorted(profiles)
+    pref = _ray.put({ln: np.sort(np.asarray(profiles[ln], np.int64))
+                     for ln in langs})
+
+    def partial(b: pa.Table) -> pa.Table:
+        profs = _ray.get(pref)
+        n = b.num_rows
+        if not langs:
+            pred = np.array([""] * n, dtype=object)
+        else:
+            g, goffs = _char_trigrams_distinct(b["text"])
+            lens = np.diff(goffs)
+            nonempty = lens > 0
+            starts = goffs[:-1][nonempty]
+            scores = np.zeros((n, len(langs)), np.int64)
+            if len(g) and len(starts):
+                for j, ln in enumerate(langs):
+                    hit = np.isin(g, profs[ln]).astype(np.int64)
+                    scores[nonempty, j] = np.add.reduceat(hit, starts)
+            best = np.argmax(scores, axis=1)
+            pred = np.array(langs, dtype=object)[best]
+            pred[scores.max(axis=1) == 0] = ""
+        t = pa.table({"true_lang": b["lang"],
+                      "pred_lang": pa.array(list(pred), pa.string())})
+        g2 = (t.group_by(["true_lang", "pred_lang"])
+              .aggregate([([], "count_all")]))
+        return g2.rename_columns(["true_lang", "pred_lang", "cnt"])
+
+    return agg_stage.fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["true_lang", "pred_lang"], [("cnt", "sum")],
+        empty_schema=pa.schema([("true_lang", pa.string()),
+                                ("pred_lang", pa.string()),
+                                ("cnt", pa.int64())]))
+
+
 def d_lang_id_learned(sf_dir: str):
     """LEARNED language-ID, fit + predict both distributed and both
     integer-exact (stages/text.fit_trigram_profiles /
@@ -7699,6 +7749,20 @@ def mm_avi_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.AviMetaParser)
 
 
+def mm_tar_meta(sf_dir: str):
+    """REAL ustar archive walk (stages/multimodal.TarMetaParser): the
+    512-block format training corpora actually arrive in — OCTAL-text
+    header fields, per-header CHECKSUM re-verified with its own field
+    blanked (the Ogg-CRC doctrine for archives), block-padded payload
+    hop, two-zero-block terminator enforced.  stdlib ``tarfile``
+    cross-checks the fixture in pytest (two implementations of the
+    spec must agree); closed-form oracle over the rotation."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_tar_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.TarMetaParser)
+
+
 def v_knn_recall(sf_dir: str):
     """ANN RECALL as a CHECKED quantity (the d_minhash_apply sidecar
     doctrine applied to vector search): the LSH probe's top-10 ids
@@ -8094,6 +8158,8 @@ REGISTRY = {
     "q_priority_lines": q_priority_lines,
     "e_exp_hist": e_exp_hist,
     "mm_avi_meta": mm_avi_meta,
+    "d_langid_confusion": d_langid_confusion,
+    "mm_tar_meta": mm_tar_meta,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

@@ -1164,3 +1164,60 @@ def test_exp_hist_law():
                for r in got}
     assert got_map == want
     assert sum(want.values()) == len(t)
+
+
+def test_langid_confusion_consistency():
+    """Confusion-matrix counts equal the per-doc predictions grouped
+    by (true, pred), and mass is conserved."""
+    sf = "/root/testdata/sf0.001"
+    pred = q.d_lang_id_learned(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    j = pred.merge(docs, on="doc_id")
+    want = j.groupby(["lang", "pred_lang"]).size()
+
+    got = q.d_langid_confusion(sf).to_pandas() \
+        .set_index(["true_lang", "pred_lang"])["cnt"]
+    assert got.sort_index().equals(
+        want.sort_index().astype("int64").rename("cnt"))
+    assert got.sum() == len(docs)
+
+
+def test_tar_parser_checksum_and_stdlib_agreement():
+    """ustar walk: closed forms + stdlib tarfile agreement (two
+    implementations of the spec), checksum/terminator poison."""
+    import io
+    import tarfile
+
+    from alco_ray.stages.multimodal import TarMetaParser, encode_tar_batch
+
+    ids = list(range(150))
+    enc = encode_tar_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = TarMetaParser()(enc).to_pylist()
+    for i, r in zip(ids, out):
+        n = i % 4 + 1
+        sizes = [(i * 13 + k * 7) % 900 for k in range(n)]
+        assert r["decode_ok"] is True
+        assert r["n_members"] == n
+        assert r["total_bytes"] == sum(sizes)
+        assert r["max_mtime"] == i * 100 + n - 1
+        assert r["n_blocks"] == sum(1 + (s + 511) // 512
+                                    for s in sizes) + 2
+    t = tarfile.open(fileobj=io.BytesIO(enc["payload"][37].as_py()))
+    mem = t.getmembers()
+    assert len(mem) == 37 % 4 + 1
+    assert sum(m.size for m in mem) == out[37]["total_bytes"]
+    assert [m.mtime for m in mem] == [3700, 3701]
+
+    good = bytearray(enc["payload"][5].as_py())
+    flip = bytearray(good)
+    flip[50] ^= 1
+    badmag = bytearray(good)
+    badmag[257] = ord("X")
+    poison = [bytes(flip), bytes(good[:-1024]), bytes(badmag),
+              b"x" * 511]
+    bad = pa.table({
+        "doc_id": pa.array(list(range(len(poison))), pa.int64()),
+        "payload": pa.array(poison, pa.binary())})
+    br = TarMetaParser()(bad).to_pylist()
+    assert all(r["decode_ok"] is False for r in br)
