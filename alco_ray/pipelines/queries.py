@@ -1341,6 +1341,73 @@ def e_exp_hist(sf_dir: str):
                                 ("cnt", pa.int64())]))
 
 
+def e_type_overlap(sf_dir: str):
+    """PAIRWISE AUDIENCE OVERLAP between event types (the
+    cross-feature co-usage readout): for every type pair, how many
+    distinct users did BOTH, plus each side's distinct-user count —
+    exact integers.  Scale shape: each user collapses to ONE 5-bit
+    TYPE BITMASK (per-batch sort + reduceat-OR partials, then one
+    user-hash partition finishing the OR), the bitmask HISTOGRAM is a
+    bounded 32-key fold, and every pairwise intersection is a closed
+    form over that histogram — the |types|^2 answer never touches a
+    pair join."""
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    tmap = {t: 1 << i for i, t in enumerate(TYPES)}
+    from ..stages.window import partition_by_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def mask_partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].to_pylist()
+        bits = np.array([tmap.get(t, 0) for t in et], np.int64)
+        order = np.argsort(u, kind="stable")
+        us, starts = np.unique(u[order], return_index=True)
+        om = np.bitwise_or.reduceat(bits[order], starts)
+        return pa.table({"user_id": pa.array(us, pa.int64()),
+                         "bits": pa.array(om, pa.int64())})
+
+    def or_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = g["user_id"].to_numpy()
+        bits = g["bits"].to_numpy()
+        order = np.argsort(u, kind="stable")
+        us, starts = np.unique(u[order], return_index=True)
+        om = np.bitwise_or.reduceat(bits[order], starts)
+        cnt = np.bincount(om, minlength=32)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bits": nz.astype("int64"),
+                             "n_users": cnt[nz].astype("int64")})
+
+    hist = agg_stage.fold_partials(
+        partition_by_key(ds.map_batches(mask_partial,
+                                        batch_format="pyarrow"),
+                         "user_id",
+                         approx_rows=_nrows(_tp(sf_dir, "events")))
+        .groupby("part").map_groups(or_fold, batch_format="pandas"),
+        ["bits"], [("n_users", "sum")],
+        empty_schema=pa.schema([("bits", pa.int64()),
+                                ("n_users", pa.int64())]))
+    masks = hist["bits"].to_numpy(zero_copy_only=False)
+    counts = hist["n_users"].to_numpy(zero_copy_only=False)
+    rows = []
+    for i, ta in enumerate(TYPES):
+        for jj in range(i + 1, len(TYPES)):
+            tb = TYPES[jj]
+            sel = (((masks >> i) & 1) == 1) & (((masks >> jj) & 1) == 1)
+            both = int(counts[sel].sum())
+            if both == 0:
+                continue
+            na = int(counts[((masks >> i) & 1) == 1].sum())
+            nb = int(counts[((masks >> jj) & 1) == 1].sum())
+            rows.append((ta, tb, both, na, nb))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "inter_users": pa.array([r[2] for r in rows], pa.int64()),
+        "n_a": pa.array([r[3] for r in rows], pa.int64()),
+        "n_b": pa.array([r[4] for r in rows], pa.int64())})
+
+
 def e_mannwhitney(sf_dir: str):
     """MANN-WHITNEY U rank-sum test between the even-day and odd-day
     halves of the event stream (e_ks_drift's location-shift sibling:
@@ -8160,6 +8227,7 @@ REGISTRY = {
     "mm_avi_meta": mm_avi_meta,
     "d_langid_confusion": d_langid_confusion,
     "mm_tar_meta": mm_tar_meta,
+    "e_type_overlap": e_type_overlap,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

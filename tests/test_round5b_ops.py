@@ -1221,3 +1221,25 @@ def test_tar_parser_checksum_and_stdlib_agreement():
         "payload": pa.array(poison, pa.binary())})
     br = TarMetaParser()(bad).to_pylist()
     assert all(r["decode_ok"] is False for r in br)
+
+
+def test_type_overlap_law():
+    """Pairwise audience overlap replayed brute-force; Jaccard bounds
+    hold (inter <= min(n_a, n_b))."""
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["user_id", "event_type"]).to_pandas()
+    sets = {et: set(g.user_id) for et, g in t.groupby("event_type")}
+    types = sorted(sets)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    got = q.e_type_overlap(sf).to_pylist()
+    got_map = {(r["type_a"], r["type_b"]):
+               (r["inter_users"], r["n_a"], r["n_b"]) for r in got}
+    assert got_map == want
+    for (a, b), (i2, na, nb) in got_map.items():
+        assert i2 <= min(na, nb)
