@@ -118,3 +118,29 @@ def test_gd_fit_survives_worker_death(ray_session, tmp_path,
                               label_col="y", iters=6)
     assert os.path.exists(sentinel + ".consumed"), "crash never fired"
     assert got == want
+
+
+def test_kmeans_waves_survive_worker_death(ray_session, tmp_path,
+                                           monkeypatch):
+    """The PQ / IVF-PQ codebook fits ride the same raw-task wave
+    doctrine (similarity.kmeans_fixed_point): a worker dying inside
+    an assignment wave must still yield the oracle-exact fixed point
+    via Ray core's task retry."""
+    from alco_ray.stages import similarity
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    want = similarity.kmeans_fixed_point(ds, k=8, iters=2).to_pandas()
+    want = sorted(zip(want["vec_id"], want["cluster"]))
+
+    sentinel = str(tmp_path / "km_crash")
+    open(sentinel, "w").close()
+    monkeypatch.setattr(
+        similarity, "_km_assign_block",
+        _crash_once(similarity._km_assign_block, sentinel))
+    ds2 = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    got = similarity.kmeans_fixed_point(ds2, k=8, iters=2).to_pandas()
+    assert os.path.exists(sentinel + ".consumed"), "crash never fired"
+    assert sorted(zip(got["vec_id"], got["cluster"])) == want
