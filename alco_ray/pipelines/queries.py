@@ -7830,6 +7830,22 @@ def mm_tar_meta(sf_dir: str):
     return multimodal.decode_media(media, multimodal.TarMetaParser)
 
 
+def mm_pdf_meta(sf_dir: str):
+    """REAL (minimal) PDF structural parse (stages/multimodal.
+    PdfMetaParser): PDFs are parsed BACKWARD — tail-scan to
+    ``startxref``, classic 20-byte xref table decode, and
+    CROSS-REFERENCE VALIDATION (every in-use offset must land on its
+    own ``<n> 0 obj`` header) — the structural triage a document
+    pipeline runs before dispatching a renderer; content encodings
+    stay opaque.  Closed-form oracle over the fixture rotation;
+    stale-startxref / shifted-offset / truncation poison
+    dead-letters in pytest."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(multimodal.encode_pdf_batch,
+                           batch_format="pyarrow")
+    return multimodal.decode_media(media, multimodal.PdfMetaParser)
+
+
 def v_knn_recall(sf_dir: str):
     """ANN RECALL as a CHECKED quantity (the d_minhash_apply sidecar
     doctrine applied to vector search): the LSH probe's top-10 ids
@@ -8228,6 +8244,7 @@ REGISTRY = {
     "d_langid_confusion": d_langid_confusion,
     "mm_tar_meta": mm_tar_meta,
     "e_type_overlap": e_type_overlap,
+    "mm_pdf_meta": mm_pdf_meta,
     "t_error_runs": t_error_runs,
     "t_tool_lift": t_tool_lift,
 }

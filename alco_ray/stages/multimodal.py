@@ -2596,3 +2596,120 @@ class TarMetaParser:
             "max_mtime": col(2),
             "n_blocks": col(3),
         })
+
+
+# ------------------------------------------------------------- real PDF
+# PDF is parsed BACKWARD: the trailer names the xref offset, the xref
+# table names every object's byte offset, and each offset must land on
+# its own "<n> 0 obj" header — a cross-reference-validation hazard
+# class none of the forward walks above exercise.  Object streams and
+# content encodings stay opaque (the mdat doctrine); this walk is the
+# STRUCTURAL triage a document pipeline runs before dispatching a real
+# renderer.
+
+def encode_pdf_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic REAL (minimal) PDFs with closed
+    forms — version minor id%4+3, n_objects = id%5+2, object k
+    carries /Len (id*3+k)%100; a classic xref table with the 65535
+    free head, a /Size trailer and startxref -> %%EOF."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for i in ids:
+        n = int(i % 5 + 2)
+        out = bytearray(f"%PDF-1.{int(i) % 4 + 3}\n".encode())
+        offs = []
+        for k in range(n):
+            offs.append(len(out))
+            out += (f"{k + 1} 0 obj\n<< /Type /X{k} "
+                    f"/Len {int(i * 3 + k) % 100} >>\nendobj\n"
+                    .encode())
+        xref_off = len(out)
+        out += f"xref\n0 {n + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offs:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {n + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_off}\n%%EOF\n".encode())
+        payloads.append(bytes(out))
+    return pa.table({
+        id_col: batch[id_col],
+        "media_type": pa.array(["application/pdf"] * len(ids),
+                               pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class PdfMetaParser:
+    """Actor-pool REAL (minimal) PDF structural parse: header version,
+    tail-scan to ``startxref``, classic xref table decode (20-byte
+    entries, free-list head), CROSS-REFERENCE VALIDATION — every
+    in-use offset must land exactly on its own ``<n> 0 obj`` header —
+    /Size consistency, and /Len extraction per object dict.  A stale
+    startxref, a short xref table or a shifted object offset
+    dead-letters the document."""
+
+    def _parse(self, p: bytes):
+        import re
+
+        if not p.startswith(b"%PDF-1."):
+            return None
+        try:
+            minor = int(p[7:p.index(b"\n")].decode())
+        except (ValueError, UnicodeDecodeError):
+            return None
+        tail = p[-256:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None or b"%%EOF" not in tail:
+            return None
+        xref_off = int(m.group(1))
+        if not p[xref_off:xref_off + 4] == b"xref":
+            return None
+        try:
+            body = p[xref_off:].split(b"\n")
+            head = body[1].split()
+            first, count = int(head[0]), int(head[1])
+        except (IndexError, ValueError):
+            return None
+        if first != 0 or count < 2:
+            return None
+        entries = body[2:2 + count]
+        if len(entries) < count:
+            return None
+        if not entries[0].startswith(b"0000000000 65535 f"):
+            return None
+        n_objects, len_sum = 0, 0
+        for k, e in enumerate(entries[1:], start=1):
+            try:
+                off = int(e[:10])
+            except ValueError:
+                return None
+            if e[17:18] != b"n":
+                return None
+            if not p[off:].startswith(f"{k} 0 obj".encode()):
+                return None
+            obj = p[off:p.index(b"endobj", off)]
+            lm = re.search(rb"/Len (\d+)", obj)
+            if lm is None:
+                return None
+            n_objects += 1
+            len_sum += int(lm.group(1))
+        return minor, n_objects, len_sum, xref_off
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._parse(p) for p in batch["payload"].to_pylist()]
+        ok = pa.array([r is not None for r in rows])
+
+        def col(k):
+            return pa.array([r[k] if r is not None else None
+                             for r in rows], pa.int64())
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "decode_ok": ok,
+            "version_minor": col(0),
+            "n_objects": col(1),
+            "len_sum": col(2),
+            "xref_off": col(3),
+        })

@@ -117,7 +117,7 @@ BENCH_QUERIES = [
     "e_conversion_lag", "v_cluster_purity", "t_templates",
     "mm_ico_meta", "v_dim_truncation", "e_mannwhitney", "e_rolling_median", "mm_srt_meta", "v_ivfpq",
     "v_pq_recall", "q_priority_lines", "e_exp_hist", "mm_avi_meta",
-    "d_langid_confusion", "mm_tar_meta", "e_type_overlap",
+    "d_langid_confusion", "mm_tar_meta", "e_type_overlap", "mm_pdf_meta",
 ]
 
 

@@ -1243,3 +1243,37 @@ def test_type_overlap_law():
     assert got_map == want
     for (a, b), (i2, na, nb) in got_map.items():
         assert i2 <= min(na, nb)
+
+
+def test_pdf_parser_xref_validation_and_poison():
+    """Minimal-PDF backward parse: closed forms back out (incl. the
+    xref offset), and stale-startxref / shifted-offset / truncation
+    poison dead-letters."""
+    import re
+
+    from alco_ray.stages.multimodal import PdfMetaParser, encode_pdf_batch
+
+    ids = list(range(200))
+    enc = encode_pdf_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = PdfMetaParser()(enc).to_pylist()
+    for i, r in zip(ids, out):
+        n = i % 5 + 2
+        assert r["decode_ok"] is True
+        assert r["version_minor"] == i % 4 + 3
+        assert r["n_objects"] == n
+        lens = [(i * 3 + k) % 100 for k in range(n)]
+        assert r["len_sum"] == sum(lens)
+        want_off = 9 + sum(len(str(k + 1)) + len(str(k))
+                           + len(str(lens[k])) + 35 for k in range(n))
+        assert r["xref_off"] == want_off
+
+    good = bytes(enc["payload"][9].as_py())
+    m = re.search(rb"startxref\n(\d+)", good)
+    stale = good.replace(m.group(1), str(int(m.group(1)) + 3).encode())
+    shift = good.replace(b"2 0 obj", b"9 0 obj", 1)
+    poison = [b"%XDF" + good[4:], stale, shift, good[:40]]
+    bad = pa.table({
+        "doc_id": pa.array(list(range(len(poison))), pa.int64()),
+        "payload": pa.array(poison, pa.binary())})
+    br = PdfMetaParser()(bad).to_pylist()
+    assert all(r["decode_ok"] is False for r in br)
