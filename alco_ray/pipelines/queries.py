@@ -8255,7 +8255,7 @@ REGISTRY = {
 # seen plus the two historical driver FAILs whose fix the driver has
 # never witnessed, then the strongest never-checked round-5 kernels.
 # The round-5 THIRD-WAVE additions (q_volume_shipping ...
-# e_type_overlap, 30 entries landed after this window was frozen)
+# mm_pdf_meta, 31 entries landed after this window was frozen)
 # stay in the tail BY DESIGN: every one is green under
 # scripts/check_contract.py — the
 # strict-dtype driver-replica gate — at sf0.001/sf0.01/sf0.1 and
