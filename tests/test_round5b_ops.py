@@ -1277,3 +1277,28 @@ def test_pdf_parser_xref_validation_and_poison():
         "payload": pa.array(poison, pa.binary())})
     br = PdfMetaParser()(bad).to_pylist()
     assert all(r["decode_ok"] is False for r in br)
+
+
+def test_drop_empty_blocks_semantics():
+    """The empty-block join guard: zero-row blocks vanish, data
+    blocks survive byte-identically, and an all-empty input yields
+    ONE typed empty block (downstream joins stay schema-stable)."""
+    import ray
+
+    from alco_ray.stages.aggregate import drop_empty_blocks
+
+    schema = pa.schema([("token", pa.string()), ("ratio", pa.int64())])
+    t1 = pa.table({"token": pa.array(["a", "b"], pa.string()),
+                   "ratio": pa.array([1, 2], pa.int64())})
+    mixed = ray.data.from_arrow_refs(
+        [ray.put(t1), ray.put(pa.table({})),
+         ray.put(schema.empty_table())])
+    out = drop_empty_blocks(mixed, schema)
+    got = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert got.equals(t1)
+
+    all_empty = ray.data.from_arrow_refs([ray.put(pa.table({}))])
+    out2 = drop_empty_blocks(all_empty, schema)
+    blocks = ray.get(out2.to_arrow_refs())
+    assert len(blocks) == 1 and blocks[0].schema.equals(schema) \
+        and blocks[0].num_rows == 0
